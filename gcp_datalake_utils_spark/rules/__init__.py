@@ -1,0 +1,9 @@
+from gcp_datalake_utils_spark.rules.compiler import (  # noqa: F401
+    best_pk_order_sql,
+    fk_sql,
+    likely_pk_sql,
+    common_pk_sql,
+    pk_sql,
+    strip_key_suffix_sql,
+    type_compat_group_sql,
+)

@@ -1,0 +1,251 @@
+"""Declarative classification rules -> SQL boolean expressions, dual dialect.
+
+The reference interprets its pattern config imperatively per column
+(``pattern_config.py:187-263``, ``schema_analyzer.py:109-218,328-447`` in
+/root/reference/bigquery-to-erd). This engine compiles the same rules ONCE
+into a single Column expression, fully Catalyst-optimizable — no UDFs, no
+per-row Python (SURVEY.md §4 "rule compiler").
+
+Every builder emits the expression in two dialects from the same rule data:
+
+- ``dialect='spark'`` -> consumed via ``F.expr(...)`` in the operators
+- ``dialect='duck'``  -> interpolated into the DuckDB oracle SQL
+
+so the engine and the correctness oracle share classification semantics by
+construction. Expressions reference the ``meta_columns`` schema: columns
+``table_id``, ``name``, ``data_type``, ``mode`` (names/tables are matched
+case-insensitively via ``lower()`` exactly like the reference).
+
+Semantics compiled here (see SURVEY.md §2.2 P3-P9):
+
+- legacy regex PK/FK patterns + candidate guards
+  (``schema_analyzer.py:27-40,163-218``)
+- pattern-config global indicators + per-table-prefix patterns
+  (``config/relationship_patterns.json:4-238``); a ``dim_`` table matches
+  BOTH methodologies' dimension patterns, so their pattern lists union
+- Data-Vault / traditional-DW prefix dispatch, an ``elif`` chain in the
+  reference (``schema_analyzer.py:328-447``) -> CASE expression here
+"""
+
+from __future__ import annotations
+
+
+def _fn(dialect: str, spark_name: str, duck_name: str, *args: str) -> str:
+    name = spark_name if dialect == "spark" else duck_name
+    return f"{name}({', '.join(args)})"
+
+
+def rx(col: str, pattern: str, dialect: str) -> str:
+    """Anchored regex match (reference uses ``re.match`` = match-at-start;
+    all compiled patterns are explicitly ^...$-anchored for clarity)."""
+    return _fn(dialect, "regexp_like", "regexp_matches", col, f"'{pattern}'")
+
+
+def ends(col: str, suffix: str, dialect: str) -> str:
+    return _fn(dialect, "endswith", "ends_with", col, f"'{suffix}'")
+
+
+def starts(col: str, prefix: str, dialect: str) -> str:
+    return _fn(dialect, "startswith", "starts_with", col, f"'{prefix}'")
+
+
+def inset(col: str, names: list[str]) -> str:
+    return f"{col} IN ({', '.join(repr(n) for n in names)})"
+
+
+def any_of(*exprs: str) -> str:
+    return "(" + " OR ".join(exprs) + ")"
+
+
+def all_of(*exprs: str) -> str:
+    return "(" + " AND ".join(exprs) + ")"
+
+
+# normalized references (the reference lowercases names/tables before
+# every comparison)
+C = "lower(name)"
+TBL = "lower(table_id)"
+
+# key-candidate data types (schema_analyzer.py:185,214)
+KEY_TYPES = "upper(data_type) IN ('INTEGER', 'INT64', 'STRING', 'BYTES')"
+
+# global indicators (config/relationship_patterns.json:203-236)
+GLOBAL_PK_NAMES = [
+    "id", "key", "pk", "sk", "surrogate_key", "business_key", "bk",
+    "hash_key", "hk", "hub_key", "dim_key", "dk", "link_key", "lk",
+    "ref_key", "rk",
+]
+
+LEGACY_PK_RX = "^(id|.*_id|.*_key|.*_pk|pk_.*)$"
+LEGACY_FK_RX = "^(.*_id|.*_fk|.*_key|fk_.*)$"
+# enhanced "likely primary key" patterns (relationship_detector.py:188-196)
+LIKELY_PK_RX = "^(id|.*_id|.*_key|.*_pk|pk_.*|.*_code|.*_number)$"
+COMMON_PK_NAMES = ["id", "key", "pk", "code", "number", "identifier"]
+
+# name-suffix strip used by target resolution
+# (relationship_detector.py:271)
+KEY_SUFFIX_RX = "_(id|key|fk|pk|hk|hash_key)$"
+
+TARGET_PREFIXES = ["h_", "dim_", "l_", "ref_", "fact_", "tbl_", "table_"]
+
+
+def _config_pk(d: str) -> str:
+    """Pattern-config PK candidacy (pattern_config.py:187-213)."""
+    by_prefix = [
+        (starts(TBL, "h_", d), any_of(inset(C, [
+            "id", "key", "business_key", "bk", "hash_key", "hk",
+            "hub_key"]))),
+        (starts(TBL, "dim_", d), any_of(
+            inset(C, ["id", "key", "sk", "surrogate_key", "dim_key", "dk",
+                      "hash_key", "hk", "dim_hash_key"]),
+            ends(C, "_id", d))),
+        (starts(TBL, "l_", d), inset(C, [
+            "id", "key", "link_key", "lk", "hash_key", "hk",
+            "link_hash_key"])),
+        (starts(TBL, "ref_", d), any_of(
+            inset(C, ["id", "key", "ref_key", "rk"]),
+            ends(C, "_code", d), ends(C, "_id", d))),
+        (starts(TBL, "fact_", d), any_of(
+            inset(C, ["id", "key"]), ends(C, "_id", d))),
+        (starts(TBL, "bridge_", d), inset(C, [
+            "id", "key", "relationship_id"])),
+    ]
+    prefix_expr = " OR ".join(all_of(cond, body) for cond, body in by_prefix)
+    return any_of(inset(C, GLOBAL_PK_NAMES), f"({prefix_expr})")
+
+
+def _config_fk(d: str) -> str:
+    """Pattern-config FK candidacy (pattern_config.py:215-241)."""
+    global_fk = any_of(
+        rx(C, "^(.*_id|.*_key|.*_fk|.*_hk|.*_hash_key)$", d),
+        inset(C, ["hub_key", "hk"]))
+    by_prefix = [
+        (starts(TBL, "dim_", d), any_of(
+            ends(C, "_id", d), ends(C, "_hk", d), ends(C, "_hash_key", d),
+            ends(C, "_fk", d))),
+        (starts(TBL, "l_", d), any_of(
+            ends(C, "_hk", d), ends(C, "_hash_key", d),
+            inset(C, ["hub_key", "hk"]))),
+        (starts(TBL, "fact_", d), any_of(
+            ends(C, "_id", d), ends(C, "_fk", d))),
+        (starts(TBL, "bridge_", d), any_of(
+            ends(C, "_id", d), ends(C, "_fk", d))),
+    ]
+    prefix_expr = " OR ".join(all_of(cond, body) for cond, body in by_prefix)
+    return any_of(global_fk, f"({prefix_expr})")
+
+
+def _dw_pk(d: str) -> str:
+    """Data-warehouse PK elif chain (schema_analyzer.py:328-399) as CASE."""
+    return (
+        "(CASE "
+        f"WHEN {starts(TBL, 'h_', d)} THEN "
+        + any_of(
+            inset(C, ["id", "key", "business_key", "bk"]),
+            inset(C, ["hash_key", "hk", "hub_key"]),
+            all_of(f"NOT {ends(C, '_id', d)}", f"NOT {ends(C, '_key', d)}"))
+        + f" WHEN {starts(TBL, 'dim_', d)} THEN "
+        + any_of(
+            inset(C, ["id", "key", "sk", "surrogate_key", "dim_key", "dk"]),
+            all_of(ends(C, "_id", d), f"NOT {ends(C, '_fk', d)}"),
+            inset(C, ["hash_key", "hk", "dim_hash_key"]))
+        + f" WHEN {starts(TBL, 'l_', d)} THEN "
+        + any_of(
+            inset(C, ["id", "key", "link_key", "lk"]),
+            inset(C, ["hash_key", "hk", "link_hash_key"]),
+            ends(C, "_hk", d), ends(C, "_hash_key", d))
+        + f" WHEN {starts(TBL, 'ref_', d)} THEN "
+        + any_of(
+            inset(C, ["id", "key", "ref_key", "rk"]),
+            ends(C, "_code", d), ends(C, "_id", d))
+        + f" WHEN {starts(TBL, 'fact_', d)} THEN "
+        + all_of(ends(C, "_id", d), f"NOT {ends(C, '_fk', d)}")
+        + f" WHEN {starts(TBL, 'bridge_', d)} THEN "
+        + inset(C, ["id", "key", "relationship_id"])
+        + " ELSE FALSE END)"
+    )
+
+
+def _dv_fk(d: str) -> str:
+    """Data-Vault FK elif chain (schema_analyzer.py:401-447) as CASE."""
+    return (
+        "(CASE "
+        f"WHEN {starts(TBL, 'l_', d)} THEN "
+        + any_of(ends(C, "_hk", d), ends(C, "_hash_key", d),
+                 inset(C, ["hub_key", "hk"]))
+        + f" WHEN {starts(TBL, 'dim_', d)} THEN "
+        + any_of(ends(C, "_hk", d), ends(C, "_hash_key", d),
+                 all_of(ends(C, "_id", d), f"NOT {ends(C, '_fk', d)}"))
+        + f" WHEN {starts(TBL, 'h_', d)} THEN "
+        + all_of(ends(C, "_id", d), f"NOT {ends(C, '_fk', d)}")
+        + f" WHEN {starts(TBL, 'ref_', d)} THEN FALSE"
+        + f" WHEN {starts(TBL, 'fact_', d)} THEN "
+        + all_of(ends(C, "_id", d), f"NOT {ends(C, '_fk', d)}")
+        + " ELSE FALSE END)"
+    )
+
+
+def pk_sql(dialect: str) -> str:
+    """is_primary_key (schema_analyzer.py:109-134): config patterns OR
+    (legacy regex AND candidate guards) OR DW prefix rules."""
+    legacy = all_of(
+        rx(C, LEGACY_PK_RX, dialect),
+        "mode <> 'REPEATED'",
+        f"NOT (mode = 'NULLABLE' AND {C} <> 'id')",
+        KEY_TYPES)
+    return any_of(_config_pk(dialect), legacy, _dw_pk(dialect))
+
+
+def fk_sql(dialect: str) -> str:
+    """is_foreign_key (schema_analyzer.py:136-161): config patterns OR
+    (legacy regex AND not-PK AND candidate guards) OR DV prefix rules.
+    Note the reference's config path does NOT exclude PKs — only the
+    legacy fallback does (schema_analyzer.py:209-211)."""
+    legacy = all_of(
+        rx(C, LEGACY_FK_RX, dialect),
+        "mode <> 'REPEATED'",
+        f"NOT {pk_sql(dialect)}",
+        KEY_TYPES)
+    return any_of(_config_fk(dialect), legacy, _dv_fk(dialect))
+
+
+def likely_pk_sql(dialect: str) -> str:
+    """Enhanced-detection 'likely PK' (relationship_detector.py:180-207):
+    explicit PK OR pattern match OR table-base-derived names."""
+    tb = f"replace(replace({TBL}, 'dim_', ''), 'fact_', '')"
+    return any_of(
+        pk_sql(dialect),
+        rx(C, LIKELY_PK_RX, dialect),
+        f"{C} IN ({tb} || '_id', {tb} || '_key', 'id')")
+
+
+def common_pk_sql(dialect: str) -> str:
+    """Fallback common-PK names (relationship_detector.py:209-219)."""
+    return inset(C, COMMON_PK_NAMES)
+
+
+def strip_key_suffix_sql(col: str, dialect: str) -> str:
+    """base name = column minus _(id|key|fk|pk|hk|hash_key) suffix
+    (relationship_detector.py:271)."""
+    return _fn(dialect, "regexp_replace", "regexp_replace",
+               col, f"'{KEY_SUFFIX_RX}'", "''")
+
+
+def type_compat_group_sql(col: str = "data_type") -> str:
+    """Type compatibility groups (relationship_detector.py:925-941):
+    canonical group key so compatible types equi-join."""
+    return (
+        f"(CASE WHEN upper({col}) IN ('INTEGER', 'INT64') THEN 'INT' "
+        f"WHEN upper({col}) IN ('STRING', 'TEXT') THEN 'STR' "
+        f"WHEN upper({col}) IN ('FLOAT', 'FLOAT64') THEN 'FLT' "
+        f"WHEN upper({col}) IN ('BOOLEAN', 'BOOL') THEN 'BOOL' "
+        f"ELSE upper({col}) END)")
+
+
+def best_pk_order_sql() -> str:
+    """Total-order sort key for _find_best_primary_key
+    (relationship_detector.py:334-358): explicit PKs first (by ordinal),
+    else 'id' columns, else first candidate by ordinal. Usable in both
+    dialects as an ORDER BY fragment over (is_pk, name, ordinal)."""
+    return ("is_pk DESC, (CASE WHEN is_pk THEN 0 "
+            "WHEN lower(name) = 'id' THEN 0 ELSE 1 END), ordinal")

@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the configuration is
+written for a real multi-executor cluster: AQE on (runtime coalescing +
+skew-join splitting), small shuffle-partition default that AQE scales up,
+Arrow enabled for the pandas_udf escape hatches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "gcp-datalake-utils-spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    On a 1000-executor cluster the same config applies: AQE coalesces the
+    static shuffle-partition count to the data, auto-broadcast handles the
+    metadata-side joins, and skew-join splitting guards the heavy equi-joins
+    (e.g. the LSH band join where hot buckets are the classic skew case).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,5 @@
+from gcp_datalake_utils_spark.sources.registry import (  # noqa: F401
+    TABLE_NAMES,
+    load_table,
+    register_tables,
+)

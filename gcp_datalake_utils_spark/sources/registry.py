@@ -1,0 +1,41 @@
+"""Parquet table registry over the driver testdata layout.
+
+Mirrors the reference's catalog scan surface (S1-S4,
+``bigquery_connector.py:63-240`` in /root/reference/bigquery-to-erd) as
+plain ``spark.read.parquet`` + temp-view registration: table enumeration is
+``spark.catalog.listTables``, schema read is ``df.schema``.
+
+At 100 TB these reads are partitioned parquet scans; nothing here collects
+data to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Column pruning + predicate pushdown reach
+    the parquet scan because this returns the raw lazy reader output."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view so operators can be
+    written in either DataFrame or ``spark.sql`` form."""
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
