@@ -66,6 +66,12 @@ META_TABLES: list[tuple[str, str, int, str, int, int]] = [
     ("appdb", "customers", 25, "TABLE", 600, 40960),
     ("appdb", "order_items", 26, "TABLE", 12000, 786432),
     ("appdb", "products", 27, "TABLE", 300, 65536),
+    # telemetry set: FLOAT64 *_id/*_key columns are NOT PK candidates
+    # (key types exclude FLOAT, schema_analyzer.py:185) — exercises the
+    # J3 data-type-match path with same-name pairs.
+    ("metrics", "telemetry", 28, "TABLE", 100000, 8388608),
+    ("metrics", "telemetry_daily", 29, "TABLE", 3000, 262144),
+    ("metrics", "telemetry_raw", 30, "TABLE", 500000, 33554432),
 ]
 
 # ---------------------------------------------------------------------------
@@ -180,6 +186,14 @@ META_COLUMNS: list[tuple[str, int, str, str, str]] = [
     ("products", 2, "sku", "STRING", "REQUIRED"),
     ("products", 3, "price", "NUMERIC", "NULLABLE"),
     ("products", 4, "tags", "STRING", "REPEATED"),
+    # --- telemetry set (J3 path) ---
+    ("telemetry", 1, "metric_id", "FLOAT64", "REQUIRED"),
+    ("telemetry", 2, "reading_key", "FLOAT64", "REQUIRED"),
+    ("telemetry", 3, "val", "FLOAT64", "NULLABLE"),
+    ("telemetry_daily", 1, "metric_id", "FLOAT64", "NULLABLE"),
+    ("telemetry_daily", 2, "day_total", "FLOAT64", "NULLABLE"),
+    ("telemetry_raw", 1, "reading_key", "FLOAT64", "NULLABLE"),
+    ("telemetry_raw", 2, "raw_val", "FLOAT64", "NULLABLE"),
 ]
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gcp_datalake_utils_spark.operators import classify
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.operators import classify, detection
+from gcp_datalake_utils_spark.operators import detection_oracle as do
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -30,5 +33,25 @@ register("schema_complexity", classify.schema_complexity_query,
          classify.schema_complexity_oracle())
 
 
+register("detect_foreign_key",
+         lambda s, d: detection.detect_foreign_keys(s),
+         do.strategy_oracle("j1"))
+register("detect_naming_convention",
+         lambda s, d: detection.detect_naming_conventions(s),
+         do.strategy_oracle("j4"))
+register("detect_enhanced_pk_fk",
+         lambda s, d: detection.detect_enhanced_pk_fk(s),
+         do.strategy_oracle("j2"))
+register("detect_data_type_match",
+         lambda s, d: detection.detect_data_type_matches(s),
+         do.strategy_oracle("j3"))
+register("detect_custom_rules",
+         lambda s, d: detection.apply_custom_rules(s),
+         do.strategy_oracle("j5"))
+register("detect_pipeline",
+         lambda s, d: detection.detect_all(s),
+         do.pipeline_oracle())
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return classify.classification_query(spark, sf_dir)
+    return detection.detect_all(spark)
