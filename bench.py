@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): one discarded warm-up run per query, then the
+median of 3 timed runs; value = sum of per-query medians. Each timed run
+executes the full plan to completion (collect for small results, count
+for large ones) so scan+shuffle+agg are all measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family that touches payload data at
+# scale (metadata-only queries are constant-time and excluded)
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "data_test_report",
+    "events_hourly",
+    "user_sessions",
+    "text_token_stats",
+    "dedup_near_pairs",
+    "similarity_cosine_topk",
+    "detect_pipeline",
+]
+
+# results larger than this row count are executed via count() instead of
+# collect() so driver transfer does not dominate the measurement
+COLLECT_CAP = 100_000
+
+
+def _run_once(fn, spark) -> float:
+    t0 = time.time()
+    df = fn(spark, SF_DIR)
+    n = df.count()
+    if n <= COLLECT_CAP:
+        df.collect()
+    return time.time() - t0
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from gcp_datalake_utils_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry.queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        _run_once(fn, spark)  # discarded warm-up
+        times = [_run_once(fn, spark) for _ in range(3)]
+        per_query[name] = round(statistics.median(times), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_median_total",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -224,6 +224,44 @@ NAMING_PATTERNS: list[tuple[str, str, float]] = [
 ]
 
 # ---------------------------------------------------------------------------
+# incremental-processing state (I1/I3): per-table schema checksum +
+# last_processed. Checksums are computed from META_COLUMNS with the same
+# formula both engines use (md5 over table_id:dataset_id:sorted column
+# descriptors, mirroring incremental_processor.py:79-100; the reference
+# also hashes the derived PK/FK flags — deterministic functions of the
+# descriptors, so the engine hashes only (name, data_type, mode),
+# documented divergence). 'nation' gets a deliberately stale checksum,
+# 'orders'/'lineitem' are absent (-> new), 'dropped_table' exists only in
+# state (ignored, as in the reference).
+# ---------------------------------------------------------------------------
+
+
+def _checksum(table_id: str, dataset_id: str) -> str:
+    import hashlib
+    descs = sorted(f"{n}:{t}:{m}" for tb, _o, n, t, m in META_COLUMNS
+                   if tb == table_id)
+    s = f"{table_id}:{dataset_id}:" + "|".join(descs)
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def proc_state_rows() -> list[tuple[str, str, str]]:
+    rows = []
+    for ds, tb, _ord, _ty, _nr, _nb in META_TABLES:
+        if tb in ("orders", "lineitem"):
+            continue  # absent from state -> 'new'
+        ck = _checksum(tb, ds)
+        if tb == "nation":
+            ck = "0" * 32  # stale -> 'changed'
+        ts = "2024-06-01 12:00:00" if tb in ("region", "nation") \
+            else "2024-06-03 08:30:00"
+        rows.append((tb, ck, ts))
+    rows.append(("dropped_table", "f" * 32, "2024-01-01 00:00:00"))
+    return rows
+
+
+PROC_STATE: list[tuple[str, str, str]] = proc_state_rows()
+
+# ---------------------------------------------------------------------------
 # emitters
 # ---------------------------------------------------------------------------
 
@@ -285,6 +323,13 @@ def naming_patterns_values(alias: str = "naming_patterns") -> str:
         {"confidence": "DOUBLE"})
 
 
+def proc_state_values(alias: str = "proc_state") -> str:
+    return _values(
+        PROC_STATE, alias,
+        ["table_id", "checksum", "last_processed"],
+        {"last_processed": "TIMESTAMP"})
+
+
 _TABLES_SCHEMA = T.StructType([
     T.StructField("dataset_id", T.StringType(), False),
     T.StructField("table_id", T.StringType(), False),
@@ -332,3 +377,16 @@ def custom_rules_df(spark: SparkSession) -> DataFrame:
 
 def naming_patterns_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(NAMING_PATTERNS, _PATTERNS_SCHEMA)
+
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("table_id", T.StringType(), False),
+    T.StructField("checksum", T.StringType(), False),
+    T.StructField("last_processed", T.StringType(), False),
+])
+
+
+def proc_state_df(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import functions as F
+    return (spark.createDataFrame(PROC_STATE, _STATE_SCHEMA)
+            .withColumn("last_processed", F.to_timestamp("last_processed")))

@@ -1,0 +1,262 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard
+(north-star extension; the scale path for 100 TB corpus dedup).
+
+Pipeline shape (all built-in Column functions, no UDFs):
+
+1. shingle: words -> distinct word-3-gram shingles per doc (narrow)
+2. minhash: k independent hashes = md5(seed:shingle), array_min per seed
+   (narrow; the k=8 signature is 8 columns, not a driver structure)
+3. band: r=2 rows/band -> 4 band keys = md5(mh_2b || mh_2b+1) (narrow)
+4. bucket join: candidates = docs sharing any band key — the ONLY
+   shuffle, keyed by (band, band_hash); hot buckets are the classic
+   skew case, handled by AQE skew-join splitting (session default)
+5. verify: exact shingle-Jaccard on candidates only (pair count is
+   ~|near-dups|, not |docs|²)
+
+Exact dedup is one groupBy on a normalized-content hash.
+SimHash gives a 16-bit locality-sensitive fingerprint (Hamming-style
+bucketing alternative), built from per-word md5 bit votes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.sources import load_table
+
+K_MINHASH = 8
+BANDS = 4  # r = K_MINHASH // BANDS = 2 rows per band
+JACCARD_THRESHOLD = 0.8
+
+_WORDS = "string_split(trim(text), ' ')"  # duck side splits on single
+# space; spark side uses the same delimiter for parity
+
+
+def _words():
+    return F.split(F.trim("text"), " ")
+
+
+def _shingles():
+    words = _words()
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1),
+            F.element_at(words, i + 2))))
+
+
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_WORDS}) - 1, 1)), "
+    f"i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2]))")
+
+
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] exact dedup: normalized-content hash groups with canonical
+    (min) doc id — the hash-groupBy pattern that scales to any corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    h = F.md5(norm.cast("binary"))
+    w = Window.partitionBy("content_md5")
+    return (d.select("doc_id", h.alias("content_md5"))
+            .withColumn("group_size",
+                        F.count("*").over(w).cast("long"))
+            .withColumn("canonical_doc_id", F.min("doc_id").over(w))
+            .withColumn("is_duplicate",
+                        F.col("doc_id") != F.col("canonical_doc_id")))
+
+
+EXACT_DUP_ORACLE = """
+SELECT doc_id, content_md5,
+       CAST(count(*) OVER (PARTITION BY content_md5) AS BIGINT)
+         AS group_size,
+       min(doc_id) OVER (PARTITION BY content_md5) AS canonical_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY content_md5)
+         AS is_duplicate
+FROM (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_md5
+      FROM documents)
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] k=8 MinHash signature per document (seeded md5 family)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles()
+
+    def _seeded(k):
+        # single-parameter closure (a default-arg lambda would be read
+        # as a two-arg (element, index) higher-order function)
+        return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
+
+    cols = [F.array_min(F.transform(sh, _seeded(k))).alias(f"mh_{k}")
+            for k in range(K_MINHASH)]
+    return d.select("doc_id", *cols)
+
+
+def _minhash_sql(k: int) -> str:
+    return (f"list_min(list_transform({_SHINGLES_SQL}, "
+            f"s -> md5('{k}:' || s)))")
+
+
+MINHASH_ORACLE = "SELECT doc_id, " + ", ".join(
+    f"{_minhash_sql(k)} AS mh_{k}" for k in range(K_MINHASH)
+) + " FROM documents"
+
+
+def _band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    r = K_MINHASH // BANDS
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat(*[F.col(f"mh_{b * r + i}")
+                                  for i in range(r)]).cast("binary"))
+                 .alias("band_hash"))
+        for b in range(BANDS)])
+    return (sig.select("doc_id", F.explode(bands).alias("bk"))
+            .select("doc_id", F.col("bk.band").alias("band"),
+                    F.col("bk.band_hash").alias("band_hash")))
+
+
+def _band_keys_sql() -> str:
+    r = K_MINHASH // BANDS
+    branches = []
+    for b in range(BANDS):
+        concat = " || ".join(f"mh_{b * r + i}" for i in range(r))
+        branches.append(
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS band_hash "
+            f"FROM sig")
+    return "\nUNION ALL\n".join(branches)
+
+
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] LSH bucket occupancy: buckets holding >1 doc are the
+    candidate-generating collisions."""
+    bk = _band_keys(spark, sf_dir)
+    return (bk.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .where(F.col("n_docs") > 1)
+            .select(F.col("band").cast("int").alias("band"),
+                    "band_hash", "n_docs", "min_doc_id"))
+
+
+LSH_BUCKETS_ORACLE = f"""
+WITH sig AS ({MINHASH_ORACLE}),
+bk AS ({_band_keys_sql()})
+SELECT CAST(band AS INTEGER) AS band, band_hash,
+       count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM bk GROUP BY band, band_hash HAVING count(*) > 1
+"""
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] MinHash-LSH near-duplicate pairs, verified with exact
+    shingle-Jaccard >= 0.8. The bucket join generates candidates; the
+    verify join runs only over candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    bk = _band_keys(spark, sf_dir)
+    a = bk.alias("a")
+    b = bk.alias("b")
+    cands = (a.join(b, ["band", "band_hash"])
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (cands
+             .join(sh.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("s", "sa"), "doc_a")
+             .join(sh.withColumnRenamed("doc_id", "doc_b")
+                   .withColumnRenamed("s", "sb"),
+                   on=["doc_b"])
+             .where(F.col("sa") == F.col("sb"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n", "na"), "doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n", "nb"), "doc_b")
+           .withColumn("jaccard",
+                       F.round(F.col("inter")
+                               / (F.col("na") + F.col("nb")
+                                  - F.col("inter")), 6))
+           .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+           .select("doc_a", "doc_b", "jaccard"))
+    return out
+
+
+NEAR_DUP_ORACLE = f"""
+WITH sig AS ({MINHASH_ORACLE}),
+bk AS ({_band_keys_sql()}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] 16-bit SimHash per document: per-word md5 bits vote ±1, the
+    sign vector packs into an int. Hamming-close docs bucket together
+    when split into 4-bit chunks (done by consumers)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _words()
+    wh = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 4),
+                         16, 10).cast("long"))
+
+    def _bit_vote(b):
+        # strict two-parameter merge lambda for F.aggregate
+        return lambda acc, h: acc + F.when(
+            F.floor(h / (2 ** b)) % 2 == 1, 1).otherwise(-1)
+
+    bits = []
+    for b in range(16):
+        vote = F.aggregate(wh, F.lit(0), _bit_vote(b))
+        bits.append((F.when(vote > 0, 2 ** b).otherwise(0)).cast("long"))
+    sh = bits[0]
+    for x in bits[1:]:
+        sh = sh + x
+    return d.select("doc_id", sh.alias("simhash16"))
+
+
+def _simhash_sql() -> str:
+    wh = (f"list_transform({_WORDS}, "
+          f"w -> CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT))")
+    terms = []
+    for b in range(16):
+        vote = (f"list_sum(list_transform({wh}, "
+                f"h -> CASE WHEN floor(h / {2 ** b}) % 2 = 1 "
+                f"THEN 1 ELSE -1 END))")
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+SIMHASH_ORACLE = f"""
+SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash16
+FROM documents
+"""

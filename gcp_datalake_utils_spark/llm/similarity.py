@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Embeddings are ``array<float>`` columns; all math runs JVM-side via
+``zip_with``/``aggregate`` fold expressions (cast to double before
+multiply — both engines then agree to ~1e-15, far inside the round-6
+comparison window).
+
+- brute-force cosine top-k: one narrow projection + global top-k. At
+  100 TB the projection is embarrassingly parallel and top-k is a
+  TakeOrdered (no full sort, no shuffle of the corpus).
+- IVF-style blocked search: ``label`` is the coarse-quantizer cell
+  (centroid assignment); restricting the scan to the query's cell is
+  the classic IVF nprobe=1 trade — the query demonstrates partition
+  pruning when the table is written partitioned by label.
+- pairwise label-blocked join: candidate pairs only within a cell,
+  never the full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.sources import load_table
+
+TOP_K = 10
+QUERY_VEC_ID = 0
+
+_DOT_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+_NORM_SQL = ("sqrt(list_sum(list_transform({a}, "
+             "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        * x.cast("double")))
+
+
+def _with_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("embedding").alias("q_embedding"),
+                 F.col("label").alias("q_label")))
+    return e.crossJoin(F.broadcast(q))
+
+
+def _cosine_col():
+    return F.round(
+        _dot(F.col("embedding"), F.col("q_embedding"))
+        / (_norm(F.col("embedding")) * _norm(F.col("q_embedding"))), 6)
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] brute-force cosine top-k against the query vector (ranking on
+    the rounded score + vec_id tie-break keeps both engines aligned)."""
+    scored = (_with_query(spark, sf_dir)
+              .where(F.col("vec_id") != QUERY_VEC_ID)
+              .select("vec_id", "label", _cosine_col().alias("cosine")))
+    w = Window.orderBy(F.desc("cosine"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("vec_id", "label", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def _cosine_sql() -> str:
+    dot = _DOT_SQL.format(a="e.embedding", b="q.embedding")
+    na = _NORM_SQL.format(a="e.embedding")
+    nb = _NORM_SQL.format(a="q.embedding")
+    return f"round(({dot}) / (({na}) * ({nb})), 6)"
+
+
+COSINE_TOPK_ORACLE = f"""
+WITH q AS (SELECT embedding, label AS q_label FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id, e.label, {_cosine_sql()} AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] IVF-style search: scan only the query's coarse cell (label).
+    With the corpus written partitioned by label this is partition
+    pruning — the scan reads 1/|cells| of the data."""
+    scored = (_with_query(spark, sf_dir)
+              .where((F.col("vec_id") != QUERY_VEC_ID)
+                     & (F.col("label") == F.col("q_label")))
+              .select("vec_id", "label", _cosine_col().alias("cosine")))
+    w = Window.orderBy(F.desc("cosine"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("vec_id", "label", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+IVF_TOPK_ORACLE = f"""
+WITH q AS (SELECT embedding, label AS q_label FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id, e.label, {_cosine_sql()} AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label = q.q_label
+)
+SELECT vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] embedding-cosine near-dup pairs, blocked by label (IVF cell):
+    pairs within a cell with cosine >= 0.95. The label equi-join keys
+    the shuffle; no cross join ever materializes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"), "label")
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"), "label")
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6)
+    return (a.join(b, "label")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine", cos)
+            .where(F.col("cosine") >= 0.95)
+            .select("vec_a", "vec_b", "label", "cosine"))
+
+
+EMBEDDING_NEAR_DUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       {{cos}} AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {{cos}} >= 0.95
+""".format(cos=(
+    "round((" + _DOT_SQL.format(a="a.embedding", b="b.embedding") + ") / (("
+    + _NORM_SQL.format(a="a.embedding") + ") * ("
+    + _NORM_SQL.format(a="b.embedding") + ")), 6)"))

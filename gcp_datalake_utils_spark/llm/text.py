@@ -1,0 +1,148 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension, SURVEY.md §7.2 step 8).
+
+All hot-path expressions are built-in Column functions (split / filter /
+transform / regexp) — JVM-side, whole-stage-codegen, no Python UDFs — so
+they scale linearly over a 100 TB documents table: every operator is a
+narrow per-row projection or a single partial-aggregated groupBy.
+
+Operators: token counting, quality scoring (length/punct/stopword
+ratios), n-gram-free language ID (stopword-marker voting), document
+fingerprinting (normalized-text hash + min-shingle hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.sources import load_table
+
+# deterministic marker lists per language: voting vocabulary for the
+# heuristic language-ID (argmax of marker hits, ties by language code)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "de", "et", "que"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it"]
+
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _words_col():
+    return F.split(F.trim("text"), r"\s+")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] token counting + quality scoring per document."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _words_col()
+    n_tokens = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+    return d.select(
+        "doc_id", "lang", "n_chars",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(F.col("n_chars") / n_tokens, 6).alias("avg_token_len"),
+        F.round(punct / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        ((F.col("n_chars") >= 100) & (n_tokens >= 20)
+         & ((stop_hits / n_tokens) >= 0.02)).alias("quality_pass"))
+
+
+TOKEN_STATS_ORACLE = f"""
+SELECT doc_id, lang, n_chars,
+       CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+       round(n_chars / CAST(len({_WORDS}) AS DOUBLE), 6)
+         AS avg_token_len,
+       round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+             / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+       round(len(list_filter({_WORDS},
+             w -> w IN ({', '.join(repr(w) for w in STOPWORDS)})))
+             / CAST(len({_WORDS}) AS DOUBLE), 6) AS stopword_ratio,
+       (n_chars >= 100 AND len({_WORDS}) >= 20
+        AND len(list_filter({_WORDS},
+            w -> w IN ({', '.join(repr(w) for w in STOPWORDS)})))
+            / CAST(len({_WORDS}) AS DOUBLE) >= 0.02) AS quality_pass
+FROM documents
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] heuristic language ID: per-language marker-hit votes, argmax
+    with deterministic (hits DESC, lang ASC) tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _words_col()
+
+    def _marker_filter(ms):
+        # single-parameter closure: a default-arg lambda would be read
+        # by Spark as a two-arg (element, index) higher-order function
+        return lambda w: w.isin(ms)
+
+    votes = F.array(*[
+        F.struct(
+            (-F.size(F.filter(words, _marker_filter(ms))))
+            .alias("neg_hits"),
+            F.lit(lang).alias("lang"))
+        for lang, ms in sorted(LANG_MARKERS.items())])
+    best = F.array_min(votes)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best["lang"].alias("predicted_lang"),
+        (-best["neg_hits"]).cast("long").alias("marker_hits"))
+
+
+def _lang_votes_sql() -> str:
+    parts = []
+    for lang, ms in sorted(LANG_MARKERS.items()):
+        inlist = ", ".join(repr(w) for w in ms)
+        parts.append(
+            f"{{'neg_hits': -len(list_filter({_WORDS}, "
+            f"w -> w IN ({inlist}))), 'lang': '{lang}'}}")
+    return "[" + ", ".join(parts) + "]"
+
+
+LANGUAGE_ID_ORACLE = f"""
+SELECT doc_id, lang AS labeled_lang,
+       list_min({_lang_votes_sql()}).lang AS predicted_lang,
+       CAST(-list_min({_lang_votes_sql()}).neg_hits AS BIGINT)
+         AS marker_hits
+FROM documents
+"""
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] document fingerprinting: md5 of whitespace-normalized lowered
+    text (exact-dup key) + min word-3-gram shingle hash (near-dup key,
+    the k=1 MinHash)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    words = _words_col()
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1),
+            F.element_at(words, i + 2)))
+    min_shingle = F.array_min(F.transform(shingles, F.md5))
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("content_md5"),
+        min_shingle.alias("min_shingle_hash"))
+
+
+FINGERPRINTS_ORACLE = f"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         AS content_md5,
+       list_min(list_transform(
+         list_transform(range(1, greatest(len({_WORDS}) - 1, 1)),
+           i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' '
+                || {_WORDS}[i+2]),
+         s -> md5(s))) AS min_shingle_hash
+FROM documents
+"""

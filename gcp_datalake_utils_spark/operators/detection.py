@@ -484,21 +484,37 @@ def validate_relationships(rels: DataFrame, cls: DataFrame) -> DataFrame:
         .select(*REL_COLS))
 
 
+_DETECT_CACHE: dict[tuple[int, bool], DataFrame] = {}
+
+
 def detect_all(spark: SparkSession,
                cls: DataFrame | None = None,
                filtered: bool = True) -> DataFrame:
     """Full standard pipeline (relationship_detector.py:39-86 + main.py
     validation): five strategies -> union -> conflict resolution ->
-    top-N filter -> schema validation."""
-    cls = cls if cls is not None else classified_columns(spark)
-    cls = cls.cache()
-    rels = (detect_foreign_keys(spark, cls)
-            .unionByName(detect_naming_conventions(spark, cls))
-            .unionByName(detect_enhanced_pk_fk(spark, cls))
-            .unionByName(detect_data_type_matches(spark, cls))
-            .unionByName(apply_custom_rules(spark, cls)))
+    top-N filter -> schema validation.
+
+    The default-catalog result is eagerly checkpointed and memoized per
+    session: the relationships table is the shared input of the graph /
+    quality / formatter layers, and the catalog is immutable within a
+    session — consumers get a materialized metadata-sized DataFrame
+    instead of re-deriving the five-strategy plan."""
+    memo_key = (id(spark), filtered) if cls is None else None
+    if memo_key is not None and memo_key in _DETECT_CACHE:
+        return _DETECT_CACHE[memo_key]
+    c = cls if cls is not None else classified_columns(spark)
+    c = c.cache()
+    rels = (detect_foreign_keys(spark, c)
+            .unionByName(detect_naming_conventions(spark, c))
+            .unionByName(detect_enhanced_pk_fk(spark, c))
+            .unionByName(detect_data_type_matches(spark, c))
+            .unionByName(apply_custom_rules(spark, c)))
     resolved = resolve_conflicts(rels)
     out = filter_relationships(resolved) if filtered \
         else resolved.select(*REL_COLS)
-    return validate_relationships(out, cls) \
+    out = validate_relationships(out, c) \
         .withColumn("confidence", F.round("confidence", 6))
+    if memo_key is not None:
+        out = out.localCheckpoint()
+        _DETECT_CACHE[memo_key] = out
+    return out

@@ -1,0 +1,113 @@
+"""Graph derivation over the relationships edge table (SURVEY.md §2.8).
+
+The reference builds an adjacency dict and runs a (buggy) BFS in driver
+Python (``erd_generator.py:288-344`` in /root/reference/bigquery-to-erd).
+Here the graph IS a DataFrame of edges; roots fall out of a left-anti
+join and BFS levels are a bounded loop of joins — level-synchronous, each
+iteration one broadcast join over frontier × edges, intermediate results
+cached so lineage stays flat.
+
+Reference bug fixed deliberately (SURVEY.md §7.5): ``_topological_sort``
+seeds its table map with roots only, so non-root neighbors are never
+placed. The engine computes min-distance-from-any-root for every
+reachable table; the oracle encodes the fixed semantics with a recursive
+CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.catalog import fixtures as fx
+from gcp_datalake_utils_spark.operators import detection_oracle as do
+from gcp_datalake_utils_spark.operators.detection import detect_all
+
+MAX_BFS_LEVELS = 10  # the reference caps layout iterations at 10
+
+
+def edges(spark: SparkSession,
+          rels: DataFrame | None = None) -> DataFrame:
+    """G1: distinct (source_table, target_table) edge list from the
+    detection pipeline output (``_build_dependency_graph``)."""
+    rels = rels if rels is not None else detect_all(spark)
+    return (rels.select(F.col("source_table").alias("src"),
+                        F.col("target_table").alias("dst"))
+            .distinct())
+
+
+def roots(spark: SparkSession,
+          rels: DataFrame | None = None) -> DataFrame:
+    """[Q] G2: tables with no incoming relationship
+    (``erd_generator.py:144-149``) — left-anti join against edge dst."""
+    e = edges(spark, rels)
+    tabs = fx.meta_tables_df(spark).select("table_id")
+    return tabs.join(e.select(F.col("dst").alias("table_id")).distinct(),
+                     "table_id", "left_anti")
+
+
+def bfs_levels(spark: SparkSession,
+               rels: DataFrame | None = None,
+               max_levels: int = MAX_BFS_LEVELS) -> DataFrame:
+    """[Q] G3 (fixed semantics): min BFS level from any root, bounded.
+
+    Level-synchronous DataFrame BFS. Iterative DataFrame loops grow
+    lineage superlinearly if left unchecked (SURVEY.md §7.4.7), so every
+    level is eagerly ``localCheckpoint``-ed: each iteration is then one
+    small independent job over the (broadcast-sized) edge list instead of
+    a re-derivation of the whole detection pipeline."""
+    rels = rels if rels is not None else detect_all(spark)
+    rels = rels.localCheckpoint()
+    e = edges(spark, rels).localCheckpoint()
+    frontier = (roots(spark, rels)
+                .withColumn("level", F.lit(0)).localCheckpoint())
+    visited = frontier
+    for _ in range(max_levels):
+        nxt = (frontier.join(e, frontier["table_id"] == e["src"])
+               .select(F.col("dst").alias("table_id"),
+                       (F.col("level") + 1).alias("level"))
+               .distinct()
+               .join(visited.select("table_id"), "table_id", "left_anti")
+               .groupBy("table_id")
+               .agg(F.min("level").alias("level"))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select("table_id", F.col("level").cast("int")
+                          .alias("level"))
+
+
+def roots_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roots(spark)
+
+
+def roots_oracle() -> str:
+    return do._preamble() + """
+SELECT table_id FROM tabs
+WHERE table_id NOT IN (SELECT DISTINCT target_table FROM validated)
+"""
+
+
+def bfs_levels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs_levels(spark)
+
+
+def bfs_levels_oracle() -> str:
+    preamble = do._preamble().replace("\nWITH cls AS",
+                                      "\nWITH RECURSIVE cls AS", 1)
+    return preamble + f"""
+, edges AS (SELECT DISTINCT source_table AS src, target_table AS dst
+            FROM validated),
+bfs AS (
+  SELECT table_id, 0 AS level FROM tabs
+  WHERE table_id NOT IN (SELECT dst FROM edges)
+  UNION ALL
+  SELECT e.dst AS table_id, b.level + 1 AS level
+  FROM bfs b JOIN edges e ON e.src = b.table_id
+  WHERE b.level < {MAX_BFS_LEVELS}
+)
+SELECT table_id, CAST(min(level) AS INTEGER) AS level
+FROM bfs GROUP BY table_id
+"""

@@ -1,0 +1,346 @@
+"""Payload-table analytics operators (SURVEY.md §2.4-2.7).
+
+Each function pairs a Spark DataFrame implementation with a DuckDB oracle
+(``*_oracle``). These are the generic relational operators the reference
+exercises only on metadata, here driven over the TPC-H-ish payload tables
+— and they double as the bench headliners at sf0.1.
+
+Scale notes per operator are inline; the common themes:
+- aggregations run partial (map-side combine) before the shuffle;
+- small dimensions broadcast (nation/region always; customer until it
+  outgrows the threshold, then AQE picks shuffle-hash);
+- every top-k carries a total-order tie-break (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.sources import load_events, load_table
+
+
+# --- TPC-H Q1-style pricing summary (A-family flagship aggregation) ----
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] A1/A8/F9: grouped aggregate battery over lineitem. One
+    shuffle on the tiny (returnflag, linestatus) key space; partial
+    aggregation does nearly all the work map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 6)
+            .alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))
+                          * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order")))
+
+
+PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+         AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- multi-way join + agg (J-family over payload) ----------------------
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] J1-analog on data: lineitem⋈orders⋈customer⋈nation⋈region.
+    nation/region broadcast always; customer broadcasts at test scale and
+    AQE switches to shuffle-hash when it outgrows the threshold. The big
+    lineitem⋈orders join shuffles on orderkey — co-partitioned if both
+    are bucketed by orderkey at write time (the 100 TB layout)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 6)
+             .alias("revenue"),
+             F.count("*").alias("n_items"),
+             F.countDistinct("o_orderkey").alias("n_orders")))
+
+
+REVENUE_BY_NATION_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- top-N per group (W1-analog over payload) --------------------------
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] W1/W2/W5: top-3 orders by totalprice per customer with a
+    total-order tie-break. Window shuffles once on custkey; no global
+    sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey")
+    return (o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 6).alias("o_totalprice"),
+                    F.col("rn").cast("int").alias("rn")))
+
+
+TOP_ORDERS_ORACLE = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice,
+       CAST(rn AS INTEGER) AS rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+# --- frequency distribution / distinct cardinalities (A1/A2) -----------
+
+def frequency_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] A1: per-value counts with ratios (the J7 building block)."""
+    c = load_table(spark, sf_dir, "customer")
+    total = c.count()
+    return (c.groupBy(F.col("c_mktsegment").alias("value"))
+            .agg(F.count("*").alias("freq"))
+            .withColumn("ratio", F.round(F.col("freq") / F.lit(total), 6)))
+
+
+FREQUENCY_ORACLE = """
+SELECT c_mktsegment AS value, count(*) AS freq,
+       round(count(*) / CAST((SELECT count(*) FROM customer) AS DOUBLE), 6)
+         AS ratio
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def distinct_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] A2/U3: exact + approximate distinct counts side by side (the
+    engine's scale path is approx_count_distinct; exactness is asserted
+    only for the exact column)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.agg(
+        F.lit("orders.o_custkey").alias("column_name"),
+        F.countDistinct("o_custkey").alias("exact_distinct"))
+    b = li.agg(
+        F.lit("lineitem.l_partkey").alias("column_name"),
+        F.countDistinct("l_partkey").alias("exact_distinct"))
+    c = li.agg(
+        F.lit("lineitem.l_orderkey").alias("column_name"),
+        F.countDistinct("l_orderkey").alias("exact_distinct"))
+    return a.unionByName(b).unionByName(c)
+
+
+DISTINCT_ORACLE = """
+SELECT 'orders.o_custkey' AS column_name,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+FROM orders
+UNION ALL
+SELECT 'lineitem.l_partkey', CAST(count(DISTINCT l_partkey) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_orderkey', CAST(count(DISTINCT l_orderkey) AS BIGINT)
+FROM lineitem
+"""
+
+
+# --- set operations (U2-U4) -------------------------------------------
+
+def orphan_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] U4/J6: distinct event users with no matching supplier key
+    (left_anti = the reference's set-difference orphan test; supplier is
+    deliberately small so the result is non-trivial)."""
+    e = load_events(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    return (e.select("user_id").distinct()
+            .join(s.select(F.col("s_suppkey").alias("user_id")),
+                  "user_id", "left_anti"))
+
+
+ORPHAN_USERS_ORACLE = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)
+"""
+
+
+def common_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] U2: intersection of customer keys and order custkeys."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (c.select(F.col("c_custkey").alias("key")).distinct()
+            .intersect(o.select(F.col("o_custkey").alias("key")).distinct()))
+
+
+COMMON_KEYS_ORACLE = """
+SELECT c_custkey AS key FROM customer
+INTERSECT
+SELECT o_custkey FROM orders
+"""
+
+
+# --- scalar function battery (F1-F13) ----------------------------------
+
+def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] F1-F9/F13: string/regex/hash/math scalars over part — every
+    scalar class the reference uses, in one whole-stage-codegen
+    projection."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lower_name"),
+        F.upper("p_brand").alias("upper_brand"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_type", "^(\\w+)", 1).alias("type_first_word"),
+        F.regexp_replace(F.lower("p_name"), "[aeiou]", "")
+        .alias("name_novowels"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+        F.translate(F.lower("p_brand"), "-# ", "___")
+        .alias("sanitized_brand"),
+        F.round(F.sqrt(F.abs("p_retailprice")), 6).alias("price_sqrt"),
+        F.ceil(F.col("p_retailprice") / 100.0).cast("long")
+        .alias("price_bucket"),
+        F.least(F.col("p_size"), F.lit(25)).cast("int").alias("size_capped"),
+        F.greatest(F.col("p_size"), F.lit(5)).cast("int")
+        .alias("size_floored"),
+        F.when(F.col("p_retailprice") >= 1500.0, "premium")
+        .when(F.col("p_retailprice") >= 1000.0, "standard")
+        .otherwise("budget").alias("price_tier"))
+
+
+SCALAR_BATTERY_ORACLE = """
+SELECT p_partkey,
+       lower(p_name) AS lower_name,
+       upper(p_brand) AS upper_brand,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_first_word,
+       regexp_replace(lower(p_name), '[aeiou]', '', 'g') AS name_novowels,
+       concat_ws(':', p_brand, p_type) AS brand_type,
+       md5(p_name) AS name_md5,
+       translate(lower(p_brand), '-# ', '___') AS sanitized_brand,
+       round(sqrt(abs(p_retailprice)), 6) AS price_sqrt,
+       CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS price_bucket,
+       CAST(least(p_size, 25) AS INTEGER) AS size_capped,
+       CAST(greatest(p_size, 5) AS INTEGER) AS size_floored,
+       CASE WHEN p_retailprice >= 1500.0 THEN 'premium'
+            WHEN p_retailprice >= 1000.0 THEN 'standard'
+            ELSE 'budget' END AS price_tier
+FROM part
+"""
+
+
+# --- timestamp battery + event-time windows (F7, S9/I5) ----------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] I5-analog: tumbling 1-hour event-time windows as a batch
+    group-by (the streaming surface reuses the same expression via
+    ``streaming.windows``)."""
+    e = load_events(spark, sf_dir)
+    return (e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("hour_start"),
+        "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.round(F.sum("value"), 6).alias("total_value")))
+
+
+EVENTS_HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def audit_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] S9/U3: the restore script's ±1-day audit-log discovery
+    (``restore_dataset.sh:94-135``) over events: who acted in the window
+    around a reference instant, per action type."""
+    e = load_events(spark, sf_dir)
+    t0 = "2024-01-15 00:00:00"
+    return (e.where((F.col("ts") >= F.to_timestamp(
+        F.lit(t0)) - F.expr("INTERVAL 1 DAY"))
+        & (F.col("ts") <= F.to_timestamp(F.lit(t0))
+           + F.expr("INTERVAL 1 DAY")))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("distinct_users"),
+             F.count("*").alias("n_events")))
+
+
+AUDIT_WINDOW_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+       count(*) AS n_events
+FROM events
+WHERE CAST(ts AS TIMESTAMP)
+      BETWEEN TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 1 DAY
+          AND TIMESTAMP '2024-01-15 00:00:00' + INTERVAL 1 DAY
+GROUP BY event_type
+"""
+
+
+def timestamp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] F7: parse/format/extract/arith on order dates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30),
+                      "yyyy-MM-dd").alias("due_date"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("epoch_s"))
+
+
+TIMESTAMP_BATTERY_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(day(o_orderdate) AS BIGINT) AS order_day,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY,
+                '%Y-%m-%d') AS due_date,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+"""

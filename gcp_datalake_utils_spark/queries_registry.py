@@ -13,8 +13,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from gcp_datalake_utils_spark.operators import classify, detection
+from gcp_datalake_utils_spark.operators import (
+    classify,
+    datatest,
+    detection,
+    graph,
+    payload,
+    state,
+)
 from gcp_datalake_utils_spark.operators import detection_oracle as do
+from gcp_datalake_utils_spark.formatters import diagrams
+from gcp_datalake_utils_spark.formatters import oracles as fmt_oracles
+from gcp_datalake_utils_spark.llm import dedup, multimodal, similarity, text
+from gcp_datalake_utils_spark.streaming import windows as stream_windows
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -48,9 +59,73 @@ register("detect_data_type_match",
 register("detect_custom_rules",
          lambda s, d: detection.apply_custom_rules(s),
          do.strategy_oracle("j5"))
+register("data_test_report", datatest.data_test_report,
+         datatest.data_test_oracle())
+register("adaptive_sample_size", datatest.adaptive_sample_sizes,
+         datatest.adaptive_sample_oracle())
 register("detect_pipeline",
          lambda s, d: detection.detect_all(s),
          do.pipeline_oracle())
+register("pricing_summary", payload.pricing_summary,
+         payload.PRICING_SUMMARY_ORACLE)
+register("revenue_by_nation", payload.revenue_by_nation,
+         payload.REVENUE_BY_NATION_ORACLE)
+register("top_orders_per_customer", payload.top_orders_per_customer,
+         payload.TOP_ORDERS_ORACLE)
+register("frequency_distribution", payload.frequency_distribution,
+         payload.FREQUENCY_ORACLE)
+register("distinct_cardinalities", payload.distinct_cardinalities,
+         payload.DISTINCT_ORACLE)
+register("orphan_users", payload.orphan_users,
+         payload.ORPHAN_USERS_ORACLE)
+register("common_keys", payload.common_keys,
+         payload.COMMON_KEYS_ORACLE)
+register("scalar_battery", payload.scalar_battery,
+         payload.SCALAR_BATTERY_ORACLE)
+register("events_hourly", payload.events_hourly,
+         payload.EVENTS_HOURLY_ORACLE)
+register("audit_window_scan", payload.audit_window_scan,
+         payload.AUDIT_WINDOW_ORACLE)
+register("timestamp_battery", payload.timestamp_battery,
+         payload.TIMESTAMP_BATTERY_ORACLE)
+register("graph_roots", graph.roots_query, graph.roots_oracle())
+register("graph_bfs_levels", graph.bfs_levels_query,
+         graph.bfs_levels_oracle())
+register("checksum_gate", state.checksum_gate,
+         state.checksum_gate_oracle())
+register("state_staleness", state.staleness, state.staleness_oracle())
+register("quality_report", state.quality_report,
+         state.quality_report_oracle())
+register("quality_by_method", state.quality_by_method,
+         state.quality_by_method_oracle())
+register("mermaid_erd_lines",
+         lambda s, d: diagrams.mermaid_lines(s),
+         fmt_oracles.mermaid_lines_oracle())
+register("plantuml_erd_lines",
+         lambda s, d: diagrams.plantuml_lines(s),
+         fmt_oracles.plantuml_lines_oracle())
+register("text_token_stats", text.token_stats, text.TOKEN_STATS_ORACLE)
+register("text_language_id", text.language_id, text.LANGUAGE_ID_ORACLE)
+register("text_fingerprints", text.fingerprints,
+         text.FINGERPRINTS_ORACLE)
+register("dedup_exact_groups", dedup.exact_dup_groups,
+         dedup.EXACT_DUP_ORACLE)
+register("dedup_minhash_signatures", dedup.minhash_signatures,
+         dedup.MINHASH_ORACLE)
+register("dedup_lsh_buckets", dedup.lsh_bucket_stats,
+         dedup.LSH_BUCKETS_ORACLE)
+register("dedup_near_pairs", dedup.near_dup_pairs, dedup.NEAR_DUP_ORACLE)
+register("dedup_simhash", dedup.simhash, dedup.SIMHASH_ORACLE)
+register("similarity_cosine_topk", similarity.cosine_topk,
+         similarity.COSINE_TOPK_ORACLE)
+register("similarity_ivf_topk", similarity.ivf_topk,
+         similarity.IVF_TOPK_ORACLE)
+register("similarity_embedding_near_dups", similarity.embedding_near_dups,
+         similarity.EMBEDDING_NEAR_DUP_ORACLE)
+register("multimodal_features", multimodal.media_features,
+         multimodal.MEDIA_FEATURES_ORACLE)
+register("user_sessions", stream_windows.user_sessions,
+         stream_windows.USER_SESSIONS_ORACLE)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

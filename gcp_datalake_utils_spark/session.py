@@ -36,6 +36,10 @@ def get_spark(app_name: str = "gcp-datalake-utils-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # the events table carries nanosecond timestamps, which the
+        # vectorized parquet reader rejects; read them as long (ns since
+        # epoch) and convert at the operator boundary (sources.event_ts)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

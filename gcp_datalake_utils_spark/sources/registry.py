@@ -29,6 +29,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a microsecond TimestampType column.
+
+    The raw file stores nanosecond timestamps (read as long via
+    ``nanosAsLong``); truncation to micros matches DuckDB's
+    TIMESTAMP_NS -> TIMESTAMP cast, so oracle comparisons agree."""
+    from pyspark.sql import functions as F
+    df = load_table(spark, sf_dir, "events")
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
 def register_tables(spark: SparkSession, sf_dir: str,
                     names: list[str] | None = None) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view so operators can be

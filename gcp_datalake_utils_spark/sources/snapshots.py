@@ -1,0 +1,97 @@
+"""Snapshot store: time-travel reads + guarded restore (SURVEY.md §2.1
+S7/S8/P11, §3.3).
+
+The reference restores BigQuery tables from time travel via ``bq cp
+table@EPOCH_MS`` with a ``FOR SYSTEM_TIME AS OF`` CTAS fallback
+(``bigquery-restore/restore_dataset.sh:143-186``). Without Delta in this
+environment, the engine implements the same semantics over a
+parquet-per-version layout:
+
+    <base>/<table>/v=<epoch_ms>/   (one parquet dir per snapshot)
+
+- ``write_snapshot``   -> versioned parquet write (the CTAS sink, S8)
+- ``read_as_of``       -> latest version <= timestamp (S7)
+- ``restore_table``    -> exists-guard + force semantics (P11) + summary
+  row per table (A11), mirroring the script's skip/cp/CTAS outcomes
+
+On Delta-capable clusters the same API maps 1:1 to ``timestampAsOf`` /
+``RESTORE TABLE``; versions here are explicit so behavior is
+deterministic and testable. Version listing touches only directory
+names — no data files are opened until the chosen version is read.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _version_dir(base: str, table: str, epoch_ms: int) -> str:
+    return os.path.join(base, table, f"v={epoch_ms}")
+
+
+def list_versions(base: str, table: str) -> list[int]:
+    tdir = os.path.join(base, table)
+    if not os.path.isdir(tdir):
+        return []
+    out = []
+    for name in os.listdir(tdir):
+        if name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, base: str, table: str,
+                   epoch_ms: int | None = None) -> int:
+    """S8: persist a new snapshot version; returns its epoch_ms."""
+    epoch_ms = int(time.time() * 1000) if epoch_ms is None else epoch_ms
+    df.write.mode("overwrite").parquet(_version_dir(base, table, epoch_ms))
+    return epoch_ms
+
+
+def read_as_of(spark: SparkSession, base: str, table: str,
+               epoch_ms: int) -> DataFrame:
+    """S7: read the latest snapshot at or before ``epoch_ms``
+    (the ``table@EPOCH_MS`` semantics)."""
+    versions = [v for v in list_versions(base, table) if v <= epoch_ms]
+    if not versions:
+        raise FileNotFoundError(
+            f"no snapshot of {table} at or before {epoch_ms}")
+    return spark.read.parquet(_version_dir(base, table, versions[-1]))
+
+
+def restore_table(spark: SparkSession, base: str, table: str,
+                  epoch_ms: int, target_base: str,
+                  force: bool = False) -> dict:
+    """P11+S7+S8: restore one table into ``target_base/<table>`` —
+    skipped if the target exists and not force (restore_dataset.sh:
+    147-156), else snapshot-read + overwrite write. Returns the
+    script-style outcome row."""
+    target = os.path.join(target_base, table)
+    if os.path.exists(target) and not force:
+        return {"table_id": table, "status": "skipped",
+                "reason": "target exists (use force=True)"}
+    try:
+        df = read_as_of(spark, base, table, epoch_ms)
+    except FileNotFoundError as e:
+        return {"table_id": table, "status": "failed", "reason": str(e)}
+    df.write.mode("overwrite").parquet(target)
+    return {"table_id": table, "status": "restored",
+            "reason": f"as_of={epoch_ms}"}
+
+
+def restore_dataset(spark: SparkSession, base: str, tables: list[str],
+                    epoch_ms: int, target_base: str,
+                    force: bool = False) -> DataFrame:
+    """§3.3 run loop + A11 summary: restore each discovered table and
+    return the per-table outcome DataFrame."""
+    rows = [restore_table(spark, base, t, epoch_ms, target_base, force)
+            for t in tables]
+    return spark.createDataFrame(
+        [(r["table_id"], r["status"], r["reason"]) for r in rows],
+        "table_id string, status string, reason string")

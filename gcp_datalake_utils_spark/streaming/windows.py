@@ -1,0 +1,128 @@
+"""Structured Streaming surface over event tables (SURVEY.md §2.9 ext).
+
+The reference has no streaming operators; its incremental machinery is
+batch change-detection. This module gives the engine the thin streaming
+surface the north star asks for: event-time tumbling windows with
+watermarks, streaming dedup, and session windows — each expression
+shared with a batch twin so the oracle can check semantics (streaming
+and batch use the same Catalyst expressions; only the source/sink
+differ).
+
+Run model: file-source streams over the parquet layout with
+``Trigger.AvailableNow`` drain-and-stop (test mode) or continuous
+micro-batches (production); watermarks bound state so a 100 TB/day
+stream holds only the open windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.sources import load_events, load_table
+
+SESSION_GAP = "15 minutes"
+_SESSION_GAP_SQL = "INTERVAL 15 MINUTE"
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a directory; expose the single
+    events.parquet file through a per-sf symlink dir under /tmp."""
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, "events.parquet")
+    d = os.path.join(
+        "/tmp", "spark_graft_streams",
+        hashlib.md5(src.encode()).hexdigest()[:12])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream with the batch schema; ts converted exactly as
+    the batch loader does."""
+    schema = load_table(spark, sf_dir, "events").schema
+    raw = (spark.readStream.schema(schema)
+           .parquet(_stream_dir(sf_dir)))
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def windowed_counts_stream(spark: SparkSession, sf_dir: str,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming tumbling-window aggregation with watermark-bounded
+    state; shares its expression with payload.events_hourly."""
+    e = _event_stream(spark, sf_dir)
+    return (e.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value")))
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup on event_id within the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — the streaming twin of the
+    corpus dedup operators."""
+    e = _event_stream(spark, sf_dir)
+    return (e.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain the stream to a memory sink (test harness): processes all
+    available input as micro-batches, then stops."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("append" if not stream_df.isStreaming
+                     else "complete" if _has_agg(stream_df) else "append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().logical().toString()
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] session windows per user (gap-based), batch-checked: Spark's
+    ``session_window`` vs a gaps-and-islands oracle. The same expression
+    runs streaming with ``withWatermark`` upstream."""
+    e = load_events(spark, sf_dir)
+    return (e.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("session_value"))
+            .select(
+                "user_id",
+                F.date_format("session_window.start",
+                              "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                "n_events", "session_value"))
+
+
+USER_SESSIONS_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id ORDER BY ts)
+                   > {_SESSION_GAP_SQL}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""

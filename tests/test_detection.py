@@ -1,0 +1,74 @@
+"""Detection-pipeline behavior (reference semantics, fixed tie-breaks)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_datalake_utils_spark.operators import detection
+
+
+@pytest.fixture(scope="module")
+def rels(spark):
+    return detection.detect_all(spark).collect()
+
+
+def test_classic_naming_pluralization(spark, rels):
+    # orders2.user_id -> users (via enhanced or custom naming pattern)
+    hits = [r for r in rels if r.source_table == "orders2"
+            and r.source_column == "user_id" and r.target_table == "users"]
+    assert hits, "user_id -> users relationship missing"
+
+
+def test_data_vault_hub_reference_quirk(spark):
+    # Reference quirk preserved: enhanced detection skips columns already
+    # flagged FK (relationship_detector.py:158-160), and *_hk columns are
+    # always FK-flagged by the shipped config — so hub references are
+    # carried by classification, not by the hub-name strategies (which
+    # only ever see non-FK columns).
+    out = detection.detect_enhanced_pk_fk(spark).collect()
+    hits = [r for r in out if r.source_column == "adam_hk"]
+    assert not hits
+    from gcp_datalake_utils_spark.operators.classify import (
+        classified_columns,
+    )
+    row = (classified_columns(spark)
+           .where("table_id = 'l_adam_misgeret' AND name = 'adam_hk'")
+           .collect())
+    assert row[0]["is_fk"]
+
+
+def test_custom_rules_survive_pipeline(rels):
+    hits = [r for r in rels if r.source_table == "lineitem"
+            and r.target_table == "orders"]
+    assert hits and hits[0].confidence >= 0.9
+
+
+def test_ghost_rule_dropped(rels):
+    assert not [r for r in rels if r.source_table == "ghost_table"]
+
+
+def test_max_three_per_source_table(rels):
+    from collections import Counter
+    counts = Counter(r.source_table for r in rels)
+    assert max(counts.values()) <= detection.MAX_RELS_PER_TABLE
+
+
+def test_pair_dedup(rels):
+    pairs = [(r.source_table, r.target_table) for r in rels]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_min_confidence_floor(rels):
+    assert all(r.confidence >= detection.MIN_CONFIDENCE for r in rels)
+
+
+def test_conflict_resolution_keeps_max_confidence(spark):
+    resolved = detection.resolve_conflicts(
+        detection.detect_foreign_keys(spark)
+        .unionByName(detection.apply_custom_rules(spark))).collect()
+    keyed = {}
+    for r in resolved:
+        k = (r.source_table, r.source_column, r.target_table,
+             r.target_column)
+        assert k not in keyed, "duplicate endpoint key after resolution"
+        keyed[k] = r

@@ -1,0 +1,77 @@
+"""LLM-pipeline extension operators: dedup, similarity, text,
+multimodal, streaming."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_datalake_utils_spark.llm import dedup, multimodal, similarity, text
+
+
+def test_minhash_signature_shape(spark, sf_dir):
+    row = dedup.minhash_signatures(spark, sf_dir).limit(1).collect()[0]
+    hashes = [row[f"mh_{k}"] for k in range(dedup.K_MINHASH)]
+    assert all(h and len(h) == 32 for h in hashes)
+    assert len(set(hashes)) > 1, "seeds must differ"
+
+
+def test_near_dup_pairs_are_verified(spark, sf_dir):
+    pairs = dedup.near_dup_pairs(spark, sf_dir).collect()
+    assert all(p.jaccard >= dedup.JACCARD_THRESHOLD for p in pairs)
+    assert all(p.doc_a < p.doc_b for p in pairs)
+
+
+def test_simhash_close_for_near_dups(spark, sf_dir):
+    pairs = dedup.near_dup_pairs(spark, sf_dir).collect()
+    if not pairs:
+        pytest.skip("no near-dups at this sf")
+    sh = {r.doc_id: r.simhash16
+          for r in dedup.simhash(spark, sf_dir).collect()}
+    a, b = pairs[0].doc_a, pairs[0].doc_b
+    ham = bin(sh[a] ^ sh[b]).count("1")
+    assert ham <= 6, f"near-dup pair hamming {ham} too far"
+
+
+def test_cosine_topk_ordering(spark, sf_dir):
+    rows = similarity.cosine_topk(spark, sf_dir).collect()
+    assert len(rows) == similarity.TOP_K
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_ivf_subset_of_bruteforce_scores(spark, sf_dir):
+    brute = {r.vec_id: r.cosine
+             for r in similarity.cosine_topk(spark, sf_dir).collect()}
+    ivf = similarity.ivf_topk(spark, sf_dir).collect()
+    for r in ivf:
+        if r.vec_id in brute:
+            assert abs(brute[r.vec_id] - r.cosine) < 1e-9
+
+
+def test_token_stats_sane(spark, sf_dir):
+    rows = text.token_stats(spark, sf_dir).collect()
+    assert all(r.n_tokens > 0 for r in rows)
+    assert all(0.0 <= r.stopword_ratio <= 1.0 for r in rows)
+
+
+def test_language_id_deterministic_tiebreak(spark, sf_dir):
+    rows = text.language_id(spark, sf_dir).collect()
+    assert all(r.predicted_lang in text.LANG_MARKERS for r in rows)
+
+
+def test_multimodal_features_roundtrip(spark, sf_dir):
+    feats = {r.asset_id: r
+             for r in multimodal.media_features(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    for doc_id, t in list(docs.items())[:10]:
+        f = feats[doc_id]
+        assert f.byte_len == len(t.encode())
+        assert f.first_byte == t.encode()[0]
+
+
+def test_decode_media_is_explicit_stub(spark, sf_dir):
+    assets = multimodal.binary_assets(spark, sf_dir)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(assets)

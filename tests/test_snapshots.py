@@ -1,0 +1,49 @@
+"""Time-travel snapshot store: S7/S8/P11/A11 semantics."""
+
+from __future__ import annotations
+
+from gcp_datalake_utils_spark.sources import snapshots as sn
+
+
+def test_write_read_as_of(spark, tmp_path):
+    base = str(tmp_path / "store")
+    df1 = spark.range(5)
+    df2 = spark.range(10)
+    sn.write_snapshot(df1, base, "t", epoch_ms=1000)
+    sn.write_snapshot(df2, base, "t", epoch_ms=2000)
+    assert sn.read_as_of(spark, base, "t", 1500).count() == 5
+    assert sn.read_as_of(spark, base, "t", 2000).count() == 10
+    assert sn.read_as_of(spark, base, "t", 99999).count() == 10
+
+
+def test_read_before_first_version_fails(spark, tmp_path):
+    base = str(tmp_path / "store")
+    sn.write_snapshot(spark.range(3), base, "t", epoch_ms=5000)
+    try:
+        sn.read_as_of(spark, base, "t", 100)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+
+
+def test_restore_guard_and_force(spark, tmp_path):
+    base = str(tmp_path / "store")
+    target = str(tmp_path / "restored")
+    sn.write_snapshot(spark.range(7), base, "t", epoch_ms=1000)
+    r1 = sn.restore_table(spark, base, "t", 1500, target)
+    assert r1["status"] == "restored"
+    assert spark.read.parquet(f"{target}/t").count() == 7
+    # second restore without force is guarded (P11)
+    r2 = sn.restore_table(spark, base, "t", 1500, target)
+    assert r2["status"] == "skipped"
+    r3 = sn.restore_table(spark, base, "t", 1500, target, force=True)
+    assert r3["status"] == "restored"
+
+
+def test_restore_dataset_summary(spark, tmp_path):
+    base = str(tmp_path / "store")
+    target = str(tmp_path / "restored")
+    sn.write_snapshot(spark.range(2), base, "a", epoch_ms=1000)
+    out = sn.restore_dataset(spark, base, ["a", "missing"], 1500, target)
+    statuses = {r["table_id"]: r["status"] for r in out.collect()}
+    assert statuses == {"a": "restored", "missing": "failed"}
