@@ -81,19 +81,35 @@ FROM (SELECT doc_id,
 """
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[Q] k=8 MinHash signature per document (seeded md5 family)."""
+def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) — one row per distinct word-3-gram shingle. The
+    single exploded pass all downstream dedup operators share.
+
+    The raw documents file is small on disk but fans out ~100× on
+    explode + hashing, so repartition by doc BEFORE the heavy md5 work —
+    otherwise a one-split parquet file serializes the whole pipeline on
+    a single core (at 100 TB the input has thousands of splits and the
+    repartition is a no-op cost-wise)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles()
+    n_part = max(int(d.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")) // 2, 8)
+    return (d.repartition(n_part, "doc_id")
+            .select("doc_id", F.explode(_shingles()).alias("s")))
 
-    def _seeded(k):
-        # single-parameter closure (a default-arg lambda would be read
-        # as a two-arg (element, index) higher-order function)
-        return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
 
-    cols = [F.array_min(F.transform(sh, _seeded(k))).alias(f"mh_{k}")
-            for k in range(K_MINHASH)]
-    return d.select("doc_id", *cols)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] k=8 MinHash signature per document (seeded md5 family).
+
+    Computed as ONE pass over the exploded shingles — 8 `min` aggregates
+    in a single partial-aggregated groupBy — rather than 8 array
+    traversals per row; docs with <3 words keep a row (null signature)
+    via the left join."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(spark, sf_dir)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s"))))
+            .alias(f"mh_{k}") for k in range(K_MINHASH)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return d.select("doc_id").join(sig, "doc_id", "left")
 
 
 def _minhash_sql(k: int) -> str:
@@ -156,8 +172,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] MinHash-LSH near-duplicate pairs, verified with exact
     shingle-Jaccard >= 0.8. The bucket join generates candidates; the
     verify join runs only over candidates."""
-    d = load_table(spark, sf_dir, "documents")
-    bk = _band_keys(spark, sf_dir)
+    bk = _band_keys(spark, sf_dir).localCheckpoint()
     a = bk.alias("a")
     b = bk.alias("b")
     cands = (a.join(b, ["band", "band_hash"])
@@ -165,7 +180,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
+    sh = shingle_rows(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (cands
              .join(sh.withColumnRenamed("doc_id", "doc_a")
