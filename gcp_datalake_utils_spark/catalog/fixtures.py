@@ -262,6 +262,28 @@ def proc_state_rows() -> list[tuple[str, str, str]]:
 PROC_STATE: list[tuple[str, str, str]] = proc_state_rows()
 
 # ---------------------------------------------------------------------------
+# relationship cache (I4/J9): entries keyed by the sorted table pair
+# (relationship_cache.py:30-34), with cached_at timestamps straddling the
+# 24h TTL relative to CACHE_AS_OF (two fresh, two expired, one for a
+# pair no detector produces).
+# ---------------------------------------------------------------------------
+
+CACHE_AS_OF = "2024-06-02 12:00:00"
+
+REL_CACHE: list[tuple[str, str, str, str, str, str, float, str]] = [
+    ("customer_orders", "orders", "o_custkey", "customer", "c_custkey",
+     "many_to_one", 0.95, "2024-06-02 01:00:00"),    # fresh
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey",
+     "many_to_one", 0.95, "2024-06-01 20:00:00"),    # fresh
+    ("nation_region", "nation", "n_regionkey", "region", "r_regionkey",
+     "many_to_one", 0.9, "2024-05-30 09:00:00"),     # expired
+    ("customer_nation", "customer", "c_nationkey", "nation",
+     "n_nationkey", "many_to_one", 0.9, "2024-05-01 00:00:00"),  # expired
+    ("aaa_zzz", "aaa", "x", "zzz", "y",
+     "many_to_one", 0.5, "2024-06-02 11:00:00"),     # fresh, unmatched
+]
+
+# ---------------------------------------------------------------------------
 # emitters
 # ---------------------------------------------------------------------------
 
@@ -330,6 +352,14 @@ def proc_state_values(alias: str = "proc_state") -> str:
         {"last_processed": "TIMESTAMP"})
 
 
+def rel_cache_values(alias: str = "rel_cache") -> str:
+    return _values(
+        REL_CACHE, alias,
+        ["pair_key", "source_table", "source_column", "target_table",
+         "target_column", "relationship_type", "confidence", "cached_at"],
+        {"confidence": "DOUBLE", "cached_at": "TIMESTAMP"})
+
+
 _TABLES_SCHEMA = T.StructType([
     T.StructField("dataset_id", T.StringType(), False),
     T.StructField("table_id", T.StringType(), False),
@@ -390,3 +420,21 @@ def proc_state_df(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
     return (spark.createDataFrame(PROC_STATE, _STATE_SCHEMA)
             .withColumn("last_processed", F.to_timestamp("last_processed")))
+
+
+_CACHE_SCHEMA = T.StructType([
+    T.StructField("pair_key", T.StringType(), False),
+    T.StructField("source_table", T.StringType(), False),
+    T.StructField("source_column", T.StringType(), False),
+    T.StructField("target_table", T.StringType(), False),
+    T.StructField("target_column", T.StringType(), False),
+    T.StructField("relationship_type", T.StringType(), False),
+    T.StructField("confidence", T.DoubleType(), False),
+    T.StructField("cached_at", T.StringType(), False),
+])
+
+
+def rel_cache_df(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import functions as F
+    return (spark.createDataFrame(REL_CACHE, _CACHE_SCHEMA)
+            .withColumn("cached_at", F.to_timestamp("cached_at")))

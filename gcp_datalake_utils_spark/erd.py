@@ -1,0 +1,95 @@
+"""Top-level ERD pipeline facade + CLI (the reference's ``main.py``
+lifecycle, SURVEY.md §3.1, Spark-first).
+
+One lazy chain replaces the reference's five materializing stages:
+catalog -> classification -> detection -> layout -> format -> sink,
+with a single driver-side collect at the (diagram-scale) sink.
+
+CLI:
+    python -m gcp_datalake_utils_spark.erd \
+        --format mermaid|plantuml|drawio \
+        --layout auto|grid|hierarchical|force \
+        --config path/to/relationship_patterns.json \
+        --output out.mmd
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+from gcp_datalake_utils_spark.formatters import (
+    drawio_erd,
+    mermaid_erd,
+    plantuml_erd,
+)
+from gcp_datalake_utils_spark.formatters.layout import (
+    choose_layout,
+    force_positions,
+    grid_positions,
+    hierarchical_positions,
+)
+from gcp_datalake_utils_spark.operators.classify import classified_columns
+from gcp_datalake_utils_spark.operators.detection import detect_all
+from gcp_datalake_utils_spark.rules.config import PatternConfig
+
+FORMATS = {"mermaid": (mermaid_erd, ".mmd"),
+           "plantuml": (plantuml_erd, ".puml"),
+           "drawio": (drawio_erd, ".drawio")}
+
+
+def generate_erd(spark: SparkSession,
+                 fmt: str = "mermaid",
+                 layout: str = "auto",
+                 config: PatternConfig | None = None) -> str:
+    """Run the full pipeline and return the diagram text."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; one of {list(FORMATS)}")
+    cls = classified_columns(spark, config=config).cache()
+    rels = detect_all(spark, cls=None if config is None else cls)
+    if layout == "auto":
+        n_tables = cls.select("table_id").distinct().count()
+        n_rels = rels.count()
+        layout = choose_layout(n_tables, n_rels)
+    # layouts inform position-aware sinks; text sinks (mermaid/plantuml)
+    # are order-based, so the layout is computed for its side effects on
+    # drawio and exposed for callers that want coordinates
+    if layout == "grid":
+        grid_positions(spark)
+    elif layout == "hierarchical":
+        hierarchical_positions(spark, rels)
+    elif layout == "force":
+        force_positions(spark, rels)
+    fn, _ext = FORMATS[fmt]
+    return fn(spark, cls, rels)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Generate an ERD diagram")
+    p.add_argument("--format", default="mermaid", choices=sorted(FORMATS))
+    p.add_argument("--layout", default="auto",
+                   choices=["auto", "grid", "hierarchical", "force"])
+    p.add_argument("--config", default=None,
+                   help="reference-format relationship_patterns.json")
+    p.add_argument("--output", default=None,
+                   help="output file (default: stdout)")
+    args = p.parse_args(argv)
+
+    from gcp_datalake_utils_spark.session import get_spark
+    spark = get_spark("erd-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = PatternConfig.from_json(args.config) if args.config else None
+    doc = generate_erd(spark, args.format, args.layout, cfg)
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(doc + "\n")
+        print(f"wrote {args.output} ({len(doc.splitlines())} lines)")
+    else:
+        print(doc)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

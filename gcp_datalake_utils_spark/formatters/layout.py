@@ -1,0 +1,120 @@
+"""Diagram layout algorithms (SURVEY.md §2.8 G3-G5).
+
+Layouts position diagram nodes — by definition diagram-scale (the
+reference caps runs at 1000 tables, ``models.py:112``), so the physics
+loop runs on collected rows; the LAYOUT SELECTION and the level/grid
+derivations stay DataFrame-side.
+
+``choose_layout`` mirrors the reference's AUTO rule
+(``erd_generator.py:74-81``): ≤5 tables -> grid; relationships > 2×
+tables -> force-directed; else hierarchical. The force loop reproduces
+``_force_directed_layout`` (:167-252): deterministic circle init,
+10 iterations of inverse-square repulsion (k=1000) + linear attraction
+(k=0.1) along edges, 0.1 step — but unlike the reference (which throws
+the positions away, SURVEY.md §7.5) the positions are RETURNED.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.catalog import fixtures as fx
+from gcp_datalake_utils_spark.operators.detection import detect_all
+from gcp_datalake_utils_spark.operators.graph import bfs_levels
+
+FORCE_ITERATIONS = 10
+REPULSION = 1000.0
+ATTRACTION = 0.1
+STEP = 0.1
+INIT_RADIUS = 200.0
+
+
+def choose_layout(n_tables: int, n_relationships: int) -> str:
+    if n_tables <= 5:
+        return "grid"
+    if n_relationships > 2 * n_tables:
+        return "force"
+    return "hierarchical"
+
+
+def grid_positions(spark: SparkSession,
+                   grid_cols: int = 4,
+                   cell_w: int = 260, cell_h: int = 300) -> DataFrame:
+    """G5: deterministic grid by table_ord (the reference's grid/
+    horizontal/vertical layouts reduce to index arithmetic)."""
+    t = fx.meta_tables_df(spark)
+    idx = F.col("table_ord") - 1
+    return t.select(
+        "table_id",
+        ((idx % grid_cols) * cell_w).cast("double").alias("x"),
+        (F.floor(idx / grid_cols) * cell_h).cast("double").alias("y"))
+
+
+def hierarchical_positions(spark: SparkSession,
+                           rels: DataFrame | None = None,
+                           level_h: int = 200,
+                           cell_w: int = 260) -> DataFrame:
+    """G3+G5: BFS level = row, position within level by table_id."""
+    from pyspark.sql import Window
+    levels = bfs_levels(spark, rels)
+    w = Window.partitionBy("level").orderBy("table_id")
+    return levels.select(
+        "table_id",
+        ((F.row_number().over(w) - 1) * cell_w).cast("double").alias("x"),
+        (F.col("level") * level_h).cast("double").alias("y"))
+
+
+def force_positions(spark: SparkSession,
+                    rels: DataFrame | None = None,
+                    iterations: int = FORCE_ITERATIONS) -> dict:
+    """G4: the reference's force simulation, deterministic (circle init
+    in table_ord order). Returns {table_id: (x, y)}."""
+    tables = [r["table_id"] for r in
+              fx.meta_tables_df(spark).orderBy("table_ord")
+              .select("table_id").collect()]
+    rels = rels if rels is not None else detect_all(spark)
+    edges = [(r["source_table"], r["target_table"])
+             for r in rels.select("source_table", "target_table")
+             .collect()]
+    n = len(tables)
+    pos = {}
+    for i, t in enumerate(tables):
+        angle = 2 * math.pi * i / n
+        pos[t] = (INIT_RADIUS * math.cos(angle),
+                  INIT_RADIUS * math.sin(angle))
+    for _ in range(iterations):
+        forces = {t: (0.0, 0.0) for t in tables}
+        for i, t1 in enumerate(tables):
+            for t2 in tables[i + 1:]:
+                x1, y1 = pos[t1]
+                x2, y2 = pos[t2]
+                dx, dy = x2 - x1, y2 - y1
+                dist = math.sqrt(dx * dx + dy * dy)
+                if dist > 0:
+                    f = REPULSION / (dist * dist)
+                    fx_, fy_ = -f * dx / dist, -f * dy / dist
+                    forces[t1] = (forces[t1][0] + fx_,
+                                  forces[t1][1] + fy_)
+                    forces[t2] = (forces[t2][0] - fx_,
+                                  forces[t2][1] - fy_)
+        for src, dst in edges:
+            if src in pos and dst in pos:
+                x1, y1 = pos[src]
+                x2, y2 = pos[dst]
+                dx, dy = x2 - x1, y2 - y1
+                dist = math.sqrt(dx * dx + dy * dy)
+                if dist > 0:
+                    f = dist * ATTRACTION
+                    fx_, fy_ = f * dx / dist, f * dy / dist
+                    forces[src] = (forces[src][0] + fx_,
+                                   forces[src][1] + fy_)
+                    forces[dst] = (forces[dst][0] - fx_,
+                                   forces[dst][1] - fy_)
+        for t in tables:
+            fx_, fy_ = forces[t]
+            x, y = pos[t]
+            pos[t] = (x + fx_ * STEP, y + fy_ * STEP)
+    return pos

@@ -19,21 +19,29 @@ from gcp_datalake_utils_spark.rules import compiler as rc
 
 def classified_columns(spark: SparkSession,
                        columns_df: DataFrame | None = None,
-                       tables_df: DataFrame | None = None) -> DataFrame:
+                       tables_df: DataFrame | None = None,
+                       config: "rc.PatternConfig | None" = None
+                       ) -> DataFrame:
     """meta_columns enriched with classification flags + table order.
 
     Output columns: table_id, table_ord, ordinal, name, data_type, mode,
     is_pk, is_fk, likely_pk, common_pk, type_group.
+
+    ``config`` takes a :class:`rules.config.PatternConfig` — e.g.
+    ``PatternConfig.from_json(path)`` with a reference-format
+    ``relationship_patterns.json`` — and defaults to the shipped rules.
     """
+    from gcp_datalake_utils_spark.rules.config import DEFAULT
+    cfg = config or DEFAULT
     cols = columns_df if columns_df is not None else fx.meta_columns_df(spark)
     tabs = tables_df if tables_df is not None else fx.meta_tables_df(spark)
     d = "spark"
     enriched = (
         cols.join(F.broadcast(tabs.select("table_id", "table_ord")),
                   "table_id")
-        .withColumn("is_pk", F.expr(rc.pk_sql(d)))
-        .withColumn("is_fk", F.expr(rc.fk_sql(d)))
-        .withColumn("likely_pk", F.expr(rc.likely_pk_sql(d)))
+        .withColumn("is_pk", F.expr(rc.pk_sql(d, cfg)))
+        .withColumn("is_fk", F.expr(rc.fk_sql(d, cfg)))
+        .withColumn("likely_pk", F.expr(rc.likely_pk_sql(d, cfg)))
         .withColumn("common_pk", F.expr(rc.common_pk_sql(d)))
         .withColumn("type_group", F.expr(rc.type_compat_group_sql()))
     )

@@ -91,23 +91,27 @@ def test_relationship(spark: SparkSession, sf_dir: str,
         tgt = tgt.sample(fraction=sample_fraction, seed=42)
     fa = src.groupBy("v").agg(F.count("*").alias("ca"))
     fb = tgt.groupBy("v").agg(F.count("*").alias("cb"))
-    stats_a = fa.agg(F.count("*").alias("na_distinct"),
-                     F.sum("ca").alias("na_rows"))
-    stats_b = fb.agg(F.count("*").alias("nb_distinct"),
-                     F.sum("cb").alias("nb_rows"))
-    # one join of the two frequency tables computes overlap, orphan mass
-    # and the per-value similarity terms (totals broadcast-cross-joined)
-    common = (fa.join(fb, "v")
-              .crossJoin(F.broadcast(stats_a))
-              .crossJoin(F.broadcast(stats_b))
-              .agg(F.count("*").alias("n_common"),
-                   F.coalesce(F.sum("ca"), F.lit(0))
-                   .alias("common_src_rows"),
-                   F.avg(1.0 - F.abs(F.col("ca") / F.col("na_rows")
-                                     - F.col("cb") / F.col("nb_rows")))
-                   .alias("avg_sim")))
+    # ONE full-outer join of the two frequency tables carries every
+    # needed statistic; totals come from a first pass and feed the
+    # ratio terms through a broadcast (two aggs, no separate per-side
+    # stats jobs — the join output is reused via ReuseExchange)
+    fo = fa.join(fb, "v", "full_outer")
+    totals = fo.agg(
+        F.count("ca").alias("na_distinct"),
+        F.coalesce(F.sum("ca"), F.lit(0)).alias("na_rows"),
+        F.count("cb").alias("nb_distinct"),
+        F.coalesce(F.sum("cb"), F.lit(0)).alias("nb_rows"),
+        F.count(F.when(F.col("ca").isNotNull()
+                       & F.col("cb").isNotNull(), 1)).alias("n_common"),
+        F.coalesce(F.sum(F.when(F.col("cb").isNotNull(), F.col("ca"))),
+                   F.lit(0)).alias("common_src_rows"))
+    sim = (fo.where(F.col("ca").isNotNull() & F.col("cb").isNotNull())
+           .crossJoin(F.broadcast(totals.select("na_rows", "nb_rows")))
+           .agg(F.avg(1.0 - F.abs(F.col("ca") / F.col("na_rows")
+                                  - F.col("cb") / F.col("nb_rows")))
+                .alias("avg_sim")))
     tscore = type_compat_score(src_type, tgt_type)
-    row = (stats_a.crossJoin(stats_b).crossJoin(common)
+    row = (totals.crossJoin(sim)
            .withColumn("referential_integrity",
                        F.when(F.col("na_distinct") > 0,
                               F.col("n_common") / F.col("na_distinct"))

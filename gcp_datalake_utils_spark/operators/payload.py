@@ -344,3 +344,86 @@ SELECT o_orderkey,
        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
 FROM orders
 """
+
+
+# --- catalog scans / projections (S1-S4, P1/P2, W3, F11) ---------------
+
+def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] S1/S4/P2: catalog listing with the VIEW/EXTERNAL exclusion
+    (``bigquery_connector.py:223-227``)."""
+    from gcp_datalake_utils_spark.catalog import fixtures as fx
+    t = fx.meta_tables_df(spark)
+    return (t.where(~F.col("table_type").isin("VIEW", "EXTERNAL"))
+            .select("dataset_id", "table_id", "table_type",
+                    "num_rows", "num_bytes"))
+
+
+def catalog_tables_oracle() -> str:
+    from gcp_datalake_utils_spark.catalog import fixtures as fx
+    return f"""
+SELECT dataset_id, table_id, table_type, num_rows, num_bytes
+FROM {fx.meta_tables_values('t')}
+WHERE table_type NOT IN ('VIEW', 'EXTERNAL')
+"""
+
+
+def sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] P1/S5/W5: the reference's sample query (project one column,
+    drop nulls, cap rows — ``data_relationship_tester.py:115-120``) with
+    a deterministic order replacing its storage-order LIMIT bias."""
+    c = load_table(spark, sf_dir, "customer")
+    return (c.select("c_custkey", "c_mktsegment")
+            .where(F.col("c_mktsegment").isNotNull())
+            .orderBy("c_custkey").limit(100))
+
+
+SAMPLE_SCAN_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_mktsegment IS NOT NULL
+ORDER BY c_custkey LIMIT 100
+"""
+
+
+def table_batching_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] W3: tables ranked by column count (the parallel processor's
+    size-based batching key, ``parallel_processor.py:126``)."""
+    from gcp_datalake_utils_spark.catalog import fixtures as fx
+    cols = fx.meta_columns_df(spark)
+    w = Window.orderBy(F.desc("n_cols"), "table_id")
+    return (cols.groupBy("table_id")
+            .agg(F.count("*").alias("n_cols"))
+            .withColumn("rank", F.row_number().over(w).cast("int")))
+
+
+def table_batching_oracle() -> str:
+    from gcp_datalake_utils_spark.catalog import fixtures as fx
+    return f"""
+SELECT table_id, count(*) AS n_cols,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, table_id)
+            AS INTEGER) AS rank
+FROM {fx.meta_columns_values('c')}
+GROUP BY table_id
+"""
+
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] F11: JSON extraction from the events props payload
+    (``from_json``/``get_json_object`` — the bq-output parsing analog,
+    ``bq_cli_connector.py:73,110``)."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("k"), 6).alias("avg_k"),
+                 F.max("k").alias("max_k")))
+
+
+EVENTS_PROPS_JSON_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+         AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""

@@ -127,6 +127,89 @@ FROM validated
 """
 
 
+def state_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] I2: merged next-state — current checksums upserted into the
+    persisted state (the Delta ``MERGE INTO`` shape as a full-outer
+    join): changed/new tables get the as-of timestamp, unchanged keep
+    theirs, dropped tables leave the state."""
+    cur = table_checksums(spark)
+    state = fx.proc_state_df(spark).select(
+        "table_id", F.col("checksum").alias("old_checksum"),
+        "last_processed")
+    merged = cur.join(F.broadcast(state), "table_id", "left")
+    return merged.select(
+        "table_id", "checksum",
+        F.date_format(
+            F.when(F.col("old_checksum").isNull()
+                   | (F.col("old_checksum") != F.col("checksum")),
+                   F.to_timestamp(F.lit(STALE_AS_OF)))
+            .otherwise(F.col("last_processed")),
+            "yyyy-MM-dd HH:mm:ss").alias("last_processed"))
+
+
+def state_upsert_oracle() -> str:
+    return f"""
+WITH cur AS (
+  SELECT c.table_id,
+         md5(c.table_id || ':' || any_value(t.dataset_id) || ':' ||
+             string_agg(c.name || ':' || c.data_type || ':' || c.mode,
+                        '|' ORDER BY c.name || ':' || c.data_type || ':'
+                        || c.mode)) AS checksum
+  FROM {fx.meta_columns_values('c')}
+  JOIN {fx.meta_tables_values('t')} USING (table_id)
+  GROUP BY c.table_id
+)
+SELECT cur.table_id, cur.checksum,
+       strftime(CASE WHEN s.checksum IS NULL
+                     OR s.checksum <> cur.checksum
+                THEN TIMESTAMP '{STALE_AS_OF}'
+                ELSE s.last_processed END,
+                '%Y-%m-%d %H:%M:%S') AS last_processed
+FROM cur LEFT JOIN {fx.proc_state_values('s')} USING (table_id)
+"""
+
+
+def cache_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] J9+I4: probe the relationship cache per detected
+    relationship, keyed by the sorted table pair
+    (``relationship_cache.py:30-34``); only entries within the 24h TTL
+    (``:98-114``) count as hits."""
+    rels = detect_all(spark)
+    pair = F.concat_ws(
+        "_", F.least("source_table", "target_table"),
+        F.greatest("source_table", "target_table"))
+    cache = fx.rel_cache_df(spark).select(
+        "pair_key", F.col("confidence").alias("cached_confidence"),
+        "cached_at")
+    fresh = cache.where(
+        F.col("cached_at") > F.to_timestamp(F.lit(fx.CACHE_AS_OF))
+        - F.expr("INTERVAL 24 HOURS"))
+    return (rels.withColumn("pair_key", pair)
+            .join(F.broadcast(fresh), "pair_key", "left")
+            .select("source_table", "source_column", "target_table",
+                    "target_column",
+                    F.col("cached_at").isNotNull().alias("cache_hit"),
+                    F.round("cached_confidence", 6)
+                    .alias("cached_confidence")))
+
+
+def cache_lookup_oracle() -> str:
+    return do._preamble() + f"""
+, fresh AS (
+  SELECT pair_key, confidence AS cached_confidence, cached_at
+  FROM {fx.rel_cache_values('rc')}
+  WHERE cached_at > TIMESTAMP '{fx.CACHE_AS_OF}' - INTERVAL 24 HOUR
+)
+SELECT v.source_table, v.source_column, v.target_table, v.target_column,
+       f.cached_at IS NOT NULL AS cache_hit,
+       round(f.cached_confidence, 6) AS cached_confidence
+FROM validated v
+LEFT JOIN fresh f
+  ON f.pair_key = least(v.source_table, v.target_table) || '_'
+                  || greatest(v.source_table, v.target_table)
+"""
+
+
 def quality_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] A6 grouping: relationship counts per detection method and
     type (the reference computes these as separate dict tallies — a

@@ -126,6 +126,15 @@ register("multimodal_features", multimodal.media_features,
          multimodal.MEDIA_FEATURES_ORACLE)
 register("user_sessions", stream_windows.user_sessions,
          stream_windows.USER_SESSIONS_ORACLE)
+register("state_upsert", state.state_upsert, state.state_upsert_oracle())
+register("cache_lookup", state.cache_lookup, state.cache_lookup_oracle())
+register("catalog_tables", payload.catalog_tables,
+         payload.catalog_tables_oracle())
+register("sample_scan", payload.sample_scan, payload.SAMPLE_SCAN_ORACLE)
+register("table_batching_rank", payload.table_batching_rank,
+         payload.table_batching_oracle())
+register("events_props_json", payload.events_props_json,
+         payload.EVENTS_PROPS_JSON_ORACLE)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

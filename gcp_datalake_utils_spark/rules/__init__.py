@@ -1,3 +1,7 @@
+from gcp_datalake_utils_spark.rules.config import (  # noqa: F401
+    DEFAULT,
+    PatternConfig,
+)
 from gcp_datalake_utils_spark.rules.compiler import (  # noqa: F401
     best_pk_order_sql,
     fk_sql,

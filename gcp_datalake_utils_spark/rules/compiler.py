@@ -61,20 +61,37 @@ def all_of(*exprs: str) -> str:
     return "(" + " AND ".join(exprs) + ")"
 
 
+from gcp_datalake_utils_spark.rules.config import DEFAULT, PatternConfig
+
 # normalized references (the reference lowercases names/tables before
 # every comparison)
 C = "lower(name)"
 TBL = "lower(table_id)"
 
+
+def pattern_pred(col: str, patterns: tuple[str, ...] | list[str],
+                 d: str) -> str:
+    """OR-combined predicate for a pattern list: exact names fold into
+    one IN; ``*``-suffix/prefix wildcards become ends/starts; general
+    wildcards become anchored regexes (``_matches_pattern``,
+    pattern_config.py:321-336)."""
+    exacts = [p for p in patterns if "*" not in p]
+    parts: list[str] = []
+    if exacts:
+        parts.append(inset(col, exacts))
+    for p in patterns:
+        if "*" not in p:
+            continue
+        if p.startswith("*") and "*" not in p[1:]:
+            parts.append(ends(col, p[1:], d))
+        elif p.endswith("*") and "*" not in p[:-1]:
+            parts.append(starts(col, p[:-1], d))
+        else:
+            parts.append(rx(col, "^" + p.replace("*", ".*") + "$", d))
+    return any_of(*parts) if parts else "FALSE"
+
 # key-candidate data types (schema_analyzer.py:185,214)
 KEY_TYPES = "upper(data_type) IN ('INTEGER', 'INT64', 'STRING', 'BYTES')"
-
-# global indicators (config/relationship_patterns.json:203-236)
-GLOBAL_PK_NAMES = [
-    "id", "key", "pk", "sk", "surrogate_key", "business_key", "bk",
-    "hash_key", "hk", "hub_key", "dim_key", "dk", "link_key", "lk",
-    "ref_key", "rk",
-]
 
 LEGACY_PK_RX = "^(id|.*_id|.*_key|.*_pk|pk_.*)$"
 LEGACY_FK_RX = "^(.*_id|.*_fk|.*_key|fk_.*)$"
@@ -89,50 +106,28 @@ KEY_SUFFIX_RX = "_(id|key|fk|pk|hk|hash_key)$"
 TARGET_PREFIXES = ["h_", "dim_", "l_", "ref_", "fact_", "tbl_", "table_"]
 
 
-def _config_pk(d: str) -> str:
+def _config_pk(d: str, cfg: PatternConfig) -> str:
     """Pattern-config PK candidacy (pattern_config.py:187-213)."""
     by_prefix = [
-        (starts(TBL, "h_", d), any_of(inset(C, [
-            "id", "key", "business_key", "bk", "hash_key", "hk",
-            "hub_key"]))),
-        (starts(TBL, "dim_", d), any_of(
-            inset(C, ["id", "key", "sk", "surrogate_key", "dim_key", "dk",
-                      "hash_key", "hk", "dim_hash_key"]),
-            ends(C, "_id", d))),
-        (starts(TBL, "l_", d), inset(C, [
-            "id", "key", "link_key", "lk", "hash_key", "hk",
-            "link_hash_key"])),
-        (starts(TBL, "ref_", d), any_of(
-            inset(C, ["id", "key", "ref_key", "rk"]),
-            ends(C, "_code", d), ends(C, "_id", d))),
-        (starts(TBL, "fact_", d), any_of(
-            inset(C, ["id", "key"]), ends(C, "_id", d))),
-        (starts(TBL, "bridge_", d), inset(C, [
-            "id", "key", "relationship_id"])),
-    ]
-    prefix_expr = " OR ".join(all_of(cond, body) for cond, body in by_prefix)
-    return any_of(inset(C, GLOBAL_PK_NAMES), f"({prefix_expr})")
+        (starts(TBL, prefix, d), pattern_pred(C, pats["pk"], d))
+        for prefix, pats in cfg.table_patterns.items() if pats["pk"]]
+    parts = [pattern_pred(C, cfg.pk_indicators, d)]
+    if by_prefix:
+        parts.append("(" + " OR ".join(
+            all_of(cond, body) for cond, body in by_prefix) + ")")
+    return any_of(*parts)
 
 
-def _config_fk(d: str) -> str:
+def _config_fk(d: str, cfg: PatternConfig) -> str:
     """Pattern-config FK candidacy (pattern_config.py:215-241)."""
-    global_fk = any_of(
-        rx(C, "^(.*_id|.*_key|.*_fk|.*_hk|.*_hash_key)$", d),
-        inset(C, ["hub_key", "hk"]))
     by_prefix = [
-        (starts(TBL, "dim_", d), any_of(
-            ends(C, "_id", d), ends(C, "_hk", d), ends(C, "_hash_key", d),
-            ends(C, "_fk", d))),
-        (starts(TBL, "l_", d), any_of(
-            ends(C, "_hk", d), ends(C, "_hash_key", d),
-            inset(C, ["hub_key", "hk"]))),
-        (starts(TBL, "fact_", d), any_of(
-            ends(C, "_id", d), ends(C, "_fk", d))),
-        (starts(TBL, "bridge_", d), any_of(
-            ends(C, "_id", d), ends(C, "_fk", d))),
-    ]
-    prefix_expr = " OR ".join(all_of(cond, body) for cond, body in by_prefix)
-    return any_of(global_fk, f"({prefix_expr})")
+        (starts(TBL, prefix, d), pattern_pred(C, pats["fk"], d))
+        for prefix, pats in cfg.table_patterns.items() if pats["fk"]]
+    parts = [pattern_pred(C, cfg.fk_indicators, d)]
+    if by_prefix:
+        parts.append("(" + " OR ".join(
+            all_of(cond, body) for cond, body in by_prefix) + ")")
+    return any_of(*parts)
 
 
 def _dw_pk(d: str) -> str:
@@ -185,7 +180,7 @@ def _dv_fk(d: str) -> str:
     )
 
 
-def pk_sql(dialect: str) -> str:
+def pk_sql(dialect: str, cfg: PatternConfig = DEFAULT) -> str:
     """is_primary_key (schema_analyzer.py:109-134): config patterns OR
     (legacy regex AND candidate guards) OR DW prefix rules."""
     legacy = all_of(
@@ -193,10 +188,10 @@ def pk_sql(dialect: str) -> str:
         "mode <> 'REPEATED'",
         f"NOT (mode = 'NULLABLE' AND {C} <> 'id')",
         KEY_TYPES)
-    return any_of(_config_pk(dialect), legacy, _dw_pk(dialect))
+    return any_of(_config_pk(dialect, cfg), legacy, _dw_pk(dialect))
 
 
-def fk_sql(dialect: str) -> str:
+def fk_sql(dialect: str, cfg: PatternConfig = DEFAULT) -> str:
     """is_foreign_key (schema_analyzer.py:136-161): config patterns OR
     (legacy regex AND not-PK AND candidate guards) OR DV prefix rules.
     Note the reference's config path does NOT exclude PKs — only the
@@ -204,17 +199,17 @@ def fk_sql(dialect: str) -> str:
     legacy = all_of(
         rx(C, LEGACY_FK_RX, dialect),
         "mode <> 'REPEATED'",
-        f"NOT {pk_sql(dialect)}",
+        f"NOT {pk_sql(dialect, cfg)}",
         KEY_TYPES)
-    return any_of(_config_fk(dialect), legacy, _dv_fk(dialect))
+    return any_of(_config_fk(dialect, cfg), legacy, _dv_fk(dialect))
 
 
-def likely_pk_sql(dialect: str) -> str:
+def likely_pk_sql(dialect: str, cfg: PatternConfig = DEFAULT) -> str:
     """Enhanced-detection 'likely PK' (relationship_detector.py:180-207):
     explicit PK OR pattern match OR table-base-derived names."""
     tb = f"replace(replace({TBL}, 'dim_', ''), 'fact_', '')"
     return any_of(
-        pk_sql(dialect),
+        pk_sql(dialect, cfg),
         rx(C, LIKELY_PK_RX, dialect),
         f"{C} IN ({tb} || '_id', {tb} || '_key', 'id')")
 
