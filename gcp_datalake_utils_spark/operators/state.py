@@ -210,6 +210,59 @@ LEFT JOIN fresh f
 """
 
 
+def relationships_per_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] A10: per-table relationship collection (the state-update
+    grouping, ``enhanced_relationship_detector.py:98-101``) — the edge
+    list gathered per participating table, serialized sorted so the
+    result is order-free."""
+    rels = detect_all(spark)
+    edge = F.concat_ws("->",
+                       F.concat_ws(".", "source_table", "source_column"),
+                       F.concat_ws(".", "target_table", "target_column"))
+    tall = (rels.select(F.col("source_table").alias("table_id"),
+                        edge.alias("edge"))
+            .unionByName(
+                rels.select(F.col("target_table").alias("table_id"),
+                            edge.alias("edge")))
+            .distinct())
+    return (tall.groupBy("table_id")
+            .agg(F.count("*").alias("n_rels"),
+                 F.array_join(F.sort_array(F.collect_list("edge")), ";")
+                 .alias("rel_list")))
+
+
+def relationships_per_table_oracle() -> str:
+    return do._preamble() + """
+, tall AS (
+  SELECT DISTINCT table_id, edge FROM (
+    SELECT source_table AS table_id,
+           source_table || '.' || source_column || '->'
+           || target_table || '.' || target_column AS edge
+    FROM validated
+    UNION ALL
+    SELECT target_table,
+           source_table || '.' || source_column || '->'
+           || target_table || '.' || target_column
+    FROM validated)
+)
+SELECT table_id, count(*) AS n_rels,
+       string_agg(edge, ';' ORDER BY edge) AS rel_list
+FROM tall GROUP BY table_id
+"""
+
+
+def save_state_json(state: DataFrame, path: str) -> None:
+    """S10: persist incremental state as JSON (the reference's
+    ``save_state``/``relationship_state.json``; a Delta MERGE target on
+    full clusters)."""
+    state.write.mode("overwrite").json(path)
+
+
+def load_state_json(spark: SparkSession, path: str) -> DataFrame:
+    """S10: reload persisted state (``load_state``)."""
+    return spark.read.json(path)
+
+
 def quality_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] A6 grouping: relationship counts per detection method and
     type (the reference computes these as separate dict tallies — a

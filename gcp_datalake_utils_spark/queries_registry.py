@@ -135,6 +135,8 @@ register("table_batching_rank", payload.table_batching_rank,
          payload.table_batching_oracle())
 register("events_props_json", payload.events_props_json,
          payload.EVENTS_PROPS_JSON_ORACLE)
+register("relationships_per_table", state.relationships_per_table,
+         state.relationships_per_table_oracle())
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
