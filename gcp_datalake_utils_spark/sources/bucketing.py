@@ -1,0 +1,53 @@
+"""Bucketed table layout: the 100 TB co-located-join strategy.
+
+Big fact-fact joins (lineitem ⋈ orders on orderkey) shuffle both sides
+every query unless the storage layout pre-partitions them. Writing both
+tables bucketed by the join key with the same bucket count lets Spark
+plan the join shuffle-free (bucket pruning + co-located scans).
+
+``write_bucketed`` persists a DataFrame as a bucketed managed table;
+``assert_no_shuffle_join`` is the test hook proving the plan has no
+Exchange on the bucketed key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   buckets: int = 16,
+                   sort_cols: list[str] | None = None) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table —
+    sorted buckets additionally enable merge-join without sorting.
+    Replaces an existing table, clearing any orphaned location left by
+    an interrupted earlier write."""
+    import shutil
+    from urllib.parse import urlparse
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = urlparse(wh).path or wh
+    shutil.rmtree(f"{loc.rstrip('/')}/{table.lower()}",
+                  ignore_errors=True)
+    w = (df.write.mode("overwrite")
+         .bucketBy(buckets, key))
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left: str, right: str,
+                  left_key: str, right_key: str) -> DataFrame:
+    l_df = spark.table(left)
+    r_df = spark.table(right)
+    return l_df.join(r_df, l_df[left_key] == r_df[right_key])
+
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True if the physical plan repartitions data across the cluster
+    (shuffle exchange); broadcast exchanges do not count — they move a
+    small build side, not the data."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return ("Exchange hashpartitioning" in plan
+            or "ShuffleExchange" in plan)

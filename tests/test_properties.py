@@ -1,0 +1,72 @@
+"""Property-based parity tests (hypothesis): the compiled SQL predicates
+must agree with the reference's Python semantics on arbitrary inputs.
+
+These run entirely in DuckDB (cheap per-example); the Spark dialect
+shares the same generator, and the query gate separately hash-matches
+Spark against DuckDB — so transitively all three agree.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gcp_datalake_utils_spark.operators.datatest import (
+    cochran_sample_size,
+)
+from gcp_datalake_utils_spark.rules.compiler import pattern_pred
+
+# names/patterns drawn from the identifier-ish alphabet the reference
+# deals in
+_name = st.text(alphabet="abcdefgh_", min_size=1, max_size=12)
+_pattern = st.one_of(
+    _name,
+    _name.map(lambda s: "*" + s),
+    _name.map(lambda s: s + "*"),
+    st.tuples(_name, _name).map(lambda t: t[0] + "*" + t[1]),
+)
+
+
+def _reference_matches(text: str, pattern: str) -> bool:
+    """``_matches_pattern`` (pattern_config.py:321-336) verbatim
+    semantics: wildcard -> regex match-at-start, else equality."""
+    if "*" in pattern:
+        regex_pattern = pattern.replace("*", ".*")
+        return bool(re.match(f"^{regex_pattern}$", text, re.IGNORECASE))
+    return text == pattern
+
+
+@settings(max_examples=300, deadline=None)
+@given(name=_name, pattern=_pattern)
+def test_pattern_pred_matches_reference_semantics(name, pattern):
+    sql = pattern_pred("lower(name)", (pattern,), "duck")
+    got = duckdb.sql(
+        f"SELECT {sql} FROM (SELECT {name!r} AS name)").fetchone()[0]
+    want = _reference_matches(name, pattern)
+    assert bool(got) == want, (name, pattern, sql)
+
+
+@settings(max_examples=200, deadline=None)
+@given(pop=st.integers(min_value=0, max_value=10**9),
+       level=st.sampled_from([0.90, 0.95, 0.99]))
+def test_cochran_sample_size_properties(pop, level):
+    n = cochran_sample_size(pop, level)
+    assert 0 <= n <= pop
+    if pop >= 10_000:
+        # finite-population-corrected Cochran stays below the
+        # uncorrected bound and grows with confidence
+        z = {0.90: 1.645, 0.95: 1.96, 0.99: 2.576}[level]
+        assert n <= int((z * z * 0.25) / (0.05 * 0.05)) + 1
+    # monotone in population (spot-check the neighbor)
+    if 0 < pop < 10**9:
+        assert cochran_sample_size(pop + 1, level) >= n
+
+
+@pytest.mark.parametrize("a,b", [("x", "x"), ("", "a")])
+def test_reference_matcher_sanity(a, b):
+    assert _reference_matches(a, a)
+    assert not _reference_matches(b, "zzz")
