@@ -24,18 +24,30 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
-def with_salt(df: DataFrame, key: str, n: int,
+# join types whose semantics survive salting: the fact side is never
+# replicated, so fact-preserving joins are exact; right/full would emit
+# the exploded dimension's unmatched copies n times
+_SALTED_JOIN_TYPES = {"inner", "left", "left_outer", "leftouter",
+                      "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
+def with_salt(df: DataFrame, n: int,
               salt_source: Column | None = None) -> DataFrame:
-    """Deterministic salt in [0, n) derived from the full row when a
-    ``salt_source`` column is given (spreads identical keys), else from
-    a monotonic id surrogate."""
-    src = salt_source if salt_source is not None \
-        else F.monotonically_increasing_id()
-    return df.withColumn(SALT_COL, F.pmod(F.hash(src), F.lit(n)))
+    """Deterministic salt in [0, n): hash of ``salt_source`` when given,
+    else of the full row content — stable across recomputation and
+    partition layout (identical duplicate rows share a salt, an
+    acceptable residue)."""
+    if n < 1:
+        raise ValueError(f"salt count must be >= 1, got {n}")
+    src_cols = [salt_source] if salt_source is not None \
+        else [F.col(c) for c in df.columns]
+    return df.withColumn(SALT_COL, F.pmod(F.hash(*src_cols), F.lit(n)))
 
 
 def explode_salts(dim: DataFrame, n: int) -> DataFrame:
     """Replicate the (small) dimension once per salt value."""
+    if n < 1:
+        raise ValueError(f"salt count must be >= 1, got {n}")
     return dim.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
 
@@ -43,8 +55,14 @@ def explode_salts(dim: DataFrame, n: int) -> DataFrame:
 def salted_join(fact: DataFrame, dim: DataFrame, key: str,
                 n: int = 8, how: str = "inner",
                 salt_source: Column | None = None) -> DataFrame:
-    """Equi-join on ``key`` with an ``n``-way salted shuffle key."""
-    f = with_salt(fact, key, n, salt_source)
+    """Equi-join on ``key`` with an ``n``-way salted shuffle key.
+    Only fact-preserving join types are allowed (see
+    ``_SALTED_JOIN_TYPES``)."""
+    if how not in _SALTED_JOIN_TYPES:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only "
+            f"({sorted(_SALTED_JOIN_TYPES)}); got {how!r}")
+    f = with_salt(fact, n, salt_source)
     d = explode_salts(dim, n)
     out = f.join(d, [key, SALT_COL], how)
     return out.drop(SALT_COL)
@@ -60,7 +78,7 @@ def two_phase_agg(df: DataFrame, key: str, n: int,
     for fn in aggs.values():
         if fn not in merge:
             raise ValueError(f"unmergeable aggregate {fn!r}")
-    salted = with_salt(df, key, n, salt_source)
+    salted = with_salt(df, n, salt_source)
     partial = salted.groupBy(key, SALT_COL).agg(*[
         getattr(F, fn)(c).alias(f"__p_{c}") for c, fn in aggs.items()])
     final = partial.groupBy(key).agg(*[

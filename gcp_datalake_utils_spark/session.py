@@ -21,6 +21,11 @@ def get_spark(app_name: str = "gcp-datalake-utils-spark",
     static shuffle-partition count to the data, auto-broadcast handles the
     metadata-side joins, and skew-join splitting guards the heavy equi-joins
     (e.g. the LSH band join where hot buckets are the classic skew case).
+
+    Note: static confs (warehouse dir, driver memory) only apply when this
+    factory CREATES the session; ``getOrCreate`` silently keeps a
+    pre-existing session's values — callers embedding the engine in a
+    host application inherit that host's static configuration.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     n_shuffle = shuffle_partitions or int(

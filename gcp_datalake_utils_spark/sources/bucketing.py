@@ -26,10 +26,14 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     from urllib.parse import urlparse
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    loc = urlparse(wh).path or wh
-    shutil.rmtree(f"{loc.rstrip('/')}/{table.lower()}",
-                  ignore_errors=True)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    # orphan-location cleanup applies only to local, unqualified
+    # managed tables; remote warehouses (gs://, hdfs://) and qualified
+    # names resolve to other locations and are left to the catalog
+    if wh.scheme in ("", "file") and "." not in table:
+        shutil.rmtree(
+            f"{(wh.path or wh.geturl()).rstrip('/')}/{table.lower()}",
+            ignore_errors=True)
     w = (df.write.mode("overwrite")
          .bucketBy(buckets, key))
     if sort_cols:
@@ -45,9 +49,11 @@ def bucketed_join(spark: SparkSession, left: str, right: str,
 
 
 def plan_has_shuffle(df: DataFrame) -> bool:
-    """True if the physical plan repartitions data across the cluster
-    (shuffle exchange); broadcast exchanges do not count — they move a
-    small build side, not the data."""
+    """True if the physical plan repartitions data across the cluster —
+    any Exchange node (hash, range, round-robin, single-partition)
+    except BroadcastExchange, which moves a small build side, not the
+    data."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return ("Exchange hashpartitioning" in plan
-            or "ShuffleExchange" in plan)
+    return any(
+        "Exchange" in ln and "BroadcastExchange" not in ln
+        for ln in plan.splitlines())

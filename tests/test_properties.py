@@ -56,14 +56,24 @@ def test_pattern_pred_matches_reference_semantics(name, pattern):
 def test_cochran_sample_size_properties(pop, level):
     n = cochran_sample_size(pop, level)
     assert 0 <= n <= pop
+    z = {0.90: 1.645, 0.95: 1.96, 0.99: 2.576}[level]
+    n0 = (z * z * 0.25) / (0.05 * 0.05)
     if pop >= 10_000:
         # finite-population-corrected Cochran stays below the
         # uncorrected bound and grows with confidence
-        z = {0.90: 1.645, 0.95: 1.96, 0.99: 2.576}[level]
-        assert n <= int((z * z * 0.25) / (0.05 * 0.05)) + 1
-    # monotone in population (spot-check the neighbor)
-    if 0 < pop < 10**9:
+        assert n <= int(n0) + 1
+    # monotone in population ABOVE the small-population cliff: the
+    # reference returns the full population when population < n0
+    # (data_relationship_tester.py:380-381), so e.g. 384 -> 384 but
+    # 385 -> 192 at 0.95 — a reference-faithful discontinuity
+    if n0 < pop < 10**9:
         assert cochran_sample_size(pop + 1, level) >= n
+
+
+def test_cochran_reference_cliff_is_preserved():
+    # document the faithful discontinuity explicitly
+    assert cochran_sample_size(384, 0.95) == 384
+    assert cochran_sample_size(385, 0.95) < 384
 
 
 @pytest.mark.parametrize("a,b", [("x", "x"), ("", "a")])

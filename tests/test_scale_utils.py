@@ -26,12 +26,30 @@ def test_salted_join_spreads_hot_key(spark):
     fact = spark.range(10000).select(
         F.lit(1).alias("k"), F.col("id").alias("v"))
     dim = spark.createDataFrame([(1, "hot")], "k int, name string")
-    out = skew.with_salt(fact, "k", 4, salt_source=F.col("v"))
+    out = skew.with_salt(fact, 4, salt_source=F.col("v"))
     n_salts = out.select(skew.SALT_COL).distinct().count()
     assert n_salts == 4
     joined = skew.salted_join(fact, dim, "k", n=4,
                               salt_source=F.col("v"))
     assert joined.count() == 10000
+
+
+def test_salted_join_rejects_non_fact_preserving(spark):
+    fact = spark.range(10).select(F.lit(1).alias("k"))
+    dim = spark.createDataFrame([(1, "x")], "k int, name string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        skew.salted_join(fact, dim, "k", n=4, how="right")
+    with _pytest.raises(ValueError):
+        skew.with_salt(fact, 0)
+
+
+def test_salted_left_join_preserves_unmatched_facts(spark):
+    fact = spark.createDataFrame([(1,), (2,)], "k int")
+    dim = spark.createDataFrame([(1, "x")], "k int, name string")
+    out = skew.salted_join(fact, dim, "k", n=4, how="left").collect()
+    assert len(out) == 2
+    assert {r.k for r in out if r.name is None} == {2}
 
 
 def test_two_phase_agg_merges_exactly(spark, sf_dir):
@@ -42,11 +60,14 @@ def test_two_phase_agg_merges_exactly(spark, sf_dir):
              .orderBy("l_orderkey").limit(5).collect())
     two = (skew.two_phase_agg(
         li, "l_orderkey", 4,
-        {"l_quantity": "sum"}, salt_source=F.col("l_linenumber"))
+        {"l_quantity": "sum", "l_partkey": "count"},
+        salt_source=F.col("l_linenumber"))
         .orderBy("l_orderkey").limit(5).collect())
     for p, t in zip(plain, two):
         assert p["l_orderkey"] == t["l_orderkey"]
         assert abs(p["sum_l_quantity"] - t["sum_l_quantity"]) < 1e-9
+        # count partials must merge by SUM, not count-of-partials
+        assert p["count_l_quantity"] == t["count_l_partkey"]
 
 
 @pytest.mark.usefixtures("spark")
