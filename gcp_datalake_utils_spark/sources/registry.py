@@ -25,7 +25,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Column pruning + predicate pushdown reach
-    the parquet scan because this returns the raw lazy reader output."""
+    the parquet scan because this returns the raw lazy reader output.
+
+    ``nanosAsLong`` is set here (runtime-settable) rather than only in the
+    session factory so events.parquet — which carries TIMESTAMP(NANOS)
+    columns Spark's reader otherwise rejects — loads under ANY host-built
+    SparkSession, not just ours."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -33,12 +39,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as a microsecond TimestampType column.
 
     The raw file stores nanosecond timestamps (read as long via
-    ``nanosAsLong``); truncation to micros matches DuckDB's
-    TIMESTAMP_NS -> TIMESTAMP cast, so oracle comparisons agree."""
+    ``nanosAsLong``); integer division to micros (``ts div 1000``) matches
+    DuckDB's TIMESTAMP_NS -> TIMESTAMP cast exactly. A float divide would
+    round-trip through double and lose ~256 ns at 2024-epoch magnitudes
+    (~1.7e18 > 2^53), landing 1 µs off the oracle on boundary values."""
     from pyspark.sql import functions as F
     df = load_table(spark, sf_dir, "events")
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def register_tables(spark: SparkSession, sf_dir: str,

@@ -48,7 +48,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (spark.readStream.schema(schema)
            .parquet(_stream_dir(sf_dir)))
     return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_counts_stream(spark: SparkSession, sf_dir: str,

@@ -64,9 +64,17 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
-    from gcp_datalake_utils_spark.session import get_spark
-
-    spark = get_spark("correctness-check")
+    # Deliberately a VANILLA session (not our session factory): the
+    # driver's harness builds its own SparkSession, so any conf the engine
+    # needs must be set by the engine at read time — checking with our own
+    # tuned session would mask host-session bugs (this hid the round-1
+    # nanosAsLong failure).
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[32]")
+             .appName("correctness-check")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
