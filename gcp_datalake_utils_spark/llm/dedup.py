@@ -38,9 +38,15 @@ def _words():
 
 
 def _shingles():
+    # Docs with <3 words must yield an EMPTY shingle array (matching the
+    # oracle's range(1, greatest(len-1, 1)) -> []); an unguarded
+    # sequence(1, size-2) would count DOWN to 0 for short docs and
+    # element_at(words, 0) errors.
     words = _words()
     return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+        F.when(F.size(words) >= 3,
+               F.sequence(F.lit(1), F.size(words) - 2))
+        .otherwise(F.array().cast("array<int>")),
         lambda i: F.concat_ws(
             " ", F.element_at(words, i), F.element_at(words, i + 1),
             F.element_at(words, i + 2))))

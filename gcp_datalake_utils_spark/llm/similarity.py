@@ -58,17 +58,25 @@ def _cosine_col():
         / (_norm(F.col("embedding")) * _norm(F.col("q_embedding"))), 6)
 
 
+def _topk_ranked(scored: DataFrame) -> DataFrame:
+    """Global top-k as ``orderBy().limit(k)`` — Catalyst plans a
+    TakeOrderedAndProject, so each partition contributes only its local
+    top k and a single-partition exchange carries k rows, not the corpus.
+    The rank window then runs over those k rows only."""
+    top = scored.orderBy(F.desc("cosine"), "vec_id").limit(TOP_K)
+    w = Window.orderBy(F.desc("cosine"), "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("vec_id", "label", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] brute-force cosine top-k against the query vector (ranking on
     the rounded score + vec_id tie-break keeps both engines aligned)."""
     scored = (_with_query(spark, sf_dir)
               .where(F.col("vec_id") != QUERY_VEC_ID)
               .select("vec_id", "label", _cosine_col().alias("cosine")))
-    w = Window.orderBy(F.desc("cosine"), "vec_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= TOP_K)
-            .select("vec_id", "label", "cosine",
-                    F.col("rank").cast("int").alias("rank")))
+    return _topk_ranked(scored)
 
 
 def _cosine_sql() -> str:
@@ -101,11 +109,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .where((F.col("vec_id") != QUERY_VEC_ID)
                      & (F.col("label") == F.col("q_label")))
               .select("vec_id", "label", _cosine_col().alias("cosine")))
-    w = Window.orderBy(F.desc("cosine"), "vec_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= TOP_K)
-            .select("vec_id", "label", "cosine",
-                    F.col("rank").cast("int").alias("rank")))
+    return _topk_ranked(scored)
 
 
 IVF_TOPK_ORACLE = f"""

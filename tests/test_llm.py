@@ -75,3 +75,14 @@ def test_decode_media_is_explicit_stub(spark, sf_dir):
     assets = multimodal.binary_assets(spark, sf_dir)
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(assets)
+
+
+def test_shingles_short_docs_empty(spark):
+    """Docs with <3 words must produce an empty shingle array (matching
+    the DuckDB oracle's empty range), not an element_at error."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("a",), ("a b",), ("a b c",), ("",), ("a b c d",)], ["text"])
+    rows = df.select(dedup._shingles().alias("sh")).collect()
+    assert [r.sh for r in rows] == [
+        [], [], ["a b c"], [], ["a b c", "b c d"]]

@@ -35,3 +35,21 @@ def test_top_orders_single_window_shuffle(spark, sf_dir):
     assert "Window" in plan
     # exactly one exchange: the partitionBy(custkey) shuffle
     assert plan.count("Exchange") <= 2
+
+
+def test_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    """Top-k must plan as TakeOrderedAndProject: each partition keeps its
+    local k, so no single-partition exchange ever carries the scored
+    corpus (the rank window runs over the k-row result only)."""
+    from gcp_datalake_utils_spark.llm import similarity
+    for fn in (similarity.cosine_topk, similarity.ivf_topk):
+        plan = _formatted_plan(fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+        # the corpus-side scan must sit below the TakeOrdered, not below
+        # a SinglePartition exchange: every Exchange SinglePartition in
+        # the plan must appear ABOVE (before) the TakeOrdered node text.
+        take_pos = plan.index("TakeOrderedAndProject")
+        for i, ln in enumerate(plan.splitlines()):
+            if "SinglePartition" in ln:
+                assert plan.index(ln) < take_pos, \
+                    f"{fn.__name__}: corpus flows through SinglePartition"
