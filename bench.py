@@ -5,8 +5,9 @@ Prints ONE JSON line:
 
 Protocol (BASELINE.md): one discarded warm-up run per query, then the
 median of 3 timed runs; value = sum of per-query medians. Each timed run
-executes the full plan to completion (collect for small results, count
-for large ones) so scan+shuffle+agg are all measured.
+executes the full plan to completion exactly ONCE — collect for small
+results, count for large ones (the warm-up run determines which) — the
+same single-execution protocol as the DuckDB baseline.
 """
 
 from __future__ import annotations
@@ -41,12 +42,13 @@ HEADLINE = [
 COLLECT_CAP = 100_000
 
 
-def _run_once(fn, spark) -> float:
+def _run_once(fn, spark, small: bool) -> float:
     t0 = time.time()
     df = fn(spark, SF_DIR)
-    n = df.count()
-    if n <= COLLECT_CAP:
+    if small:
         df.collect()
+    else:
+        df.count()
     return time.time() - t0
 
 
@@ -60,8 +62,9 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        _run_once(fn, spark)  # discarded warm-up
-        times = [_run_once(fn, spark) for _ in range(3)]
+        # discarded warm-up; its count also picks the execution mode
+        small = fn(spark, SF_DIR).count() <= COLLECT_CAP
+        times = [_run_once(fn, spark, small) for _ in range(3)]
         per_query[name] = round(statistics.median(times), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

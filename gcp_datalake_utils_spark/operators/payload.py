@@ -132,12 +132,17 @@ WHERE rn <= 3
 # --- frequency distribution / distinct cardinalities (A1/A2) -----------
 
 def frequency_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[Q] A1: per-value counts with ratios (the J7 building block)."""
+    """[Q] A1: per-value counts with ratios (the J7 building block).
+
+    The total folds in-plan — an unpartitioned window over the already
+    tiny aggregated result — so the operator stays lazy and single-scan
+    (no eager driver-side count)."""
     c = load_table(spark, sf_dir, "customer")
-    total = c.count()
+    w = Window.partitionBy()
     return (c.groupBy(F.col("c_mktsegment").alias("value"))
             .agg(F.count("*").alias("freq"))
-            .withColumn("ratio", F.round(F.col("freq") / F.lit(total), 6)))
+            .withColumn(
+                "ratio", F.round(F.col("freq") / F.sum("freq").over(w), 6)))
 
 
 FREQUENCY_ORACLE = """
