@@ -126,6 +126,10 @@ register("multimodal_features", multimodal.media_features,
          multimodal.MEDIA_FEATURES_ORACLE)
 register("user_sessions", stream_windows.user_sessions,
          stream_windows.USER_SESSIONS_ORACLE)
+register("windowed_counts_stream", stream_windows.windowed_counts_stream_q,
+         stream_windows.WINDOWED_COUNTS_STREAM_ORACLE)
+register("dedup_stream", stream_windows.dedup_stream_q,
+         stream_windows.DEDUP_STREAM_ORACLE)
 register("state_upsert", state.state_upsert, state.state_upsert_oracle())
 register("cache_lookup", state.cache_lookup, state.cache_lookup_oracle())
 register("catalog_tables", payload.catalog_tables,

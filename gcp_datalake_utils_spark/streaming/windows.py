@@ -88,6 +88,64 @@ def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().logical().toString()
 
 
+_Q_SEQ = 0
+
+
+def _next_sink() -> str:
+    global _Q_SEQ
+    _Q_SEQ += 1
+    return f"stream_q_{_Q_SEQ}"
+
+
+def windowed_counts_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] the streaming tumbling-window aggregation, AvailableNow-drained
+    to a memory sink and flattened for the oracle: identical Catalyst
+    expressions to the batch twin (events_hourly minus the countDistinct,
+    which streaming aggs don't support), so batch SQL is the oracle."""
+    out = run_available_now(
+        windowed_counts_stream(spark, sf_dir), _next_sink())
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+        .alias("hour_start"),
+        "event_type", "n_events", "total_value")
+
+
+WINDOWED_COUNTS_STREAM_ORACLE = """
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] streaming dedup on (user_id, event_type, hour) — collapse
+    repeated same-type events from a user within the hour, the classic
+    click-storm dedup. State is watermark-bounded
+    (``dropDuplicatesWithinWatermark``); the projection keeps only the
+    dedup keys so which physical row survived (arrival-order dependent)
+    never affects the result, making the batch DISTINCT the oracle."""
+    e = _event_stream(spark, sf_dir).withColumn(
+        "hour_start",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"))
+    dd = (e.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark(
+              ["user_id", "event_type", "hour_start"]))
+    out = run_available_now(dd, _next_sink())
+    return out.select("user_id", "event_type", "hour_start")
+
+
+DEDUP_STREAM_ORACLE = """
+SELECT DISTINCT user_id, event_type,
+       strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS hour_start
+FROM events
+"""
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] session windows per user (gap-based), batch-checked: Spark's
     ``session_window`` vs a gaps-and-islands oracle. The same expression
