@@ -197,6 +197,64 @@ META_COLUMNS: list[tuple[str, int, str, str, str]] = [
 ]
 
 # ---------------------------------------------------------------------------
+# column type parameters + table labels (models.py:41-43,66; populated from
+# live metadata at bigquery_connector.py:127-129,145). BigQuery reports
+# max_length only for parameterized STRING(n) and precision/scale for
+# NUMERIC/BIGNUMERIC — the fixture mirrors that sparsity: a handful of
+# parameterized strings, NUMERIC at BigQuery's default (38, 9), NULL
+# elsewhere. Labels are a per-table MAP<STRING,STRING>; the canonical
+# serialized form (sorted "k=v" joined by ",") is what oracles compare,
+# since map ordering is engine-dependent.
+# ---------------------------------------------------------------------------
+
+MAX_LENGTHS: dict[tuple[str, str], int] = {
+    ("customer", "c_name"): 25,
+    ("customer", "c_mktsegment"): 10,
+    ("supplier", "s_name"): 25,
+    ("part", "p_brand"): 10,
+    ("orders", "o_orderpriority"): 15,
+    ("lineitem", "l_returnflag"): 1,
+    ("lineitem", "l_linestatus"): 1,
+    ("h_customer", "business_key"): 64,
+    ("products", "sku"): 32,
+    ("ref_code_status", "status_code"): 8,
+}
+
+
+def _type_params(table_id: str, name: str,
+                 data_type: str) -> tuple[int | None, int | None, int | None]:
+    if data_type == "NUMERIC":
+        return (None, 38, 9)
+    return (MAX_LENGTHS.get((table_id, name)), None, None)
+
+
+# (table_id, ordinal, name, data_type, mode, max_length, precision, scale)
+META_COLUMNS_EXT: list[tuple] = [
+    (tb, o, n, t, m, *_type_params(tb, n, t))
+    for (tb, o, n, t, m) in META_COLUMNS]
+
+TABLE_LABELS: dict[str, dict[str, str]] = {
+    "customer": {"domain": "sales", "pii": "true"},
+    "orders": {"domain": "sales"},
+    "lineitem": {"domain": "sales"},
+    "events": {"domain": "telemetry", "retention": "90d"},
+    "documents": {"domain": "corpus"},
+    "embeddings": {"domain": "corpus"},
+    "fact_sales": {"domain": "warehouse"},
+}
+
+
+def _labels_str(table_id: str) -> str:
+    return ",".join(f"{k}={v}" for k, v
+                    in sorted(TABLE_LABELS.get(table_id, {}).items()))
+
+
+# META_TABLES + labels_str (canonical sorted serialization; '' = no labels)
+META_TABLES_EXT: list[tuple] = [
+    (*row, _labels_str(row[1])) for row in META_TABLES]
+
+
+# ---------------------------------------------------------------------------
 # custom relationship rules (J5) — explicit 4-endpoint rules. The last row
 # references a non-existent table and must be dropped by the existence
 # check (mirrors `_apply_custom_rules` table_map guard,
@@ -317,17 +375,19 @@ def _values(rows: list[tuple], alias: str, cols: list[str],
 
 def meta_tables_values(alias: str = "meta_tables") -> str:
     return _values(
-        META_TABLES, alias,
+        META_TABLES_EXT, alias,
         ["dataset_id", "table_id", "table_ord", "table_type", "num_rows",
-         "num_bytes"],
+         "num_bytes", "labels_str"],
         {"table_ord": "INTEGER", "num_rows": "BIGINT", "num_bytes": "BIGINT"})
 
 
 def meta_columns_values(alias: str = "meta_columns") -> str:
     return _values(
-        META_COLUMNS, alias,
-        ["table_id", "ordinal", "name", "data_type", "mode"],
-        {"ordinal": "INTEGER"})
+        META_COLUMNS_EXT, alias,
+        ["table_id", "ordinal", "name", "data_type", "mode",
+         "max_length", "precision", "scale"],
+        {"ordinal": "INTEGER", "max_length": "INTEGER",
+         "precision": "INTEGER", "scale": "INTEGER"})
 
 
 def custom_rules_values(alias: str = "custom_rules") -> str:
@@ -367,6 +427,7 @@ _TABLES_SCHEMA = T.StructType([
     T.StructField("table_type", T.StringType(), False),
     T.StructField("num_rows", T.LongType(), False),
     T.StructField("num_bytes", T.LongType(), False),
+    T.StructField("labels_str", T.StringType(), False),
 ])
 
 _COLUMNS_SCHEMA = T.StructType([
@@ -375,6 +436,9 @@ _COLUMNS_SCHEMA = T.StructType([
     T.StructField("name", T.StringType(), False),
     T.StructField("data_type", T.StringType(), False),
     T.StructField("mode", T.StringType(), False),
+    T.StructField("max_length", T.IntegerType(), True),
+    T.StructField("precision", T.IntegerType(), True),
+    T.StructField("scale", T.IntegerType(), True),
 ])
 
 _RULES_SCHEMA = T.StructType([
@@ -394,11 +458,19 @@ _PATTERNS_SCHEMA = T.StructType([
 
 
 def meta_tables_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(META_TABLES, _TABLES_SCHEMA)
+    """meta_tables with both the canonical ``labels_str`` and a native
+    ``labels`` MAP<STRING,STRING> column (models.py:66)."""
+    from pyspark.sql import functions as F
+    return (spark.createDataFrame(META_TABLES_EXT, _TABLES_SCHEMA)
+            .withColumn(
+                "labels",
+                F.when(F.col("labels_str") == "",
+                       F.expr("cast(map() as map<string,string>)"))
+                .otherwise(F.expr("str_to_map(labels_str, ',', '=')"))))
 
 
 def meta_columns_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(META_COLUMNS, _COLUMNS_SCHEMA)
+    return spark.createDataFrame(META_COLUMNS_EXT, _COLUMNS_SCHEMA)
 
 
 def custom_rules_df(spark: SparkSession) -> DataFrame:

@@ -49,9 +49,12 @@ def classified_columns(spark: SparkSession,
 
 
 def classification_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[Q] P3/P4/P5: classification flags for every catalog column."""
+    """[Q] P3/P4/P5: classification flags for every catalog column, with
+    the type parameters (max_length / precision / scale, models.py:41-43)
+    carried through for downstream consumers."""
     return classified_columns(spark).select(
         "table_id", "ordinal", "name", "data_type", "mode",
+        "max_length", "precision", "scale",
         "is_pk", "is_fk", "likely_pk")
 
 
@@ -59,6 +62,7 @@ def classification_oracle() -> str:
     d = "duck"
     return f"""
 SELECT c.table_id, c.ordinal, c.name, c.data_type, c.mode,
+       c.max_length, c.precision, c.scale,
        {rc.pk_sql(d)} AS is_pk,
        {rc.fk_sql(d)} AS is_fk,
        {rc.likely_pk_sql(d)} AS likely_pk
@@ -88,13 +92,20 @@ def schema_complexity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("mode") == "REPEATED", 1).otherwise(0))
             .cast("long").alias("repeated_columns"),
             F.countDistinct("data_type").cast("long").alias("data_types"),
+            F.sum(F.when(F.col("max_length").isNotNull()
+                         | F.col("precision").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("parameterized_columns"),
         )
-        .join(F.broadcast(t.select("table_id", "num_rows", "num_bytes")),
+        .join(F.broadcast(t.select("table_id", "num_rows", "num_bytes",
+                                   "labels_str")),
               "table_id")
         .select(
             "table_id", "total_columns", "primary_keys", "foreign_keys",
             "nullable_columns", "required_columns", "repeated_columns",
-            "data_types",
+            "data_types", "parameterized_columns",
+            F.when(F.col("labels_str") == "", F.lit(0))
+            .otherwise(F.size(F.split("labels_str", ",")))
+            .cast("long").alias("n_labels"),
             F.round(F.col("num_bytes") / (1024.0 * 1024.0), 6)
             .alias("table_size_mb"),
             F.col("num_rows").alias("row_count"))
@@ -123,6 +134,12 @@ SELECT c.table_id,
        CAST(sum(CASE WHEN mode = 'REPEATED' THEN 1 ELSE 0 END) AS BIGINT)
          AS repeated_columns,
        CAST(count(DISTINCT data_type) AS BIGINT) AS data_types,
+       CAST(sum(CASE WHEN max_length IS NOT NULL
+                     OR precision IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS parameterized_columns,
+       CAST(CASE WHEN any_value(t.labels_str) = '' THEN 0
+            ELSE len(string_split(any_value(t.labels_str), ',')) END
+            AS BIGINT) AS n_labels,
        round(any_value(t.num_bytes) / (1024.0 * 1024.0), 6)
          AS table_size_mb,
        any_value(t.num_rows) AS row_count

@@ -360,13 +360,15 @@ def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = fx.meta_tables_df(spark)
     return (t.where(~F.col("table_type").isin("VIEW", "EXTERNAL"))
             .select("dataset_id", "table_id", "table_type",
-                    "num_rows", "num_bytes"))
+                    "num_rows", "num_bytes",
+                    F.col("labels_str").alias("labels")))
 
 
 def catalog_tables_oracle() -> str:
     from gcp_datalake_utils_spark.catalog import fixtures as fx
     return f"""
-SELECT dataset_id, table_id, table_type, num_rows, num_bytes
+SELECT dataset_id, table_id, table_type, num_rows, num_bytes,
+       labels_str AS labels
 FROM {fx.meta_tables_values('t')}
 WHERE table_type NOT IN ('VIEW', 'EXTERNAL')
 """
