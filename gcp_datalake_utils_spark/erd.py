@@ -67,25 +67,41 @@ def generate_erd(spark: SparkSession,
 
 
 def main(argv: list[str] | None = None) -> int:
+    from gcp_datalake_utils_spark import settings
+
     p = argparse.ArgumentParser(description="Generate an ERD diagram")
-    p.add_argument("--format", default="mermaid", choices=sorted(FORMATS))
-    p.add_argument("--layout", default="auto",
+    p.add_argument("--format", default=None, choices=sorted(FORMATS))
+    p.add_argument("--layout", default=None,
                    choices=["auto", "grid", "hierarchical", "force"])
     p.add_argument("--config", default=None,
                    help="reference-format relationship_patterns.json")
     p.add_argument("--output", default=None,
                    help="output file (default: stdout)")
+    p.add_argument("--env-file", default=".env",
+                   help=".env file for layered settings (env < file < CLI)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the resolved configuration and exit")
     args = p.parse_args(argv)
+
+    eff = settings.resolve(
+        cli={"OUTPUT_FORMAT": args.format, "TABLE_LAYOUT": args.layout,
+             "OUTPUT_FILE": args.output, "PATTERN_CONFIG": args.config},
+        env_file=args.env_file)
+    if args.dry_run:
+        for k in sorted(eff):
+            print(f"{k}={'' if eff[k] is None else eff[k]}")
+        return 0
 
     from gcp_datalake_utils_spark.session import get_spark
     spark = get_spark("erd-cli")
-    spark.sparkContext.setLogLevel("ERROR")
-    cfg = PatternConfig.from_json(args.config) if args.config else None
-    doc = generate_erd(spark, args.format, args.layout, cfg)
-    if args.output:
-        with open(args.output, "w", encoding="utf-8") as f:
+    spark.sparkContext.setLogLevel(eff["LOG_LEVEL"] or "ERROR")
+    cfg = (PatternConfig.from_json(eff["PATTERN_CONFIG"])
+           if eff["PATTERN_CONFIG"] else None)
+    doc = generate_erd(spark, eff["OUTPUT_FORMAT"], eff["TABLE_LAYOUT"], cfg)
+    if eff["OUTPUT_FILE"]:
+        with open(eff["OUTPUT_FILE"], "w", encoding="utf-8") as f:
             f.write(doc + "\n")
-        print(f"wrote {args.output} ({len(doc.splitlines())} lines)")
+        print(f"wrote {eff['OUTPUT_FILE']} ({len(doc.splitlines())} lines)")
     else:
         print(doc)
     return 0
