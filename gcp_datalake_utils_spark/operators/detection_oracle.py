@@ -316,7 +316,7 @@ filtered AS (
   QUALIFY row_number() OVER (PARTITION BY source_table, target_table
             ORDER BY is_backfill, rn) = 1
 ),
-validated AS (
+validated AS MATERIALIZED (
   SELECT f.* FROM filtered f
   JOIN cls sc ON f.source_table = sc.table_id
         AND f.source_column = sc.name
