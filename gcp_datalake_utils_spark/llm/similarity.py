@@ -127,6 +127,111 @@ WHERE rank <= {TOP_K}
 """
 
 
+# --- random-hyperplane LSH (SimHash-for-vectors ANN scale path) --------
+#
+# H fixed pseudo-random hyperplanes; each embedding hashes to an H-bit
+# bucket (bit j = sign of the projection onto plane j). Cosine-similar
+# vectors collide with high probability, so ANN search becomes: hash the
+# query, equi-join candidates on the bucket id (plus the H hamming-1
+# probe buckets = classic multi-probe), exact-rank only the candidates.
+# At 100 TB the signature table is written partitioned by bucket and the
+# probe join prunes to nprobe/2^H of the corpus. Plane signs use pure
+# integer arithmetic so both engines derive bit-identical planes; the
+# projection is rounded to 6 places before the sign so float noise at
+# the boundary cannot flip a bit in one engine only.
+
+N_PLANES = 16
+N_DIMS = 64
+_PA, _PB, _PM = 73856093, 19349663, 97
+
+
+def _plane_sign_sql(j: int, d: str) -> str:
+    # +1 / -1 from integer hashing of (plane, dim) — engine-agnostic
+    return (f"CASE WHEN (({j * _PA} + CAST({d} AS BIGINT) * {_PB})"
+            f" % {_PM}) % 2 = 0 THEN 1.0 ELSE -1.0 END")
+
+
+def _bucket_spark(col: str):
+    bits = []
+    for j in range(N_PLANES):
+        proj = (f"round(aggregate(zip_with({col}, sequence(0, {N_DIMS - 1}),"
+                f" (x, d) -> CAST(x AS DOUBLE) * ({_plane_sign_sql(j, 'd')})),"
+                f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6)")
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END")
+    return F.expr("CAST(" + " + ".join(bits) + " AS INT)")
+
+
+def _bucket_duck(col: str) -> str:
+    bits = []
+    for j in range(N_PLANES):
+        proj = (f"round(list_sum(list_transform(range({N_DIMS}), d -> "
+                f"CAST({col}[d + 1] AS DOUBLE)"
+                f" * ({_plane_sign_sql(j, 'd')}))), 6)")
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(bits) + " AS INT)"
+
+
+def rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] bucket histogram of the random-hyperplane signatures — the
+    load-balance view a partition-by-bucket layout would exhibit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (e.select(_bucket_spark("embedding").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_vecs")))
+
+
+RP_LSH_BUCKETS_ORACLE = f"""
+SELECT {_bucket_duck('embedding')} AS bucket, count(*) AS n_vecs
+FROM embeddings
+GROUP BY 1
+"""
+
+
+def rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] multi-probe LSH ANN: candidates = rows whose bucket equals the
+    query's bucket OR any hamming-1 probe of it (17 probe keys exploded
+    from the broadcast query row -> equi-join on bucket, partition-
+    prunable at scale); exact cosine + TakeOrdered top-k over the
+    candidate set only."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("bucket", _bucket_spark("embedding")))
+    probes = [F.col("q_bucket")] + [
+        F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
+        for j in range(N_PLANES)]
+    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("embedding").alias("q_embedding"),
+                 F.col("bucket").alias("q_bucket"))
+         .select("q_embedding",
+                 F.explode(F.array(*probes)).alias("bucket")))
+    scored = (e.where(F.col("vec_id") != QUERY_VEC_ID)
+              .join(F.broadcast(q), "bucket")
+              .select("vec_id", "label", _cosine_col().alias("cosine")))
+    return _topk_ranked(scored)
+
+
+RP_LSH_TOPK_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id, label, embedding,
+         {_bucket_duck('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT embedding, unnest([bucket] || list_transform(
+           range({N_PLANES}), j -> xor(bucket, 1 << j))) AS bucket
+  FROM sig WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT e.vec_id, e.label, {_cosine_sql()} AS cosine
+  FROM sig e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] embedding-cosine near-dup pairs, blocked by label (IVF cell):
     pairs within a cell with cosine >= 0.95. The label equi-join keys

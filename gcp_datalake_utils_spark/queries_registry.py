@@ -122,6 +122,10 @@ register("similarity_ivf_topk", similarity.ivf_topk,
          similarity.IVF_TOPK_ORACLE)
 register("similarity_embedding_near_dups", similarity.embedding_near_dups,
          similarity.EMBEDDING_NEAR_DUP_ORACLE)
+register("similarity_rp_lsh_buckets", similarity.rp_lsh_buckets,
+         similarity.RP_LSH_BUCKETS_ORACLE)
+register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
+         similarity.RP_LSH_TOPK_ORACLE)
 register("multimodal_features", multimodal.media_features,
          multimodal.MEDIA_FEATURES_ORACLE)
 register("user_sessions", stream_windows.user_sessions,
