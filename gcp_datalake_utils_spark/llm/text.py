@@ -37,38 +37,66 @@ def _words_col():
     return F.split(F.trim("text"), r"\s+")
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 style): contractions, letter runs,
+# digit runs, punctuation runs, whitespace — \p{L}/\p{N} classes are
+# supported identically by Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+               r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[Q] token counting + quality scoring per document."""
+    """[Q] token counting (whitespace + BPE-ish regex pre-tokenizer) and
+    quality scoring (length / punct / stopword ratios + a composite
+    0..1 score) per document — one narrow codegen projection."""
     d = load_table(spark, sf_dir, "documents")
     words = _words_col()
     n_tokens = F.size(words)
-    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
-    punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+    stop_ratio = (F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+                  / n_tokens)
+    punct_ratio = (F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+                   / F.col("n_chars"))
+    score = (F.least(F.lit(1.0), F.col("n_chars") / 500.0) * 0.4
+             + F.least(F.lit(1.0), stop_ratio / 0.04) * 0.3
+             + (1.0 - F.least(F.lit(1.0), punct_ratio * 10.0)) * 0.3)
     return d.select(
         "doc_id", "lang", "n_chars",
         n_tokens.cast("long").alias("n_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
         F.round(F.col("n_chars") / n_tokens, 6).alias("avg_token_len"),
-        F.round(punct / F.col("n_chars"), 6).alias("punct_ratio"),
-        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
         ((F.col("n_chars") >= 100) & (n_tokens >= 20)
-         & ((stop_hits / n_tokens) >= 0.02)).alias("quality_pass"))
+         & (stop_ratio >= 0.02)).alias("quality_pass"))
 
+
+_STOPLIST = ", ".join(repr(w) for w in STOPWORDS)
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
 
 TOKEN_STATS_ORACLE = f"""
 SELECT doc_id, lang, n_chars,
-       CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
-       round(n_chars / CAST(len({_WORDS}) AS DOUBLE), 6)
-         AS avg_token_len,
-       round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
-             / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
-       round(len(list_filter({_WORDS},
-             w -> w IN ({', '.join(repr(w) for w in STOPWORDS)})))
-             / CAST(len({_WORDS}) AS DOUBLE), 6) AS stopword_ratio,
-       (n_chars >= 100 AND len({_WORDS}) >= 20
-        AND len(list_filter({_WORDS},
-            w -> w IN ({', '.join(repr(w) for w in STOPWORDS)})))
-            / CAST(len({_WORDS}) AS DOUBLE) >= 0.02) AS quality_pass
-FROM documents
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       round(n_chars / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(least(1.0, n_chars / 500.0) * 0.4
+             + least(1.0, stop_ratio / 0.04) * 0.3
+             + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.3, 6)
+         AS quality_score,
+       (n_chars >= 100 AND n_tokens >= 20 AND stop_ratio >= 0.02)
+         AS quality_pass
+FROM (
+  SELECT doc_id, lang, n_chars,
+         len({_WORDS}) AS n_tokens,
+         len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+           / CAST(n_chars AS DOUBLE) AS punct_ratio,
+         len(list_filter({_WORDS}, w -> w IN ({_STOPLIST})))
+           / CAST(len({_WORDS}) AS DOUBLE) AS stop_ratio
+  FROM documents
+)
 """
 
 
@@ -123,8 +151,13 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     words = _words_col()
+    # guarded like dedup._shingles: <3-word docs get an empty shingle
+    # list (NULL min hash), matching the oracle's empty range — an
+    # unguarded sequence(1, size-2) counts down through 0 and errors
     shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+        F.when(F.size(words) >= 3,
+               F.sequence(F.lit(1), F.size(words) - 2))
+        .otherwise(F.array().cast("array<int>")),
         lambda i: F.concat_ws(
             " ", F.element_at(words, i), F.element_at(words, i + 1),
             F.element_at(words, i + 2)))
