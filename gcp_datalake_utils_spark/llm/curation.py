@@ -1,0 +1,87 @@
+"""End-to-end corpus curation: the composed training-data admission
+pipeline (north-star extension) — exact-dedup canonicalization + quality
+gating + language allow-list in ONE declarative plan.
+
+Order of precedence for the drop reason mirrors a production curation
+pipeline: duplicates are cheapest to name first, then quality, then
+language; a document is kept only if it survives all three. Everything
+is built-in Column expressions over one scan of documents plus one
+window on the content hash — at 100 TB the window key (content_md5) is
+the exact-dedup shuffle the pipeline needs anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.llm.text import STOPWORDS
+from gcp_datalake_utils_spark.sources import load_table
+
+ALLOWED_LANGS = ["en", "de", "fr", "zh", "he"]
+MIN_CHARS = 100
+MIN_TOKENS = 20
+MIN_STOP_RATIO = 0.02
+
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+_STOPLIST = ", ".join(repr(w) for w in STOPWORDS)
+
+
+def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] per-document admission verdict: keep flag + first failing
+    reason ('dup' | 'quality' | 'lang' | 'kept')."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    n_tokens = F.size(words)
+    stop_ratio = (F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+                  / n_tokens)
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    w = Window.partitionBy("content_md5")
+    base = (d.select("doc_id", "lang", "n_chars",
+                     F.md5(norm.cast("binary")).alias("content_md5"),
+                     n_tokens.alias("n_tokens"),
+                     stop_ratio.alias("stop_ratio"))
+            .withColumn("canonical_id", F.min("doc_id").over(w)))
+    is_dup = F.col("doc_id") != F.col("canonical_id")
+    bad_quality = ((F.col("n_chars") < MIN_CHARS)
+                   | (F.col("n_tokens") < MIN_TOKENS)
+                   | (F.col("stop_ratio") < MIN_STOP_RATIO))
+    bad_lang = ~F.col("lang").isin(ALLOWED_LANGS)
+    reason = (F.when(is_dup, "dup")
+              .when(bad_quality, "quality")
+              .when(bad_lang, "lang")
+              .otherwise("kept"))
+    return base.select(
+        "doc_id", "lang", "canonical_id",
+        (reason == "kept").alias("keep"),
+        reason.alias("reason"))
+
+
+_LANGS = ", ".join(repr(x) for x in ALLOWED_LANGS)
+
+CURATE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS content_md5,
+         len({_WORDS}) AS n_tokens,
+         len(list_filter({_WORDS}, w -> w IN ({_STOPLIST})))
+           / CAST(len({_WORDS}) AS DOUBLE) AS stop_ratio
+  FROM documents
+),
+canon AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY content_md5) AS canonical_id
+  FROM base
+)
+SELECT doc_id, lang, canonical_id,
+       (reason = 'kept') AS keep, reason
+FROM (
+  SELECT *,
+         CASE WHEN doc_id <> canonical_id THEN 'dup'
+              WHEN n_chars < {MIN_CHARS} OR n_tokens < {MIN_TOKENS}
+                   OR stop_ratio < {MIN_STOP_RATIO} THEN 'quality'
+              WHEN lang NOT IN ({_LANGS}) THEN 'lang'
+              ELSE 'kept' END AS reason
+  FROM canon
+)
+"""

@@ -232,6 +232,53 @@ WHERE rank <= {TOP_K}
 """
 
 
+N_CLUSTERS = 8
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] one k-means assignment step — the IVF coarse-quantizer
+    training primitive. Seeds are the K lowest vec_ids (deterministic);
+    every vector scores against the broadcast seed set (K-row fan-out,
+    no shuffle) and keeps its best cluster via a partial-aggregated
+    groupBy argmax (shuffle carries one row per vector, not K). Cosine
+    is rounded before the argmax so ties break identically on both
+    engines (then lowest cluster id wins)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = (e.orderBy("vec_id").limit(N_CLUSTERS)
+             .select(F.col("vec_id").alias("cluster"),
+                     F.col("embedding").alias("seed")))
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("seed"))
+        / (_norm(F.col("embedding")) * _norm(F.col("seed"))), 6)
+    best = F.max(F.struct(
+        sim.alias("sim"), (-F.col("cluster")).alias("negc")))
+    return (e.crossJoin(F.broadcast(seeds))
+            .groupBy("vec_id")
+            .agg(best.alias("b"))
+            .select("vec_id",
+                    (-F.col("b.negc")).cast("int").alias("cluster"),
+                    F.col("b.sim").alias("cosine")))
+
+
+KMEANS_ASSIGN_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS cluster, embedding AS seed
+  FROM embeddings ORDER BY vec_id LIMIT {N_CLUSTERS}
+),
+scored AS (
+  SELECT e.vec_id, s.cluster,
+         round(({_DOT_SQL.format(a='e.embedding', b='s.seed')})
+               / (({_NORM_SQL.format(a='e.embedding')})
+                  * ({_NORM_SQL.format(a='s.seed')})), 6) AS cosine
+  FROM embeddings e, seeds s
+)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, cosine
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cosine DESC, cluster) = 1
+"""
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] embedding-cosine near-dup pairs, blocked by label (IVF cell):
     pairs within a cell with cosine >= 0.95. The label equi-join keys

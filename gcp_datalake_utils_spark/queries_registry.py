@@ -24,7 +24,13 @@ from gcp_datalake_utils_spark.operators import (
 from gcp_datalake_utils_spark.operators import detection_oracle as do
 from gcp_datalake_utils_spark.formatters import diagrams
 from gcp_datalake_utils_spark.formatters import oracles as fmt_oracles
-from gcp_datalake_utils_spark.llm import dedup, multimodal, similarity, text
+from gcp_datalake_utils_spark.llm import (
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from gcp_datalake_utils_spark.streaming import windows as stream_windows
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -126,6 +132,9 @@ register("similarity_rp_lsh_buckets", similarity.rp_lsh_buckets,
          similarity.RP_LSH_BUCKETS_ORACLE)
 register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
          similarity.RP_LSH_TOPK_ORACLE)
+register("similarity_kmeans_assign", similarity.kmeans_assign,
+         similarity.KMEANS_ASSIGN_ORACLE)
+register("corpus_curation", curation.curate, curation.CURATE_ORACLE)
 register("multimodal_features", multimodal.media_features,
          multimodal.MEDIA_FEATURES_ORACLE)
 register("user_sessions", stream_windows.user_sessions,

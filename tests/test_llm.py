@@ -111,3 +111,25 @@ def test_rp_lsh_plan_is_broadcast_equijoin(spark, sf_dir):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_assign_properties(spark, sf_dir):
+    rows = similarity.kmeans_assign(spark, sf_dir).collect()
+    clusters = {r.cluster for r in rows}
+    assert clusters <= set(range(similarity.N_CLUSTERS))
+    by_id = {r.vec_id: r for r in rows}
+    for seed_id in range(similarity.N_CLUSTERS):
+        r = by_id[seed_id]
+        assert r.cluster == seed_id and abs(r.cosine - 1.0) < 1e-6, \
+            "seed must land in its own cluster"
+
+
+def test_corpus_curation_reasons(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import curation
+    rows = curation.curate(spark, sf_dir).collect()
+    assert {r.reason for r in rows} <= {"dup", "quality", "lang", "kept"}
+    for r in rows:
+        assert r.keep == (r.reason == "kept")
+        if r.reason == "dup":
+            assert r.canonical_id < r.doc_id
+    assert any(r.keep for r in rows)
