@@ -51,7 +51,9 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = _words_col()
     n_tokens = F.size(words)
-    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+    # count matches without materializing the token array (the oracle
+    # uses len(regexp_extract_all(...)) — same count, run once)
+    n_bpe = F.regexp_count("text", F.lit(BPE_PATTERN))
     stop_ratio = (F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
                   / n_tokens)
     punct_ratio = (F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
