@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_datalake_utils_spark.operators import (
+    asof,
     classify,
     datatest,
     detection,
@@ -135,6 +136,8 @@ register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
 register("similarity_kmeans_assign", similarity.kmeans_assign,
          similarity.KMEANS_ASSIGN_ORACLE)
 register("corpus_curation", curation.curate, curation.CURATE_ORACLE)
+register("asof_last_order", asof.asof_last_order,
+         asof.ASOF_LAST_ORDER_ORACLE)
 register("multimodal_features", multimodal.media_features,
          multimodal.MEDIA_FEATURES_ORACLE)
 register("user_sessions", stream_windows.user_sessions,

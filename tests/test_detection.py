@@ -72,3 +72,17 @@ def test_conflict_resolution_keeps_max_confidence(spark):
              r.target_column)
         assert k not in keyed, "duplicate endpoint key after resolution"
         keyed[k] = r
+
+
+def test_asof_order_precedes_event(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from gcp_datalake_utils_spark.operators import asof
+    from gcp_datalake_utils_spark.sources import load_table
+    res = asof.asof_last_order(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("ots"))
+    bad = (res.where(F.col("last_orderkey").isNotNull())
+           .join(orders, "last_orderkey")
+           .where(F.col("ots") > F.to_timestamp("event_ts")))
+    assert bad.count() == 0

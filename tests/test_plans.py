@@ -53,3 +53,13 @@ def test_topk_is_take_ordered_not_global_window(spark, sf_dir):
             if "SinglePartition" in ln:
                 assert plan.index(ln) < take_pos, \
                     f"{fn.__name__}: corpus flows through SinglePartition"
+
+
+def test_asof_single_user_shuffle(spark, sf_dir):
+    """The as-of timeline formulation must shuffle once on user_id —
+    never a range-join fan-out (no CartesianProduct / broadcast NLJ)."""
+    from gcp_datalake_utils_spark.operators import asof
+    plan = _formatted_plan(asof.asof_last_order(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
