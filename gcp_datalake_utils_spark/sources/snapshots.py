@@ -54,15 +54,73 @@ def write_snapshot(df: DataFrame, base: str, table: str,
     return epoch_ms
 
 
+def _to_epoch_ms(ts: int | str) -> int:
+    """Accept epoch-ms ints or ISO timestamp strings (the form Delta's
+    ``timestampAsOf`` takes)."""
+    if isinstance(ts, int):
+        return ts
+    from datetime import datetime, timezone
+    dt = datetime.fromisoformat(ts)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def read_as_of(spark: SparkSession, base: str, table: str,
-               epoch_ms: int) -> DataFrame:
-    """S7: read the latest snapshot at or before ``epoch_ms``
-    (the ``table@EPOCH_MS`` semantics)."""
+               epoch_ms: int | str) -> DataFrame:
+    """S7: read the latest snapshot at or before ``epoch_ms`` (the
+    ``table@EPOCH_MS`` / Delta ``timestampAsOf`` semantics; ISO strings
+    accepted)."""
+    epoch_ms = _to_epoch_ms(epoch_ms)
     versions = [v for v in list_versions(base, table) if v <= epoch_ms]
     if not versions:
         raise FileNotFoundError(
             f"no snapshot of {table} at or before {epoch_ms}")
     return spark.read.parquet(_version_dir(base, table, versions[-1]))
+
+
+def read_version(spark: SparkSession, base: str, table: str,
+                 version: int) -> DataFrame:
+    """Delta ``versionAsOf`` analog: ordinal into the version history
+    (0 = oldest; negatives index from the end, -1 = latest)."""
+    versions = list_versions(base, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots of {table}")
+    try:
+        epoch_ms = versions[version]
+    except IndexError:
+        raise FileNotFoundError(
+            f"{table} has {len(versions)} versions; no ordinal {version}")
+    return spark.read.parquet(_version_dir(base, table, epoch_ms))
+
+
+def snapshot_diff(spark: SparkSession, base: str, table: str,
+                  old: int | str, new: int | str,
+                  key_cols: list[str]) -> DataFrame:
+    """Change detection between two snapshots (the incremental
+    processor's per-row analog of the schema checksum gate): full-outer
+    join on the key columns, rows classified added / removed / changed /
+    unchanged by hashing the non-key columns. One shuffle per side on
+    the key — at 100 TB this is the standard CDC reconciliation join;
+    AQE handles skewed keys."""
+    from pyspark.sql import functions as F
+    a = read_as_of(spark, base, table, _to_epoch_ms(old))
+    b = read_as_of(spark, base, table, _to_epoch_ms(new))
+    val_cols = [c for c in b.columns if c not in key_cols]
+
+    def _hashed(df: DataFrame, tag: str) -> DataFrame:
+        h = F.md5(F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+                      for c in val_cols]))
+        return df.select(*key_cols, h.alias(f"h_{tag}"))
+
+    joined = _hashed(a, "old").join(_hashed(b, "new"), key_cols,
+                                    "full_outer")
+    status = (F.when(F.col("h_old").isNull(), "added")
+              .when(F.col("h_new").isNull(), "removed")
+              .when(F.col("h_old") != F.col("h_new"), "changed")
+              .otherwise("unchanged"))
+    return joined.select(*key_cols, status.alias("status"))
 
 
 def restore_table(spark: SparkSession, base: str, table: str,

@@ -47,3 +47,40 @@ def test_restore_dataset_summary(spark, tmp_path):
     out = sn.restore_dataset(spark, base, ["a", "missing"], 1500, target)
     statuses = {r["table_id"]: r["status"] for r in out.collect()}
     assert statuses == {"a": "restored", "missing": "failed"}
+
+
+def test_read_version_ordinals(spark, tmp_path):
+    from gcp_datalake_utils_spark.sources import snapshots as sn
+    base = str(tmp_path / "snaps")
+    df1 = spark.range(3).toDF("id")
+    df2 = spark.range(5).toDF("id")
+    sn.write_snapshot(df1, base, "t", epoch_ms=1000)
+    sn.write_snapshot(df2, base, "t", epoch_ms=2000)
+    assert sn.read_version(spark, base, "t", 0).count() == 3
+    assert sn.read_version(spark, base, "t", -1).count() == 5
+
+
+def test_read_as_of_iso_string(spark, tmp_path):
+    from gcp_datalake_utils_spark.sources import snapshots as sn
+    base = str(tmp_path / "snaps")
+    df = spark.range(4).toDF("id")
+    # 2024-01-01T00:00:00Z = 1704067200000 ms
+    sn.write_snapshot(df, base, "t", epoch_ms=1704067200000)
+    assert sn.read_as_of(
+        spark, base, "t", "2024-06-01T00:00:00+00:00").count() == 4
+
+
+def test_snapshot_diff_statuses(spark, tmp_path):
+    from pyspark.sql import Row
+    from gcp_datalake_utils_spark.sources import snapshots as sn
+    base = str(tmp_path / "snaps")
+    old = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")])
+    new = spark.createDataFrame(
+        [Row(k=2, v="b"), Row(k=3, v="CHANGED"), Row(k=4, v="d")])
+    sn.write_snapshot(old, base, "t", epoch_ms=1000)
+    sn.write_snapshot(new, base, "t", epoch_ms=2000)
+    got = {r.k: r.status
+           for r in sn.snapshot_diff(spark, base, "t", 1000, 2000,
+                                     ["k"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
