@@ -34,6 +34,9 @@ HEADLINE = [
     "text_token_stats",
     "dedup_near_pairs",
     "similarity_cosine_topk",
+    "similarity_rp_lsh_topk",
+    "corpus_curation",
+    "asof_last_order",
     "detect_pipeline",
 ]
 
