@@ -15,26 +15,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_datalake_utils_spark.llm.text import STOPWORDS
+from gcp_datalake_utils_spark.llm.text import (
+    _WORDS,
+    _words_col,
+    MIN_CHARS,
+    MIN_STOP_RATIO,
+    MIN_TOKENS,
+    STOPWORDS,
+    stop_ratio_col,
+)
 from gcp_datalake_utils_spark.sources import load_table
 
 ALLOWED_LANGS = ["en", "de", "fr", "zh", "he"]
-MIN_CHARS = 100
-MIN_TOKENS = 20
-MIN_STOP_RATIO = 0.02
 
-_WORDS = "string_split_regex(trim(text), '\\s+')"
 _STOPLIST = ", ".join(repr(w) for w in STOPWORDS)
 
 
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] per-document admission verdict: keep flag + first failing
-    reason ('dup' | 'quality' | 'lang' | 'kept')."""
+    reason ('dup' | 'quality' | 'lang' | 'kept'). Thresholds and
+    tokenization are imported from llm.text so the 'quality' verdict
+    always agrees with token_stats.quality_pass."""
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim("text"), r"\s+")
+    words = _words_col()
     n_tokens = F.size(words)
-    stop_ratio = (F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
-                  / n_tokens)
+    stop_ratio = stop_ratio_col(words)
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     w = Window.partitionBy("content_md5")
     base = (d.select("doc_id", "lang", "n_chars",

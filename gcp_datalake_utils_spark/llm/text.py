@@ -30,11 +30,23 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it"]
 
+# quality-gate thresholds — shared with llm.curation so the curation
+# 'quality' verdict always agrees with token_stats.quality_pass
+MIN_CHARS = 100
+MIN_TOKENS = 20
+MIN_STOP_RATIO = 0.02
+
 _WORDS = "string_split_regex(trim(text), '\\s+')"
 
 
 def _words_col():
     return F.split(F.trim("text"), r"\s+")
+
+
+def stop_ratio_col(words):
+    """stopword hits / tokens, as a Column over a words array."""
+    return F.size(F.filter(words, lambda w: w.isin(STOPWORDS))) \
+        / F.size(words)
 
 
 # BPE-ish pre-tokenizer regex (GPT-2 style): contractions, letter runs,
@@ -54,8 +66,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count matches without materializing the token array (the oracle
     # uses len(regexp_extract_all(...)) — same count, run once)
     n_bpe = F.regexp_count("text", F.lit(BPE_PATTERN))
-    stop_ratio = (F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
-                  / n_tokens)
+    stop_ratio = stop_ratio_col(words)
     punct_ratio = (F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
                    / F.col("n_chars"))
     score = (F.least(F.lit(1.0), F.col("n_chars") / 500.0) * 0.4
@@ -69,8 +80,8 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality_score"),
-        ((F.col("n_chars") >= 100) & (n_tokens >= 20)
-         & (stop_ratio >= 0.02)).alias("quality_pass"))
+        ((F.col("n_chars") >= MIN_CHARS) & (n_tokens >= MIN_TOKENS)
+         & (stop_ratio >= MIN_STOP_RATIO)).alias("quality_pass"))
 
 
 _STOPLIST = ", ".join(repr(w) for w in STOPWORDS)
@@ -87,8 +98,8 @@ SELECT doc_id, lang, n_chars,
              + least(1.0, stop_ratio / 0.04) * 0.3
              + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.3, 6)
          AS quality_score,
-       (n_chars >= 100 AND n_tokens >= 20 AND stop_ratio >= 0.02)
-         AS quality_pass
+       (n_chars >= {MIN_CHARS} AND n_tokens >= {MIN_TOKENS}
+        AND stop_ratio >= {MIN_STOP_RATIO}) AS quality_pass
 FROM (
   SELECT doc_id, lang, n_chars,
          len({_WORDS}) AS n_tokens,

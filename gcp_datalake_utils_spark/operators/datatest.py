@@ -115,7 +115,10 @@ def _report_for_specs(spark: SparkSession, sf_dir: str,
     sb = fb.groupBy("spec").agg(
         F.count("*").alias("nb_distinct"),
         F.sum("cb").alias("nb_rows"))
-    totals = sa.join(sb, "spec")
+    # full outer + the meta left-join below keep a spec whose side(s)
+    # are empty (all-NULL column, zero sample): it must yield a zeros
+    # row like the oracle's always-1-row sa/sb CTEs, not vanish
+    totals = sa.join(sb, "spec", "full_outer")
     stats = (fa.join(fb, ["spec", "v"])
              .join(F.broadcast(
                  totals.select("spec", "na_rows", "nb_rows")), "spec")
@@ -129,7 +132,11 @@ def _report_for_specs(spark: SparkSession, sf_dir: str,
         [(i, f"{st}.{sc}->{tt}.{tc}", type_compat_score(sty, tty))
          for i, (st, sc, tt, tc, sty, tty) in enumerate(specs)],
         ["spec", "relationship", "tscore"]))
-    row = (totals.join(stats, "spec", "left").join(meta, "spec")
+    row = (meta.join(totals, "spec", "left").join(stats, "spec", "left")
+           .withColumn("na_distinct",
+                       F.coalesce(F.col("na_distinct"), F.lit(0)))
+           .withColumn("nb_distinct",
+                       F.coalesce(F.col("nb_distinct"), F.lit(0)))
            .withColumn("n_common",
                        F.coalesce(F.col("n_common"), F.lit(0)))
            .withColumn("common_src_rows",

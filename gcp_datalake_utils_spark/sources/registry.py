@@ -30,8 +30,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``nanosAsLong`` is set here (runtime-settable) rather than only in the
     session factory so events.parquet — which carries TIMESTAMP(NANOS)
     columns Spark's reader otherwise rejects — loads under ANY host-built
-    SparkSession, not just ours."""
+    SparkSession, not just ours. The session timezone is pinned to UTC
+    for the same reason: the testdata stores naive instants
+    (isAdjustedToUTC=0) and every timestamp-rendering expression
+    (date_format / date_trunc / session_window) would otherwise shift by
+    the HOST JVM's default zone, diverging from the tz-naive oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -106,12 +106,16 @@ def snapshot_diff(spark: SparkSession, base: str, table: str,
     from pyspark.sql import functions as F
     a = read_as_of(spark, base, table, _to_epoch_ms(old))
     b = read_as_of(spark, base, table, _to_epoch_ms(new))
-    val_cols = [c for c in b.columns if c not in key_cols]
+    # value columns = union of BOTH schemas (sorted for determinism):
+    # a column added or dropped between snapshots reads as NULL on the
+    # side that lacks it, so rows differing only in it classify as
+    # 'changed' instead of erroring (added) or passing silently (dropped)
+    val_cols = sorted((set(a.columns) | set(b.columns)) - set(key_cols))
 
     def _hashed(df: DataFrame, tag: str) -> DataFrame:
-        h = F.md5(F.concat_ws(
-            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
-                      for c in val_cols]))
+        cells = [F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+                 if c in df.columns else F.lit("\\N") for c in val_cols]
+        h = F.md5(F.concat_ws("\x01", *cells))
         return df.select(*key_cols, h.alias(f"h_{tag}"))
 
     joined = _hashed(a, "old").join(_hashed(b, "new"), key_cols,

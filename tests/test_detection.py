@@ -86,3 +86,37 @@ def test_asof_order_precedes_event(spark, sf_dir):
            .join(orders, "last_orderkey")
            .where(F.col("ots") > F.to_timestamp("event_ts")))
     assert bad.count() == 0
+
+
+def test_relationship_empty_side_yields_zero_row(spark, sf_dir):
+    """A spec whose sampled sides are empty must produce a zeros row
+    (oracle semantics), not silently vanish from the report."""
+    from gcp_datalake_utils_spark.operators import datatest
+    row = datatest.test_relationship(
+        spark, sf_dir, "orders", "o_custkey", "customer", "c_custkey",
+        "INT64", "INT64", sample_fraction=0.0).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.referential_integrity == 0.0
+    assert r.distinct_source == 0 and r.common_values == 0
+
+
+def test_events_queries_utc_under_non_utc_host(spark, sf_dir):
+    """load_table must pin the session timezone to UTC: a host session
+    configured for another zone would otherwise shift every rendered
+    event timestamp away from the tz-naive oracle."""
+    from gcp_datalake_utils_spark.operators import payload
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = payload.events_hourly(spark, sf_dir)
+        hours = [r.hour_start for r in df.limit(5).collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    oracle_hours = {r[0] for r in con.execute(
+        "SELECT DISTINCT strftime(date_trunc('hour', CAST(ts AS "
+        "TIMESTAMP)), '%Y-%m-%d %H:%M:%S') FROM events").fetchall()}
+    assert set(hours) <= oracle_hours

@@ -49,10 +49,12 @@ def test_topk_is_take_ordered_not_global_window(spark, sf_dir):
         # a SinglePartition exchange: every Exchange SinglePartition in
         # the plan must appear ABOVE (before) the TakeOrdered node text.
         take_pos = plan.index("TakeOrderedAndProject")
-        for i, ln in enumerate(plan.splitlines()):
+        offset = 0
+        for ln in plan.splitlines(keepends=True):
             if "SinglePartition" in ln:
-                assert plan.index(ln) < take_pos, \
+                assert offset < take_pos, \
                     f"{fn.__name__}: corpus flows through SinglePartition"
+            offset += len(ln)
 
 
 def test_asof_single_user_shuffle(spark, sf_dir):

@@ -84,3 +84,22 @@ def test_snapshot_diff_statuses(spark, tmp_path):
            for r in sn.snapshot_diff(spark, base, "t", 1000, 2000,
                                      ["k"]).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_schema_evolution(spark, tmp_path):
+    from pyspark.sql import Row
+    from gcp_datalake_utils_spark.sources import snapshots as sn
+    base = str(tmp_path / "snaps")
+    old = spark.createDataFrame([Row(k=1, v="a", dropped="x"),
+                                 Row(k=2, v="b", dropped="y")])
+    new = spark.createDataFrame([Row(k=1, v="a", added=10),
+                                 Row(k=2, v="b", added=None)])
+    sn.write_snapshot(old, base, "t", epoch_ms=1000)
+    sn.write_snapshot(new, base, "t", epoch_ms=2000)
+    got = {r.k: r.status
+           for r in sn.snapshot_diff(spark, base, "t", 1000, 2000,
+                                     ["k"]).collect()}
+    # k=1 differs via both the dropped and the added column; k=2 differs
+    # via the dropped column only (added is NULL both effectively)
+    assert got[1] == "changed"
+    assert got[2] == "changed"
