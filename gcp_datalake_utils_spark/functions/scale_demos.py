@@ -1,0 +1,107 @@
+"""Oracle-checked twins of headline queries routed through the scale
+utilities (``functions/skew.py``, ``sources/bucketing.py``) — proof the
+100 TB paths produce byte-identical results, not just plausible ones.
+
+- salted revenue: the customer dimension join runs as an 8-way salted
+  join (the broadcast-ineligible power-law-key case) — same output as
+  ``payload.revenue_by_nation``, same oracle.
+- two-phase hourly: per-type event totals via (key, salt) partial
+  aggregation then key merge — the single-hot-group case.
+- bucketed revenue: lineitem/orders persisted bucketed by orderkey, the
+  fact-fact join planned shuffle-free on the bucketed layout (written
+  once per session; at 100 TB this is the write-time layout decision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.functions.skew import (
+    salted_join,
+    two_phase_agg,
+)
+from gcp_datalake_utils_spark.sources import load_events, load_table
+from gcp_datalake_utils_spark.sources.bucketing import write_bucketed
+
+
+def revenue_by_nation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] revenue_by_nation with the customer join salted 8 ways."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = (load_table(spark, sf_dir, "customer")
+         .withColumnRenamed("c_custkey", "o_custkey"))
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    fact = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    joined = salted_join(fact, c, "o_custkey", n=8)
+    return (joined
+            .join(F.broadcast(n),
+                  joined["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 6)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items"),
+                 F.countDistinct("o_orderkey").alias("n_orders")))
+
+
+def events_by_type_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] per-type event totals via two-phase (salted) aggregation."""
+    e = load_events(spark, sf_dir)
+    agg = two_phase_agg(e, "event_type", n=8,
+                        aggs={"event_id": "count", "value": "sum"})
+    return agg.select(
+        "event_type",
+        F.col("count_event_id").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("total_value"))
+
+
+EVENTS_BY_TYPE_ORACLE = """
+SELECT event_type,
+       count(event_id) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+_BUCKETED: dict[tuple, bool] = {}
+
+
+def revenue_by_nation_bucketed(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """[Q] revenue_by_nation over lineitem/orders persisted bucketed by
+    orderkey (16 buckets) — the fact-fact join plans with no Exchange on
+    either side. The bucketed layout is written once per session
+    (at scale it is the table's write-time layout, not a per-query
+    cost)."""
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETED:
+        import hashlib
+        loc = ("/tmp/spark_graft_bucketed/"
+               + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+            "bk_lineitem", "l_orderkey", buckets=16, path=loc)
+        write_bucketed(
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey"),
+            "bk_orders", "o_orderkey", buckets=16, path=loc)
+        _BUCKETED[key] = True
+    li = spark.table("bk_lineitem")
+    o = spark.table("bk_orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 6)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items"),
+                 F.countDistinct("o_orderkey").alias("n_orders")))

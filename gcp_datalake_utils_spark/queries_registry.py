@@ -138,6 +138,16 @@ register("similarity_kmeans_assign", similarity.kmeans_assign,
 register("corpus_curation", curation.curate, curation.CURATE_ORACLE)
 register("asof_last_order", asof.asof_last_order,
          asof.ASOF_LAST_ORDER_ORACLE)
+
+from gcp_datalake_utils_spark.functions import scale_demos  # noqa: E402
+
+register("revenue_by_nation_salted", scale_demos.revenue_by_nation_salted,
+         payload.REVENUE_BY_NATION_ORACLE)
+register("events_by_type_two_phase", scale_demos.events_by_type_two_phase,
+         scale_demos.EVENTS_BY_TYPE_ORACLE)
+register("revenue_by_nation_bucketed",
+         scale_demos.revenue_by_nation_bucketed,
+         payload.REVENUE_BY_NATION_ORACLE)
 register("multimodal_features", multimodal.media_features,
          multimodal.MEDIA_FEATURES_ORACLE)
 register("user_sessions", stream_windows.user_sessions,

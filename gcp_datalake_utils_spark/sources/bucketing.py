@@ -17,27 +17,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed(df: DataFrame, table: str, key: str,
                    buckets: int = 16,
-                   sort_cols: list[str] | None = None) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table —
-    sorted buckets additionally enable merge-join without sorting.
-    Replaces an existing table, clearing any orphaned location left by
-    an interrupted earlier write."""
+                   sort_cols: list[str] | None = None,
+                   path: str | None = None) -> None:
+    """Persist as a bucketed (and optionally sorted) table — sorted
+    buckets additionally enable merge-join without sorting. Replaces an
+    existing table, clearing any orphaned location left by an
+    interrupted earlier write. With ``path`` the table is external at
+    ``path/<table>`` (host-warehouse-independent — the warehouse dir is
+    a static conf a host session may point anywhere)."""
     import shutil
     from urllib.parse import urlparse
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    # orphan-location cleanup applies only to local, unqualified
-    # managed tables; remote warehouses (gs://, hdfs://) and qualified
-    # names resolve to other locations and are left to the catalog
-    if wh.scheme in ("", "file") and "." not in table:
-        shutil.rmtree(
-            f"{(wh.path or wh.geturl()).rstrip('/')}/{table.lower()}",
-            ignore_errors=True)
+    if path is not None:
+        loc = f"{path.rstrip('/')}/{table.lower()}"
+        shutil.rmtree(loc, ignore_errors=True)
+    else:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        # orphan-location cleanup applies only to local, unqualified
+        # managed tables; remote warehouses (gs://, hdfs://) and
+        # qualified names resolve elsewhere and are left to the catalog
+        if wh.scheme in ("", "file") and "." not in table:
+            shutil.rmtree(
+                f"{(wh.path or wh.geturl()).rstrip('/')}/{table.lower()}",
+                ignore_errors=True)
     w = (df.write.mode("overwrite")
          .bucketBy(buckets, key))
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", loc)
     w.saveAsTable(table)
 
 
