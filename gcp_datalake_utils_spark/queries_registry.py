@@ -156,6 +156,8 @@ register("windowed_counts_stream", stream_windows.windowed_counts_stream_q,
          stream_windows.WINDOWED_COUNTS_STREAM_ORACLE)
 register("dedup_stream", stream_windows.dedup_stream_q,
          stream_windows.DEDUP_STREAM_ORACLE)
+register("sliding_counts_stream", stream_windows.sliding_counts_stream_q,
+         stream_windows.SLIDING_COUNTS_STREAM_ORACLE)
 register("state_upsert", state.state_upsert, state.state_upsert_oracle())
 register("cache_lookup", state.cache_lookup, state.cache_lookup_oracle())
 register("catalog_tables", payload.catalog_tables,

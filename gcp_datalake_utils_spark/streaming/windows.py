@@ -121,6 +121,40 @@ GROUP BY 1, 2
 """
 
 
+def sliding_counts_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] sliding event-time windows (2h length, 1h slide): each event
+    contributes to two overlapping windows. Drained AvailableNow; the
+    oracle replays the window assignment by exploding each event into
+    its two window starts."""
+    e = _event_stream(spark, sf_dir)
+    out = run_available_now(
+        e.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("total_value")),
+        _next_sink())
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type", "n_events", "total_value")
+
+
+SLIDING_COUNTS_STREAM_ORACLE = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM (
+  SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                 date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   - INTERVAL 1 HOUR]) AS ws,
+         event_type, value
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
 def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] streaming dedup on (user_id, event_type, hour) — collapse
     repeated same-type events from a user within the hour, the classic
