@@ -62,6 +62,43 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"))
 
 
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test = remainder
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] deterministic dataset split: each document lands in
+    train/val/test by an md5 hash bucket of its id — stable across
+    engines, runs, partitionings and cluster sizes (unlike seeded
+    ``sample``, whose output depends on partition layout). The split
+    column is a narrow projection, so downstream readers filter on it
+    with no shuffle; at 100 TB the split is a partition column."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 4), 16, 10)
+              .cast("long") % 100)
+    split = (F.when(bucket < SPLIT_TRAIN_PCT, "train")
+             .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+             .otherwise("test"))
+    return d.select("doc_id", bucket.alias("bucket"),
+                    split.alias("split"))
+
+
+TRAIN_VAL_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                 AS INTEGER) % 100 AS BIGINT) AS bucket,
+       CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                      1, 4) AS INTEGER) % 100 < {SPLIT_TRAIN_PCT}
+                 THEN 'train'
+            WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                      1, 4) AS INTEGER) % 100
+                 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 _LANGS = ", ".join(repr(x) for x in ALLOWED_LANGS)
 
 CURATE_ORACLE = f"""

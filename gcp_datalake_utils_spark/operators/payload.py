@@ -297,6 +297,31 @@ GROUP BY 1, 2
 """
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] exact interpolated percentiles of event value per type —
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    the type-7 definition (index p·(n−1), linear interpolation). The
+    scale path swaps in ``approx_percentile`` (t-digest style sketch,
+    mergeable map-side) when exactness is not required."""
+    e = load_events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.count("*").alias("n"))
+
+
+VALUE_PERCENTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 def audit_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] S9/U3: the restore script's ±1-day audit-log discovery
     (``restore_dataset.sh:94-135``) over events: who acted in the window

@@ -136,6 +136,10 @@ register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
 register("similarity_kmeans_assign", similarity.kmeans_assign,
          similarity.KMEANS_ASSIGN_ORACLE)
 register("corpus_curation", curation.curate, curation.CURATE_ORACLE)
+register("train_val_split", curation.train_val_split,
+         curation.TRAIN_VAL_SPLIT_ORACLE)
+register("value_percentiles", payload.value_percentiles,
+         payload.VALUE_PERCENTILES_ORACLE)
 register("asof_last_order", asof.asof_last_order,
          asof.ASOF_LAST_ORDER_ORACLE)
 

@@ -133,3 +133,16 @@ def test_corpus_curation_reasons(spark, sf_dir):
         if r.reason == "dup":
             assert r.canonical_id < r.doc_id
     assert any(r.keep for r in rows)
+
+
+def test_train_val_split_stable_and_balanced(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import curation
+    rows = curation.train_val_split(spark, sf_dir).collect()
+    frac = {s: sum(1 for r in rows if r.split == s) / len(rows)
+            for s in ("train", "val", "test")}
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.03 < frac["val"] < 0.2
+    assert 0.03 < frac["test"] < 0.2
+    again = {r.doc_id: r.split
+             for r in curation.train_val_split(spark, sf_dir).collect()}
+    assert all(again[r.doc_id] == r.split for r in rows), "must be stable"
