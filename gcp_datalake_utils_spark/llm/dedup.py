@@ -239,6 +239,70 @@ WHERE i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE)
 """
 
 
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] Near-duplicate GROUPS: connected components over the verified
+    LSH pair graph, so an A~B~C chain collapses to one canonical doc even
+    when A~C was never a candidate pair.
+
+    Iterative min-label propagation (hash-to-min): each round every
+    vertex takes the min label in its closed neighborhood; fixpoint in
+    O(component diameter) rounds — near-dup clusters are shallow (a dup
+    cluster's diameter is tiny and independent of corpus size), so the
+    round count stays small at 100 TB while each round is one shuffle
+    keyed by vertex. Each iteration localCheckpoints (lineage would
+    otherwise double per round) — the per-round state is just
+    (doc_id, label) for docs that have a near-dup, i.e. |pairs|-sized,
+    not corpus-sized."""
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"),
+                       F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col("doc_b").alias("src"),
+                     F.col("doc_a").alias("dst"))).localCheckpoint()
+    labels = (edges.select(F.col("src").alias("doc_id"))
+              .distinct()
+              .withColumn("group_id", F.col("doc_id"))
+              .localCheckpoint())
+    for _ in range(30):  # diameter bound; real clusters converge in ~3
+        prop = (edges.join(labels,
+                           edges["src"] == labels["doc_id"])
+                .select(F.col("dst").alias("doc_id"), "group_id"))
+        new_labels = (labels.union(prop)
+                      .groupBy("doc_id")
+                      .agg(F.min("group_id").alias("group_id"))
+                      .localCheckpoint())
+        changed = (new_labels.join(labels.withColumnRenamed(
+            "group_id", "old"), "doc_id")
+            .where(F.col("group_id") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("group_id")
+    return (labels
+            .withColumn("group_size", F.count("*").over(w).cast("long"))
+            .withColumn("is_canonical",
+                        F.col("doc_id") == F.col("group_id")))
+
+
+DEDUP_GROUPS_ORACLE = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({NEAR_DUP_ORACLE}),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT v AS doc_id, min(r) AS group_id,
+       CAST(count(*) OVER (PARTITION BY min(r)) AS BIGINT) AS group_size,
+       v = min(r) AS is_canonical
+FROM reach GROUP BY v
+"""
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] 16-bit SimHash per document: per-word md5 bits vote ±1, the
     sign vector packs into an int. Hamming-close docs bucket together

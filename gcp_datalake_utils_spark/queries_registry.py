@@ -123,6 +123,7 @@ register("dedup_lsh_buckets", dedup.lsh_bucket_stats,
          dedup.LSH_BUCKETS_ORACLE)
 register("dedup_near_pairs", dedup.near_dup_pairs, dedup.NEAR_DUP_ORACLE)
 register("dedup_simhash", dedup.simhash, dedup.SIMHASH_ORACLE)
+register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
 register("similarity_cosine_topk", similarity.cosine_topk,
          similarity.COSINE_TOPK_ORACLE)
 register("similarity_ivf_topk", similarity.ivf_topk,

@@ -146,3 +146,32 @@ def test_train_val_split_stable_and_balanced(spark, sf_dir):
     again = {r.doc_id: r.split
              for r in curation.train_val_split(spark, sf_dir).collect()}
     assert all(again[r.doc_id] == r.split for r in rows), "must be stable"
+
+
+def test_dedup_groups_match_union_find(spark, sf_dir):
+    """Component labels must equal a driver-side union-find over the
+    same verified pair set (transitive closure, min-id canonical)."""
+    pairs = [(p.doc_a, p.doc_b)
+             for p in dedup.near_dup_pairs(spark, sf_dir).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+    got = {r.doc_id: r.group_id
+           for r in dedup.dedup_groups(spark, sf_dir).collect()}
+    assert got == expected
+    sizes = {}
+    for g in expected.values():
+        sizes[g] = sizes.get(g, 0) + 1
+    for r in dedup.dedup_groups(spark, sf_dir).collect():
+        assert r.group_size == sizes[r.group_id]
+        assert r.is_canonical == (r.doc_id == r.group_id)
