@@ -27,6 +27,7 @@ from gcp_datalake_utils_spark.formatters import diagrams
 from gcp_datalake_utils_spark.formatters import oracles as fmt_oracles
 from gcp_datalake_utils_spark.llm import (
     curation,
+    decontam,
     dedup,
     multimodal,
     similarity,
@@ -124,6 +125,8 @@ register("dedup_lsh_buckets", dedup.lsh_bucket_stats,
 register("dedup_near_pairs", dedup.near_dup_pairs, dedup.NEAR_DUP_ORACLE)
 register("dedup_simhash", dedup.simhash, dedup.SIMHASH_ORACLE)
 register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
+register("decontamination", decontam.decontamination,
+         decontam.DECONTAMINATION_ORACLE)
 register("similarity_cosine_topk", similarity.cosine_topk,
          similarity.COSINE_TOPK_ORACLE)
 register("similarity_ivf_topk", similarity.ivf_topk,

@@ -65,3 +65,14 @@ def test_asof_single_user_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_decontamination_broadcasts_benchmark(spark, sf_dir):
+    """Candidate generation must be a broadcast hash join on the n-gram
+    key (corpus side never shuffles) and the pair groupBy must partial-
+    aggregate (map-side combine before its single exchange)."""
+    from gcp_datalake_utils_spark.llm import decontam
+    plan = _formatted_plan(decontam.decontamination(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
