@@ -26,6 +26,7 @@ from gcp_datalake_utils_spark.operators import detection_oracle as do
 from gcp_datalake_utils_spark.formatters import diagrams
 from gcp_datalake_utils_spark.formatters import oracles as fmt_oracles
 from gcp_datalake_utils_spark.llm import (
+    chunks,
     curation,
     decontam,
     dedup,
@@ -127,6 +128,7 @@ register("dedup_simhash", dedup.simhash, dedup.SIMHASH_ORACLE)
 register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
 register("decontamination", decontam.decontamination,
          decontam.DECONTAMINATION_ORACLE)
+register("doc_chunks", chunks.doc_chunks, chunks.DOC_CHUNKS_ORACLE)
 register("similarity_cosine_topk", similarity.cosine_topk,
          similarity.COSINE_TOPK_ORACLE)
 register("similarity_ivf_topk", similarity.ivf_topk,

@@ -175,3 +175,22 @@ def test_dedup_groups_match_union_find(spark, sf_dir):
     for r in dedup.dedup_groups(spark, sf_dir).collect():
         assert r.group_size == sizes[r.group_id]
         assert r.is_canonical == (r.doc_id == r.group_id)
+
+
+def test_doc_chunks_cover_whole_doc(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import chunks as ch
+    docs = {r.doc_id: len(r.text.strip().split(" "))
+            for r in spark.read.parquet(
+                f"{sf_dir}/documents.parquet").collect()}
+    by_doc: dict[int, list] = {}
+    for r in ch.doc_chunks(spark, sf_dir).collect():
+        assert 1 <= r.n_chunk_tokens <= ch.CHUNK_TOKENS
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        last = rows[-1]
+        # the final window reaches the end of the document
+        assert (last.chunk_idx * ch.CHUNK_STRIDE
+                + last.n_chunk_tokens) == docs[doc_id]
