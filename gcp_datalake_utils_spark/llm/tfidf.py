@@ -1,0 +1,73 @@
+"""Per-document TF-IDF top terms (north-star text-analysis op): the
+classic keyword-extraction / relevance-weighting primitive.
+
+Shuffle budget at 100 TB (each stage partial-aggregates first):
+
+1. term frequency: explode words -> groupBy(doc_id, term)   [shuffle 1]
+2. document frequency: distinct pairs -> groupBy(term)      [shuffle 2]
+   (the result is vocabulary-sized — tiny next to the corpus, so the
+   tf<-df join broadcasts when stats allow; AQE decides at runtime)
+3. corpus size N joins in as a broadcast 1-row aggregate (never a
+   driver-side collect)
+4. top-k per doc: window partitioned by doc_id — per-group k, never a
+   global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.sources import load_table
+
+TOP_TERMS = 3
+
+_WORDS = "string_split(trim(text), ' ')"
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] (doc_id, term, tf, df, tfidf, rank): top-3 terms per doc by
+    tf * ln(N/df), ties broken by term text so ranks are total."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term"))
+    tf = (tokens.groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf")))
+    df = (tokens.distinct().groupBy("term")
+          .agg(F.count("*").alias("df")))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(df, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("n_docs")
+                                          / F.col("df")), 6)))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.desc("tfidf"), F.asc("term")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_TERMS)
+            .select("doc_id", "term", "tf", "df", "tfidf",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+TFIDF_TOP_TERMS_ORACLE = f"""
+WITH tokens AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM tokens GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens
+       GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6)
+           AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+WHERE rank <= {TOP_TERMS}
+"""

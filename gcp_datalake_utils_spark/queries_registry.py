@@ -33,6 +33,7 @@ from gcp_datalake_utils_spark.llm import (
     multimodal,
     similarity,
     text,
+    tfidf,
 )
 from gcp_datalake_utils_spark.streaming import windows as stream_windows
 
@@ -129,6 +130,8 @@ register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
 register("decontamination", decontam.decontamination,
          decontam.DECONTAMINATION_ORACLE)
 register("doc_chunks", chunks.doc_chunks, chunks.DOC_CHUNKS_ORACLE)
+register("tfidf_top_terms", tfidf.tfidf_top_terms,
+         tfidf.TFIDF_TOP_TERMS_ORACLE)
 register("similarity_cosine_topk", similarity.cosine_topk,
          similarity.COSINE_TOPK_ORACLE)
 register("similarity_ivf_topk", similarity.ivf_topk,
