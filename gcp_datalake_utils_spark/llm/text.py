@@ -157,6 +157,98 @@ FROM documents
 """
 
 
+# Gopher-style repetition gates (rounded metrics compared, so the flag
+# thresholds see identical values in both engines)
+MAX_TOP_WORD_FRAC = 0.15
+MIN_FRAC_UNIQUE = 0.4
+MAX_DUP_3GRAM_FRAC = 0.05
+
+
+def repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] Gopher-style repetition quality signals per document:
+    unique-word fraction, most-common-word fraction, most-common-bigram
+    fraction, duplicate-3-gram fraction, and a composite repetitive
+    flag. One narrow codegen projection — no shuffle, no UDF; the
+    per-doc mode counts are O(unique·len) array folds, bounded by
+    document length, independent of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _words_col()
+    n = F.size(words)
+
+    def _mode_count(arr):
+        uniq = F.array_distinct(arr)
+        return F.array_max(F.transform(
+            uniq, lambda w: F.size(F.filter(arr, lambda x: x == w))))
+
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i),
+                              F.element_at(words, i + 1)))) \
+        .otherwise(F.array().cast("array<string>"))
+    trigrams = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(words, i),
+                              F.element_at(words, i + 1),
+                              F.element_at(words, i + 2)))) \
+        .otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(trigrams)
+    frac_unique = F.round(F.size(F.array_distinct(words)) / n, 6)
+    top_word = F.round(_mode_count(words) / n, 6)
+    top_bigram = F.when(n >= 2, F.round(
+        _mode_count(bigrams) / F.size(bigrams), 6)).otherwise(0.0)
+    dup_tri = F.when(n_tri > 0, F.round(
+        1 - F.size(F.array_distinct(trigrams)) / n_tri, 6)) \
+        .otherwise(0.0)
+    return (d.select("doc_id", n.cast("long").alias("n_words"),
+                     frac_unique.alias("frac_unique"),
+                     top_word.alias("top_word_frac"),
+                     top_bigram.alias("top_bigram_frac"),
+                     dup_tri.alias("dup_3gram_frac"))
+            .withColumn("flag_repetitive",
+                        (F.col("frac_unique") < MIN_FRAC_UNIQUE)
+                        | (F.col("top_word_frac") > MAX_TOP_WORD_FRAC)
+                        | (F.col("dup_3gram_frac")
+                           > MAX_DUP_3GRAM_FRAC)))
+
+
+_BIGRAMS_SQL = (f"list_transform(range(1, greatest(len({_WORDS}), 1)), "
+                f"i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1])")
+_TRIGRAMS_SQL = (
+    f"list_transform(range(1, greatest(len({_WORDS}) - 1, 1)), "
+    f"i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2])")
+
+
+def _mode_count_sql(arr: str) -> str:
+    return (f"list_max(list_transform(list_distinct({arr}), "
+            f"w -> len(list_filter({arr}, x -> x = w))))")
+
+
+REPETITION_FLAGS_ORACLE = f"""
+SELECT doc_id, n_words, frac_unique, top_word_frac, top_bigram_frac,
+       dup_3gram_frac,
+       (frac_unique < {MIN_FRAC_UNIQUE}
+        OR top_word_frac > {MAX_TOP_WORD_FRAC}
+        OR dup_3gram_frac > {MAX_DUP_3GRAM_FRAC}) AS flag_repetitive
+FROM (
+  SELECT doc_id,
+         CAST(len({_WORDS}) AS BIGINT) AS n_words,
+         round(len(list_distinct({_WORDS}))
+               / CAST(len({_WORDS}) AS DOUBLE), 6) AS frac_unique,
+         round({_mode_count_sql(_WORDS)}
+               / CAST(len({_WORDS}) AS DOUBLE), 6) AS top_word_frac,
+         CASE WHEN len({_WORDS}) >= 2 THEN
+           round({_mode_count_sql(_BIGRAMS_SQL)}
+                 / CAST(len({_BIGRAMS_SQL}) AS DOUBLE), 6)
+         ELSE 0.0 END AS top_bigram_frac,
+         CASE WHEN len({_TRIGRAMS_SQL}) > 0 THEN
+           round(1 - len(list_distinct({_TRIGRAMS_SQL}))
+                 / CAST(len({_TRIGRAMS_SQL}) AS DOUBLE), 6)
+         ELSE 0.0 END AS dup_3gram_frac
+  FROM documents
+)
+"""
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] document fingerprinting: md5 of whitespace-normalized lowered
     text (exact-dup key) + min word-3-gram shingle hash (near-dup key,

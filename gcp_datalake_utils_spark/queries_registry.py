@@ -118,6 +118,8 @@ register("text_token_stats", text.token_stats, text.TOKEN_STATS_ORACLE)
 register("text_language_id", text.language_id, text.LANGUAGE_ID_ORACLE)
 register("text_fingerprints", text.fingerprints,
          text.FINGERPRINTS_ORACLE)
+register("repetition_flags", text.repetition_flags,
+         text.REPETITION_FLAGS_ORACLE)
 register("dedup_exact_groups", dedup.exact_dup_groups,
          dedup.EXACT_DUP_ORACLE)
 register("dedup_minhash_signatures", dedup.minhash_signatures,
