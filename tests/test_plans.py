@@ -76,3 +76,21 @@ def test_decontamination_broadcasts_benchmark(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_partitioned_sink_prunes_at_plan_time(spark, sf_dir, tmp_path):
+    """A date-partitioned sink must yield scans whose date predicate is
+    a PartitionFilter (directory pruning), not a data-level filter."""
+    from pyspark.sql import functions as F
+    from gcp_datalake_utils_spark.sources import partitioned, registry
+    out = str(tmp_path / "events_by_date")
+    partitioned.write_events_by_date(spark, sf_dir, out)
+    ev = registry.load_events(spark, sf_dir)
+    day, expected = (ev.groupBy(F.to_date("ts").alias("d")).count()
+                     .orderBy("d").limit(1).collect()[0])
+    df = partitioned.read_events_for_date(spark, out, str(day))
+    plan = _formatted_plan(df)
+    scan = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "event_date" in scan, scan
+    assert "PushedFilters: []" not in scan
+    assert df.count() == expected
