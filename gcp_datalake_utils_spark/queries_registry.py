@@ -35,6 +35,7 @@ from gcp_datalake_utils_spark.llm import (
     text,
     tfidf,
 )
+from gcp_datalake_utils_spark.streaming import stateful as stream_stateful
 from gcp_datalake_utils_spark.streaming import windows as stream_windows
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -173,6 +174,9 @@ register("dedup_stream", stream_windows.dedup_stream_q,
          stream_windows.DEDUP_STREAM_ORACLE)
 register("sliding_counts_stream", stream_windows.sliding_counts_stream_q,
          stream_windows.SLIDING_COUNTS_STREAM_ORACLE)
+register("closed_sessions_stream",
+         stream_stateful.closed_sessions_stream_q,
+         stream_stateful.CLOSED_SESSIONS_ORACLE)
 register("state_upsert", state.state_upsert, state.state_upsert_oracle())
 register("cache_lookup", state.cache_lookup, state.cache_lookup_oracle())
 register("catalog_tables", payload.catalog_tables,

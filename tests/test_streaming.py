@@ -31,3 +31,28 @@ def test_streaming_dedup_drops_nothing_on_unique_ids(spark, sf_dir):
 def test_sessions_have_positive_counts(spark, sf_dir):
     rows = sw.user_sessions(spark, sf_dir).collect()
     assert rows and all(r.n_events >= 1 for r in rows)
+
+
+def test_closed_sessions_complement_session_window(spark, sf_dir):
+    """Stateful sessionizer == batch session_window minus each user's
+    final (still-open) session; stats agree on the closed ones."""
+    from gcp_datalake_utils_spark.streaming import stateful, windows
+    closed = {(r.user_id, r.session_start): r
+              for r in stateful.closed_sessions_stream_q(
+                  spark, sf_dir).collect()}
+    batch = windows.user_sessions(spark, sf_dir).collect()
+    last_start = {}
+    for r in batch:
+        if (r.user_id not in last_start
+                or r.session_start > last_start[r.user_id]):
+            last_start[r.user_id] = r.session_start
+    n_users = len(last_start)
+    assert len(closed) == len(batch) - n_users
+    for r in batch:
+        key = (r.user_id, r.session_start)
+        if r.session_start == last_start[r.user_id]:
+            assert key not in closed
+        else:
+            c = closed[key]
+            assert c.n_events == r.n_events
+            assert abs(c.session_value - r.session_value) < 1e-6
