@@ -1,0 +1,89 @@
+"""Sequence packing: assign chunked documents to fixed-token-budget
+training sequences (the concatenate-and-cut step after chunking in an
+LLM pretraining pipeline).
+
+Token-stream semantics: within each pack partition the chunk stream is
+concatenated in deterministic (doc_id, chunk_idx) order and cut every
+``PACK_BUDGET`` tokens — a chunk belongs to the pack where its start
+offset falls (chunks may straddle a cut, exactly like causal-LM token
+streams). One running-sum window per hash-bucket partition:
+
+- the bucket key (``doc_id % N_BUCKETS``) bounds every window partition
+  to ~1/N of the corpus, so there is never a global sort or a
+  single-partition exchange — at 100 TB N_BUCKETS scales with the
+  cluster and each bucket packs independently;
+- pack ids are globally unique as (bucket, local_pack) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.llm.chunks import doc_chunks
+
+PACK_BUDGET = 128
+N_BUCKETS = 16
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] (bucket, doc_id, chunk_idx, start_offset, pack_id,
+    pack_local): each chunk's position in its bucket's token stream and
+    the training sequence it lands in."""
+    ch = doc_chunks(spark, sf_dir)
+    bucket = (F.col("doc_id") % N_BUCKETS).cast("int")
+    w = (Window.partitionBy("bucket")
+         .orderBy("doc_id", "chunk_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ch.withColumn("bucket", bucket)
+            .withColumn("start_offset",
+                        (F.sum("n_chunk_tokens").over(w)
+                         - F.col("n_chunk_tokens")).cast("long"))
+            .withColumn("pack_local",
+                        F.floor(F.col("start_offset") / PACK_BUDGET)
+                        .cast("long"))
+            .withColumn("pack_id",
+                        (F.col("bucket").cast("long")
+                         * F.lit(1_000_000_000).cast("long")
+                         + F.col("pack_local")).cast("long"))
+            .select("bucket", "doc_id", "chunk_idx", "n_chunk_tokens",
+                    "start_offset", "pack_local", "pack_id"))
+
+
+# the oracle re-derives chunk lengths exactly as chunks.DOC_CHUNKS_ORACLE
+from gcp_datalake_utils_spark.llm.chunks import (  # noqa: E402
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    _WORDS,
+)
+
+SEQUENCE_PACKING_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_WORDS} AS words,
+         CAST(ceil(greatest(len({_WORDS}) - {CHUNK_TOKENS}, 0)
+                   / {CHUNK_STRIDE}.0) AS INTEGER) + 1 AS n_chunks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         CAST(len(words[i * {CHUNK_STRIDE} + 1 :
+                   i * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT)
+           AS n_chunk_tokens
+  FROM base, unnest(range(0, n_chunks)) AS t(i)
+),
+offsets AS (
+  SELECT CAST(doc_id % {N_BUCKETS} AS INTEGER) AS bucket,
+         doc_id, chunk_idx, n_chunk_tokens,
+         CAST(sum(n_chunk_tokens) OVER (
+                PARTITION BY doc_id % {N_BUCKETS}
+                ORDER BY doc_id, chunk_idx
+                ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS BIGINT)
+           AS start_offset
+  FROM chunks
+)
+SELECT bucket, doc_id, chunk_idx, n_chunk_tokens, start_offset,
+       CAST(floor(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_local,
+       CAST(CAST(bucket AS BIGINT) * 1000000000
+            + floor(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM offsets
+"""

@@ -418,7 +418,12 @@ ORDER BY c_custkey LIMIT 100
 
 def table_batching_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] W3: tables ranked by column count (the parallel processor's
-    size-based batching key, ``parallel_processor.py:126``)."""
+    size-based batching key, ``parallel_processor.py:126``).
+
+    The global rank window runs over the per-table aggregate — catalog
+    metadata, bounded by the table count (reference caps at 1000), never
+    by data volume — so its single-partition exchange is fine at any SF
+    (the WindowExec warning it triggers refers to data-sized inputs)."""
     from gcp_datalake_utils_spark.catalog import fixtures as fx
     cols = fx.meta_columns_df(spark)
     w = Window.orderBy(F.desc("n_cols"), "table_id")

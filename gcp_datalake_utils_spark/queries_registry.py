@@ -29,6 +29,7 @@ from gcp_datalake_utils_spark.llm import (
     chunks,
     curation,
     decontam,
+    packing,
     dedup,
     multimodal,
     similarity,
@@ -135,6 +136,8 @@ register("decontamination", decontam.decontamination,
 register("doc_chunks", chunks.doc_chunks, chunks.DOC_CHUNKS_ORACLE)
 register("tfidf_top_terms", tfidf.tfidf_top_terms,
          tfidf.TFIDF_TOP_TERMS_ORACLE)
+register("sequence_packing", packing.sequence_packing,
+         packing.SEQUENCE_PACKING_ORACLE)
 register("similarity_cosine_topk", similarity.cosine_topk,
          similarity.COSINE_TOPK_ORACLE)
 register("similarity_ivf_topk", similarity.ivf_topk,
