@@ -30,6 +30,7 @@ from gcp_datalake_utils_spark.llm import (
     curation,
     decontam,
     packing,
+    rollup,
     dedup,
     multimodal,
     similarity,
@@ -138,6 +139,8 @@ register("tfidf_top_terms", tfidf.tfidf_top_terms,
          tfidf.TFIDF_TOP_TERMS_ORACLE)
 register("sequence_packing", packing.sequence_packing,
          packing.SEQUENCE_PACKING_ORACLE)
+register("corpus_rollup", rollup.corpus_rollup,
+         rollup.CORPUS_ROLLUP_ORACLE)
 register("similarity_cosine_topk", similarity.cosine_topk,
          similarity.COSINE_TOPK_ORACLE)
 register("similarity_ivf_topk", similarity.ivf_topk,
