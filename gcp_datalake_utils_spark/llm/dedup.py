@@ -303,6 +303,36 @@ FROM reach GROUP BY v
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] canonicalization policy over near-dup groups: within each
+    connected component keep the highest-quality document (token_stats
+    composite score; ties -> lowest doc_id), mark the rest as drops.
+    The per-group window partitions on group_id — components are tiny,
+    so no skew — and the quality join is |grouped docs|-sized."""
+    from gcp_datalake_utils_spark.llm import text as llm_text
+    g = dedup_groups(spark, sf_dir).select("doc_id", "group_id")
+    q = llm_text.token_stats(spark, sf_dir) \
+        .select("doc_id", "quality_score")
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id"))
+    return (g.join(q, "doc_id")
+            .withColumn("keep", F.row_number().over(w) == 1)
+            .select("doc_id", "group_id", "quality_score", "keep"))
+
+
+def _keep_best_oracle() -> str:
+    from gcp_datalake_utils_spark.llm import text as llm_text
+    return f"""
+WITH groups AS MATERIALIZED ({DEDUP_GROUPS_ORACLE}),
+stats AS ({llm_text.TOKEN_STATS_ORACLE})
+SELECT g.doc_id, g.group_id, s.quality_score,
+       row_number() OVER (PARTITION BY g.group_id
+                          ORDER BY s.quality_score DESC, g.doc_id) = 1
+         AS keep
+FROM groups g JOIN stats s USING (doc_id)
+"""
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] 16-bit SimHash per document: per-word md5 bits vote ±1, the
     sign vector packs into an int. Hamming-close docs bucket together

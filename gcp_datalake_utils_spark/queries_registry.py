@@ -132,6 +132,8 @@ register("dedup_lsh_buckets", dedup.lsh_bucket_stats,
 register("dedup_near_pairs", dedup.near_dup_pairs, dedup.NEAR_DUP_ORACLE)
 register("dedup_simhash", dedup.simhash, dedup.SIMHASH_ORACLE)
 register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
+register("dedup_keep_best", dedup.dedup_keep_best,
+         dedup._keep_best_oracle())
 register("decontamination", decontam.decontamination,
          decontam.DECONTAMINATION_ORACLE)
 register("doc_chunks", chunks.doc_chunks, chunks.DOC_CHUNKS_ORACLE)
