@@ -314,3 +314,54 @@ WHERE {{cos}} >= 0.95
     "round((" + _DOT_SQL.format(a="a.embedding", b="b.embedding") + ") / (("
     + _NORM_SQL.format(a="a.embedding") + ") * ("
     + _NORM_SQL.format(a="b.embedding") + ")), 6)"))
+
+
+N_DIMS_CENTROID = 64
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] per-label centroid + each vector's cosine to its own label
+    centroid (cluster-coherence scoring; the IVF trainer's E-step view).
+
+    Scale path: ``posexplode`` to (label, dim, value) and partial-
+    aggregate the component means — the shuffle carries |labels|×dims
+    rows, never vectors — then re-assemble each centroid with a
+    dims-bounded ``collect_list`` and broadcast the tiny (label ->
+    centroid) table back onto the corpus for the narrow cosine pass.
+    Components are rounded to 6 before the cosine so both engines fold
+    identical doubles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = (e.select("label", F.posexplode("embedding")
+                     .alias("dim", "v"))
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6)
+                 .alias("c")))
+    cent = (comp.groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"]).alias("centroid")))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("centroid"))
+        / (_norm(F.col("embedding")) * _norm(F.col("centroid"))), 6)
+    return (e.join(F.broadcast(cent), "label")
+            .select("vec_id", "label", cos.alias("cos_centroid")))
+
+
+LABEL_CENTROIDS_ORACLE = f"""
+WITH comp AS (
+  SELECT label, d AS dim,
+         round(avg(CAST(embedding[d + 1] AS DOUBLE)), 6) AS c
+  FROM embeddings, unnest(range({N_DIMS_CENTROID})) AS t(d)
+  GROUP BY label, d
+),
+cent AS (
+  SELECT label, list(c ORDER BY dim) AS centroid FROM comp
+  GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round(({_DOT_SQL.format(a='e.embedding', b='cent.centroid')})
+             / (({_NORM_SQL.format(a='e.embedding')})
+                * ({_NORM_SQL.format(a='cent.centroid')})), 6)
+         AS cos_centroid
+FROM embeddings e JOIN cent USING (label)
+"""

@@ -155,6 +155,8 @@ register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
          similarity.RP_LSH_TOPK_ORACLE)
 register("similarity_kmeans_assign", similarity.kmeans_assign,
          similarity.KMEANS_ASSIGN_ORACLE)
+register("label_centroids", similarity.label_centroids,
+         similarity.LABEL_CENTROIDS_ORACLE)
 register("corpus_curation", curation.curate, curation.CURATE_ORACLE)
 register("train_val_split", curation.train_val_split,
          curation.TRAIN_VAL_SPLIT_ORACLE)
