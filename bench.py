@@ -38,6 +38,14 @@ HEADLINE = [
     "corpus_curation",
     "asof_last_order",
     "detect_pipeline",
+    # round-2 additions: training-data pipeline extensions
+    "dedup_groups",
+    "decontamination",
+    "tfidf_top_terms",
+    "sequence_packing",
+    "repetition_flags",
+    "label_centroids",
+    "closed_sessions_stream",
 ]
 
 # results larger than this row count are executed via count() instead of

@@ -20,19 +20,24 @@ from gcp_datalake_utils_spark.operators import (
     detection,
     graph,
     payload,
+    scd2,
     state,
 )
 from gcp_datalake_utils_spark.operators import detection_oracle as do
 from gcp_datalake_utils_spark.formatters import diagrams
 from gcp_datalake_utils_spark.formatters import oracles as fmt_oracles
 from gcp_datalake_utils_spark.llm import (
+    boilerplate,
     chunks,
     curation,
     decontam,
+    index,
     packing,
+    redact,
     rollup,
     dedup,
     multimodal,
+    sampling,
     similarity,
     text,
     tfidf,
@@ -164,6 +169,15 @@ register("value_percentiles", payload.value_percentiles,
          payload.VALUE_PERCENTILES_ORACLE)
 register("asof_last_order", asof.asof_last_order,
          asof.ASOF_LAST_ORDER_ORACLE)
+register("scd2_history", scd2.scd2_history, scd2.SCD2_HISTORY_ORACLE)
+register("stratified_sample", sampling.stratified_sample,
+         sampling.STRATIFIED_SAMPLE_ORACLE)
+register("pii_redaction", redact.pii_redaction,
+         redact.PII_REDACTION_ORACLE)
+register("boilerplate_flags", boilerplate.boilerplate_flags,
+         boilerplate.BOILERPLATE_FLAGS_ORACLE)
+register("inverted_index", index.inverted_index,
+         index.INVERTED_INDEX_ORACLE)
 
 from gcp_datalake_utils_spark.functions import scale_demos  # noqa: E402
 
