@@ -46,6 +46,11 @@ HEADLINE = [
     "repetition_flags",
     "label_centroids",
     "closed_sessions_stream",
+    "stratified_sample",
+    "pii_redaction",
+    "boilerplate_flags",
+    "inverted_index",
+    "scd2_history",
 ]
 
 # results larger than this row count are executed via count() instead of

@@ -218,33 +218,58 @@ _TRIGRAMS_SQL = (
     f"i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2])")
 
 
-def _mode_count_sql(arr: str) -> str:
-    return (f"list_max(list_transform(list_distinct({arr}), "
-            f"w -> len(list_filter({arr}, x -> x = w))))")
-
-
+# Mode counts via one tokenize pass + lead() windows for the n-gram
+# streams + GROUP BY — linear. The obvious per-distinct-element
+# list_filter rescan is quadratic in doc length (minutes at sf0.1), and
+# building three n-gram ARRAYS per doc costs ~75x this formulation.
 REPETITION_FLAGS_ORACLE = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+  FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+),
+seq AS MATERIALIZED (
+  SELECT doc_id, w, i,
+         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w3
+  FROM tok
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM seq GROUP BY doc_id, w),
+wst AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_uniq, max(c) AS topw
+  FROM wc GROUP BY doc_id
+),
+bc AS (
+  SELECT doc_id, w || ' ' || w2 AS b, count(*) AS c
+  FROM seq WHERE w2 IS NOT NULL GROUP BY doc_id, b
+),
+bst AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi, max(c) AS topb
+  FROM bc GROUP BY doc_id
+),
+tst AS (
+  SELECT doc_id, count(*) AS n_tri,
+         count(DISTINCT w || ' ' || w2 || ' ' || w3) AS n_utri
+  FROM seq WHERE w3 IS NOT NULL GROUP BY doc_id
+)
 SELECT doc_id, n_words, frac_unique, top_word_frac, top_bigram_frac,
        dup_3gram_frac,
        (frac_unique < {MIN_FRAC_UNIQUE}
         OR top_word_frac > {MAX_TOP_WORD_FRAC}
         OR dup_3gram_frac > {MAX_DUP_3GRAM_FRAC}) AS flag_repetitive
 FROM (
-  SELECT doc_id,
-         CAST(len({_WORDS}) AS BIGINT) AS n_words,
-         round(len(list_distinct({_WORDS}))
-               / CAST(len({_WORDS}) AS DOUBLE), 6) AS frac_unique,
-         round({_mode_count_sql(_WORDS)}
-               / CAST(len({_WORDS}) AS DOUBLE), 6) AS top_word_frac,
-         CASE WHEN len({_WORDS}) >= 2 THEN
-           round({_mode_count_sql(_BIGRAMS_SQL)}
-                 / CAST(len({_BIGRAMS_SQL}) AS DOUBLE), 6)
+  SELECT w.doc_id, w.n_words,
+         round(w.n_uniq / CAST(w.n_words AS DOUBLE), 6) AS frac_unique,
+         round(w.topw / CAST(w.n_words AS DOUBLE), 6) AS top_word_frac,
+         CASE WHEN w.n_words >= 2 THEN
+           round(bs.topb / CAST(bs.n_bi AS DOUBLE), 6)
          ELSE 0.0 END AS top_bigram_frac,
-         CASE WHEN len({_TRIGRAMS_SQL}) > 0 THEN
-           round(1 - len(list_distinct({_TRIGRAMS_SQL}))
-                 / CAST(len({_TRIGRAMS_SQL}) AS DOUBLE), 6)
+         CASE WHEN coalesce(t.n_tri, 0) > 0 THEN
+           round(1 - t.n_utri / CAST(t.n_tri AS DOUBLE), 6)
          ELSE 0.0 END AS dup_3gram_frac
-  FROM documents
+  FROM wst w
+  LEFT JOIN bst bs USING (doc_id)
+  LEFT JOIN tst t USING (doc_id)
 )
 """
 

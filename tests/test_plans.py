@@ -94,3 +94,45 @@ def test_partitioned_sink_prunes_at_plan_time(spark, sf_dir, tmp_path):
     assert "event_date" in scan, scan
     assert "PushedFilters: []" not in scan
     assert df.count() == expected
+
+
+def test_pii_redaction_zero_exchange_codegen(spark, sf_dir):
+    """Redaction is a pure narrow projection: no shuffle anywhere and the
+    regexp chain must sit inside a WholeStageCodegen span."""
+    from gcp_datalake_utils_spark.llm import redact
+    plan = _formatted_plan(redact.pii_redaction(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_stratified_sample_partitioned_window_only(spark, sf_dir):
+    """Quota sampling shuffles ONCE on the stratum key; never a global
+    (single-partition) sort or window."""
+    from gcp_datalake_utils_spark.llm import sampling
+    plan = _formatted_plan(sampling.stratified_sample(spark, sf_dir))
+    # formatted mode prints each node twice (tree + numbered detail)
+    assert plan.count("Exchange") == 2, "expected exactly one exchange"
+    assert "SinglePartition" not in plan
+
+
+def test_scd2_single_exchange_merged_windows(spark, sf_dir):
+    """lead() and row_number() share one window spec: one hash exchange
+    on the business key, one Sort, no extra shuffle per function."""
+    from gcp_datalake_utils_spark.operators import scd2
+    plan = _formatted_plan(scd2.scd2_history(spark, sf_dir))
+    # formatted mode prints each node twice (tree + numbered detail)
+    assert plan.count("Exchange") == 2, "expected exactly one exchange"
+    assert "SinglePartition" not in plan
+    assert plan.count("Window [") + plan.count("Window (") <= 2, \
+        "lead+row_number must merge into one Window operator"
+
+
+def test_inverted_index_cap_pushed_before_collect(spark, sf_dir):
+    """The posting-list cap must plan as WindowGroupLimit (per-term
+    top-K kept during the sort) so no aggregation buffer ever holds an
+    uncapped posting list; the vocabulary-sized tf side broadcasts."""
+    from gcp_datalake_utils_spark.llm import index
+    plan = _formatted_plan(index.inverted_index(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
