@@ -79,9 +79,13 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         # discarded warm-up; its count also picks the execution mode
+        t0 = time.time()
         small = fn(spark, SF_DIR).count() <= COLLECT_CAP
+        warm = time.time() - t0
         times = [_run_once(fn, spark, small) for _ in range(3)]
         per_query[name] = round(statistics.median(times), 3)
+        print(f"  {name}: warm {warm:.2f}s median {per_query[name]}s",
+              file=sys.stderr, flush=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_median_total",
