@@ -164,51 +164,84 @@ MIN_FRAC_UNIQUE = 0.4
 MAX_DUP_3GRAM_FRAC = 0.05
 
 
+def _mode_count(arr):
+    """Largest multiplicity in an array, linear-time: sort the array
+    (O(n log n), codegen) then one run-length fold over the sorted
+    copy.  Replaces the r2 per-distinct-element rescan
+    (transform(array_distinct(a), w -> size(filter(a, x == w)))) which
+    was O(unique·len) AND — the real 421 s killer in BENCH_r02 —
+    re-inlined the un-materialized split() producing `arr` into every
+    lambda body, re-tokenizing the document per element."""
+    s = F.array_sort(arr)
+
+    def _step(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1) \
+            .otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"))
+    return F.aggregate(s, init, _step, lambda acc: acc["best"])
+
+
 def repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] Gopher-style repetition quality signals per document:
     unique-word fraction, most-common-word fraction, most-common-bigram
     fraction, duplicate-3-gram fraction, and a composite repetitive
-    flag. One narrow codegen projection — no shuffle, no UDF; the
-    per-doc mode counts are O(unique·len) array folds, bounded by
-    document length, independent of corpus size."""
+    flag.
+
+    Scale design: fully narrow — zero Exchange, zero Window, one scan.
+    The token / bigram / trigram arrays are materialized in STAGED
+    projections (separate .select calls) so CollapseProject keeps each
+    expensive array built exactly once per row; mode counts are then a
+    linear sort + run-length fold per doc.  The alternative
+    posexplode + lead + three-groupBy port of the DuckDB oracle
+    (text.py REPETITION_FLAGS_ORACLE below) is also linear but shuffles
+    the entire token stream — at 100 TB that is a corpus-sized
+    Exchange, while this plan ships nothing.  Guarded by
+    tests/test_plans.py (no Exchange/Window, no nested filter-in-
+    transform rescan)."""
     d = load_table(spark, sf_dir, "documents")
-    words = _words_col()
-    n = F.size(words)
-
-    def _mode_count(arr):
-        uniq = F.array_distinct(arr)
-        return F.array_max(F.transform(
-            uniq, lambda w: F.size(F.filter(arr, lambda x: x == w))))
-
-    bigrams = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(words, i),
-                              F.element_at(words, i + 1)))) \
-        .otherwise(F.array().cast("array<string>"))
-    trigrams = F.when(n >= 3, F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(" ", F.element_at(words, i),
-                              F.element_at(words, i + 1),
-                              F.element_at(words, i + 2)))) \
-        .otherwise(F.array().cast("array<string>"))
-    n_tri = F.size(trigrams)
-    frac_unique = F.round(F.size(F.array_distinct(words)) / n, 6)
-    top_word = F.round(_mode_count(words) / n, 6)
-    top_bigram = F.when(n >= 2, F.round(
-        _mode_count(bigrams) / F.size(bigrams), 6)).otherwise(0.0)
-    dup_tri = F.when(n_tri > 0, F.round(
-        1 - F.size(F.array_distinct(trigrams)) / n_tri, 6)) \
-        .otherwise(0.0)
-    return (d.select("doc_id", n.cast("long").alias("n_words"),
-                     frac_unique.alias("frac_unique"),
-                     top_word.alias("top_word_frac"),
-                     top_bigram.alias("top_bigram_frac"),
-                     dup_tri.alias("dup_3gram_frac"))
-            .withColumn("flag_repetitive",
-                        (F.col("frac_unique") < MIN_FRAC_UNIQUE)
-                        | (F.col("top_word_frac") > MAX_TOP_WORD_FRAC)
-                        | (F.col("dup_3gram_frac")
-                           > MAX_DUP_3GRAM_FRAC)))
+    # stage 1: tokenize once
+    toks = d.select("doc_id", _words_col().alias("ws"))
+    n = F.size("ws")
+    # stage 2: build n-gram arrays from the materialized token array
+    # (element_at over an attribute — no re-tokenization)
+    grams = toks.select(
+        "doc_id", "ws",
+        F.when(n >= 2, F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at("ws", i),
+                                  F.element_at("ws", i + 1))))
+        .otherwise(F.array().cast("array<string>")).alias("bs"),
+        F.when(n >= 3, F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at("ws", i),
+                                  F.element_at("ws", i + 1),
+                                  F.element_at("ws", i + 2))))
+        .otherwise(F.array().cast("array<string>")).alias("ts"))
+    # stage 3: linear per-row stats over the materialized arrays
+    n_tri = F.size("ts")
+    stats = grams.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(F.size(F.array_distinct("ws")) / n, 6)
+        .alias("frac_unique"),
+        F.round(_mode_count(F.col("ws")) / n, 6).alias("top_word_frac"),
+        F.when(n >= 2, F.round(
+            _mode_count(F.col("bs")) / F.size("bs"), 6))
+        .otherwise(0.0).alias("top_bigram_frac"),
+        F.when(n_tri > 0, F.round(
+            1 - F.size(F.array_distinct("ts")) / n_tri, 6))
+        .otherwise(0.0).alias("dup_3gram_frac"))
+    return stats.withColumn(
+        "flag_repetitive",
+        (F.col("frac_unique") < MIN_FRAC_UNIQUE)
+        | (F.col("top_word_frac") > MAX_TOP_WORD_FRAC)
+        | (F.col("dup_3gram_frac") > MAX_DUP_3GRAM_FRAC))
 
 
 _BIGRAMS_SQL = (f"list_transform(range(1, greatest(len({_WORDS}), 1)), "
