@@ -285,35 +285,87 @@ QUALIFY row_number() OVER (PARTITION BY vec_id
 """
 
 
+# LSH banding for the near-dup pair join: the 16-bit signature splits
+# into N_BANDS bands of BAND_BITS bits; a pair is a candidate iff it
+# agrees on ALL bits of >= 1 band (within the same label cell).  At
+# cosine 0.95 the per-plane collision prob is 1 - theta/pi ~ 0.898, so
+# band agreement is p^4 ~ 0.65 and capture prob 1-(1-p^4)^4 ~ 0.985
+# (rising fast with similarity: ~0.9992 at cosine 0.99).  The DuckDB
+# oracle mirrors the banding EXACTLY, so both engines compute the same
+# well-defined operator at every SF — the standard LSH recall trade-off
+# is part of the operator contract (same design as the MinHash-banded
+# dedup_near_pairs).
+N_BANDS = 4
+BAND_BITS = 4
+_BAND_MASK = (1 << BAND_BITS) - 1
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[Q] embedding-cosine near-dup pairs, blocked by label (IVF cell):
-    pairs within a cell with cosine >= 0.95. The label equi-join keys
-    the shuffle; no cross join ever materializes."""
+    """[Q] embedding-cosine near-dup pairs at >= 0.95, blocked by
+    (label, RP-LSH band): candidate pairs must share an IVF cell AND
+    collide in at least one signature band, then exact-cosine verify.
+
+    Scale path (fixes the r2 within-cell all-pairs, VERDICT What's-wrong
+    #2): the pair join keys on (label, band, band_key) — a hot label no
+    longer implies O(cell^2) pairs, only same-band-key collisions meet.
+    The band join ships only (vec_id, label, band, key) int rows, never
+    embeddings; candidates are distinct'd id-wise and the two embedding
+    fetch joins shuffle on vec_id.  Signature = one `_bucket_spark` pass
+    per row; band keys are bit-slices of it."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").alias("ea"), "label")
-    b = e.select(F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").alias("eb"), "label")
+    sig = (e.select("vec_id", "label",
+                    _bucket_spark("embedding").alias("bucket"))
+           .select("vec_id", "label", F.explode(F.array(*[
+               F.struct(
+                   F.lit(j).alias("band"),
+                   F.shiftrightunsigned("bucket", BAND_BITS * j)
+                   .bitwiseAND(F.lit(_BAND_MASK)).alias("key"))
+               for j in range(N_BANDS)])).alias("bk"))
+           .select("vec_id", "label", "bk.band", "bk.key"))
+    a = sig.select(F.col("vec_id").alias("vec_a"), "label", "band", "key")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "label", "band", "key")
+    cand = (a.join(b, ["label", "band", "key"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "label")
+            .distinct())
+    ea = e.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").alias("eb"))
     cos = F.round(
         _dot(F.col("ea"), F.col("eb"))
         / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6)
-    return (a.join(b, "label")
-            .where(F.col("vec_a") < F.col("vec_b"))
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
             .withColumn("cosine", cos)
             .where(F.col("cosine") >= 0.95)
             .select("vec_a", "vec_b", "label", "cosine"))
 
 
 EMBEDDING_NEAR_DUP_ORACLE = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       {{cos}} AS cosine
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WITH sig AS (
+  SELECT vec_id, label, {_bucket_duck('embedding')} AS bucket
+  FROM embeddings
+),
+bands AS (
+  SELECT vec_id, label, j AS band,
+         (bucket >> ({BAND_BITS} * j)) & {_BAND_MASK} AS key
+  FROM sig, unnest(range({N_BANDS})) AS t(j)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+  FROM bands a
+  JOIN bands b ON a.label = b.label AND a.band = b.band
+              AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, c.label, {{cos}} AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
 WHERE {{cos}} >= 0.95
 """.format(cos=(
-    "round((" + _DOT_SQL.format(a="a.embedding", b="b.embedding") + ") / (("
-    + _NORM_SQL.format(a="a.embedding") + ") * ("
-    + _NORM_SQL.format(a="b.embedding") + ")), 6)"))
+    "round((" + _DOT_SQL.format(a="ea.embedding", b="eb.embedding")
+    + ") / ((" + _NORM_SQL.format(a="ea.embedding") + ") * ("
+    + _NORM_SQL.format(a="eb.embedding") + ")), 6)"))
 
 
 N_DIMS_CENTROID = 64

@@ -113,6 +113,55 @@ def test_rp_lsh_plan_is_broadcast_equijoin(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_embedding_near_dups_banded_parity(spark, tmp_path):
+    """On a corpus WITH planted near-dups (the shipped testdata has
+    none), the banded Spark plan and its DuckDB oracle must agree
+    row-for-row, clones must be found (equal vectors share every band),
+    and every reported pair must truly be >= 0.95."""
+    import random
+    import duckdb
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+    rng = random.Random(7)
+    vecs = {i: [rng.gauss(0, 1) for _ in range(similarity.N_DIMS)]
+            for i in range(10)}
+    vecs[10] = list(vecs[1])                       # exact clone of 1
+    vecs[11] = [x + rng.gauss(0, 0.01) for x in vecs[2]]  # near clone
+    # clones must share their source's label: 10 pairs with 1, 11 with 2
+    labels = {10: 1 % 3, 11: 2 % 3}
+    rows = [(i, [float(x) for x in v], labels.get(i, i % 3))
+            for i, v in vecs.items()]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType())])
+    path = str(tmp_path)
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    got = {(r.vec_a, r.vec_b): r.cosine
+           for r in similarity.embedding_near_dups(spark, path).collect()}
+    assert (1, 10) in got and abs(got[(1, 10)] - 1.0) < 1e-6
+    assert (2, 11) in got and got[(2, 11)] >= 0.95
+    assert all(c >= 0.95 for c in got.values())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{path}/embeddings.parquet/*.parquet')")
+    oracle = {(a, b): c for a, b, _, c in con.execute(
+        similarity.EMBEDDING_NEAR_DUP_ORACLE).fetchall()}
+    assert set(got) == set(oracle)
+    assert all(abs(got[k] - oracle[k]) < 1e-6 for k in got)
+
+
+def test_embedding_near_dups_plan_banded_join(spark, sf_dir):
+    """The candidate join must key on (label, band, key) — never a
+    label-only join (r2's latent O(cell^2)) and never a cross join."""
+    plan = similarity.embedding_near_dups(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "band" in plan and "key" in plan
+
+
 def test_kmeans_assign_properties(spark, sf_dir):
     rows = similarity.kmeans_assign(spark, sf_dir).collect()
     clusters = {r.cluster for r in rows}
