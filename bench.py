@@ -93,6 +93,9 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host load (1/5/15 min) so cross-round deltas can be told apart
+        # from noisy-neighbor spikes on this shared box
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
 

@@ -399,6 +399,57 @@ WHERE table_type NOT IN ('VIEW', 'EXTERNAL')
 """
 
 
+def metadata_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] models.py:41-43,66 surface: labeled tables with their label
+    map projected (domain + pii flag via the native MAP column) joined
+    to a rollup of parameterized columns (STRING(n) max_length /
+    NUMERIC precision+scale) — the metadata-richness fields BigQuery
+    populates sparsely (``bigquery_connector.py:127-129,145``)."""
+    from gcp_datalake_utils_spark.catalog import fixtures as fx
+    t = fx.meta_tables_df(spark)
+    c = fx.meta_columns_df(spark)
+    params = (c.where(F.col("max_length").isNotNull()
+                      | F.col("precision").isNotNull())
+              .groupBy("table_id")
+              .agg(F.count("*").alias("n_param_cols"),
+                   F.max("max_length").alias("max_max_length"),
+                   F.max("precision").alias("max_precision"),
+                   F.max("scale").alias("max_scale")))
+    return (t.where(F.col("labels_str") != "")
+            .join(params, "table_id", "left")
+            .select(
+                "dataset_id", "table_id", "labels_str",
+                F.col("labels")["domain"].alias("domain"),
+                F.coalesce(F.col("labels")["pii"] == "true",
+                           F.lit(False)).alias("is_pii"),
+                F.coalesce("n_param_cols", F.lit(0).cast("long"))
+                .alias("n_param_cols"),
+                "max_max_length", "max_precision", "max_scale"))
+
+
+def metadata_richness_oracle() -> str:
+    from gcp_datalake_utils_spark.catalog import fixtures as fx
+    return f"""
+WITH params AS (
+  SELECT table_id, count(*) AS n_param_cols,
+         max(max_length) AS max_max_length,
+         max(precision) AS max_precision,
+         max(scale) AS max_scale
+  FROM {fx.meta_columns_values('c')}
+  WHERE max_length IS NOT NULL OR precision IS NOT NULL
+  GROUP BY table_id
+)
+SELECT t.dataset_id, t.table_id, t.labels_str,
+       regexp_extract(t.labels_str, 'domain=([^,]*)', 1) AS domain,
+       (t.labels_str LIKE '%pii=true%') AS is_pii,
+       COALESCE(p.n_param_cols, 0) AS n_param_cols,
+       p.max_max_length, p.max_precision, p.max_scale
+FROM {fx.meta_tables_values('t')}
+LEFT JOIN params p USING (table_id)
+WHERE t.labels_str <> ''
+"""
+
+
 def sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] P1/S5/W5: the reference's sample query (project one column,
     drop nulls, cap rows — ``data_relationship_tester.py:115-120``) with

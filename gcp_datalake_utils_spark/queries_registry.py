@@ -127,6 +127,15 @@ register("repetition_flags", text.repetition_flags,
 register("similarity_embedding_near_dups", similarity.embedding_near_dups,
          similarity.EMBEDDING_NEAR_DUP_ORACLE)
 
+from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
+
+register("snapshot_diff", snap.snapshot_diff_query,
+         snap.SNAPSHOT_DIFF_ORACLE)
+register("restore_summary", snap.restore_summary_query,
+         snap.RESTORE_SUMMARY_ORACLE)
+register("metadata_richness", payload.metadata_richness,
+         payload.metadata_richness_oracle())
+
 # --- block 3: driver-green in r1/r2 --------------------------------------
 register("classify_pk_fk", classify.classification_query,
          classify.classification_oracle())

@@ -40,17 +40,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a microsecond TimestampType column.
+def event_ts_to_micros(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a microsecond TimestampType
+    regardless of how the generator wrote it. Testdata generations have
+    shipped ``ts`` as TIMESTAMP(NANOS) (surfaced as long via
+    ``nanosAsLong``), as TIMESTAMP_NTZ micros, and as plain TIMESTAMP —
+    the adapter keys off the actual schema so all three load identically.
 
-    The raw file stores nanosecond timestamps (read as long via
-    ``nanosAsLong``); integer division to micros (``ts div 1000``) matches
-    DuckDB's TIMESTAMP_NS -> TIMESTAMP cast exactly. A float divide would
-    round-trip through double and lose ~256 ns at 2024-epoch magnitudes
-    (~1.7e18 > 2^53), landing 1 µs off the oracle on boundary values."""
+    For the nanos case, integer division to micros (``ts div 1000``)
+    matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast exactly. A float
+    divide would round-trip through double and lose ~256 ns at
+    2024-epoch magnitudes (~1.7e18 > 2^53), landing 1 µs off the oracle
+    on boundary values. For the NTZ case the session timezone is pinned
+    to UTC (load_table), so the cast preserves the stored wall-clock."""
     from pyspark.sql import functions as F
-    df = load_table(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pyspark.sql.types import LongType, TimestampNTZType
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a microsecond TimestampType column."""
+    return event_ts_to_micros(load_table(spark, sf_dir, "events"))
 
 
 def register_tables(spark: SparkSession, sf_dir: str,

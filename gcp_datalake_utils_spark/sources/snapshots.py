@@ -127,6 +127,83 @@ def snapshot_diff(spark: SparkSession, base: str, table: str,
     return joined.select(*key_cols, status.alias("status"))
 
 
+def _tmp_base(sf_dir: str, kind: str) -> str:
+    """Deterministic per-sf scratch dir for the [Q] snapshot queries,
+    wiped on every call so repeated runs are reproducible."""
+    import hashlib
+    import shutil
+    d = os.path.join(
+        "/tmp", "spark_graft_snapshots", kind,
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] S7+CDC: materialize two deterministic snapshots of ``orders``
+    (v1 drops keys divisible by 7; v2 drops keys divisible by 3 and
+    inflates o_totalprice by 10% on keys divisible by 5), then run the
+    full-outer CDC reconciliation between them. Statuses derive purely
+    from key arithmetic, so the DuckDB oracle reproduces them without a
+    snapshot store."""
+    from pyspark.sql import functions as F
+    from gcp_datalake_utils_spark.sources.registry import load_table
+    base = _tmp_base(sf_dir, "diff")
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.where("o_orderkey % 7 <> 0")
+    v2 = (orders.where("o_orderkey % 3 <> 0")
+          .withColumn("o_totalprice",
+                      F.when(F.expr("o_orderkey % 5 = 0"),
+                             F.col("o_totalprice") * 1.1)
+                      .otherwise(F.col("o_totalprice"))))
+    write_snapshot(v1, base, "orders", 1000)
+    write_snapshot(v2, base, "orders", 2000)
+    return snapshot_diff(spark, base, "orders", 1000, 2000, ["o_orderkey"])
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+), v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 0
+)
+SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+       CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+            WHEN v2.o_orderkey IS NULL THEN 'removed'
+            WHEN v1.o_totalprice <> v2.o_totalprice THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+"""
+
+
+def restore_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] A11+P11: the restore run-loop summary
+    (``restore_dataset.sh:196-204`` semantics) over a three-way
+    deterministic scenario: one table restorable, one blocked by an
+    existing target (skip guard), one with no snapshot (failure row)."""
+    base = _tmp_base(sf_dir, "restore")
+    target = _tmp_base(sf_dir, "restore_target")
+    from gcp_datalake_utils_spark.sources.registry import load_table
+    write_snapshot(load_table(spark, sf_dir, "region"), base, "region", 1000)
+    write_snapshot(load_table(spark, sf_dir, "nation"), base, "nation", 1000)
+    os.makedirs(os.path.join(target, "nation"), exist_ok=True)
+    return restore_dataset(
+        spark, base, ["region", "nation", "supplier"], 1500, target)
+
+
+RESTORE_SUMMARY_ORACLE = """
+SELECT * FROM (VALUES
+  ('region', 'restored', 'as_of=1500'),
+  ('nation', 'skipped', 'target exists (use force=True)'),
+  ('supplier', 'failed', 'no snapshot of supplier at or before 1500')
+) AS t(table_id, status, reason)
+"""
+
+
 def restore_table(spark: SparkSession, base: str, table: str,
                   epoch_ms: int, target_base: str,
                   force: bool = False) -> dict:

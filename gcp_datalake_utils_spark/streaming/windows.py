@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_datalake_utils_spark.sources import load_events, load_table
+from gcp_datalake_utils_spark.sources.registry import event_ts_to_micros
 
 SESSION_GAP = "15 minutes"
 _SESSION_GAP_SQL = "INTERVAL 15 MINUTE"
@@ -47,8 +48,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = load_table(spark, sf_dir, "events").schema
     raw = (spark.readStream.schema(schema)
            .parquet(_stream_dir(sf_dir)))
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return event_ts_to_micros(raw)
 
 
 def windowed_counts_stream(spark: SparkSession, sf_dir: str,
