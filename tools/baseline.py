@@ -13,7 +13,8 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.1"
+import os
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 from bench import HEADLINE  # noqa: E402
 import __spark_entry__ as entry  # noqa: E402
@@ -28,8 +29,9 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{name}.parquet')")
+    only = sys.argv[1:]
     per_query = {}
-    for name in HEADLINE:
+    for name in (only or HEADLINE):
         sql = oracles[name]
         con.execute(sql).fetchall()  # warm-up
         times = []
@@ -38,7 +40,7 @@ def main() -> None:
             con.execute(sql).fetchall()
             times.append(time.time() - t0)
         per_query[name] = round(statistics.median(times), 3)
-    print(json.dumps({"duckdb_sf0.1": per_query,
+    print(json.dumps({"sf_dir": SF_DIR, "duckdb": per_query,
                       "total": round(sum(per_query.values()), 3)}))
 
 
