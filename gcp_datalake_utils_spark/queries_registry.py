@@ -136,6 +136,13 @@ register("restore_summary", snap.restore_summary_query,
 register("metadata_richness", payload.metadata_richness,
          payload.metadata_richness_oracle())
 
+from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
+
+register("events_in_type_windows", rangejoin.events_in_type_windows,
+         rangejoin.EVENTS_IN_TYPE_WINDOWS_ORACLE)
+register("enriched_segment_stream", stream_windows.enriched_segment_stream_q,
+         stream_windows.ENRICHED_SEGMENT_STREAM_ORACLE)
+
 # --- block 3: driver-green in r1/r2 --------------------------------------
 register("classify_pk_fk", classify.classification_query,
          classify.classification_oracle())

@@ -180,6 +180,44 @@ FROM events
 """
 
 
+def enriched_segment_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] stream-static enrichment: the event stream joined to the
+    static customer dimension (user_id = c_custkey) inside the
+    micro-batch, then a watermarked per-(segment, hour) rollup. The
+    dimension side is a broadcast hash join per micro-batch — the
+    standard streaming-enrichment shape; at 100 TB/day the static side
+    is a snapshotted dim table and the state is still bounded by
+    (segments x open windows). Events with no matching customer flow
+    through as segment 'UNKNOWN' (left join), mirroring orphan_users."""
+    e = _event_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    enriched = (e.join(cust, "user_id", "left")
+                .withColumn("segment",
+                            F.coalesce("c_mktsegment", F.lit("UNKNOWN"))))
+    out = run_available_now(
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("total_value")),
+        _next_sink())
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+        .alias("hour_start"),
+        "segment", "n_events", "total_value")
+
+
+ENRICHED_SEGMENT_STREAM_ORACLE = """
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS hour_start,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n_events,
+       round(sum(e.value), 6) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] session windows per user (gap-based), batch-checked: Spark's
     ``session_window`` vs a gaps-and-islands oracle. The same expression

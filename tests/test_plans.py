@@ -157,3 +157,15 @@ def test_inverted_index_cap_pushed_before_collect(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_banded_range_join_is_hash_join(spark, sf_dir):
+    """The interval join must plan as an equi-join on the grid cell —
+    never the BroadcastNestedLoopJoin / cartesian product Spark would
+    pick for a raw BETWEEN predicate. The residual containment filter
+    runs post-join on cell-sharing candidates only."""
+    from gcp_datalake_utils_spark.operators import rangejoin
+    plan = _formatted_plan(rangejoin.events_in_type_windows(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # cell equi-join survives optimization
