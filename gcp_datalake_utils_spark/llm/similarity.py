@@ -417,3 +417,93 @@ SELECT e.vec_id, e.label,
          AS cos_centroid
 FROM embeddings e JOIN cent USING (label)
 """
+
+
+KMEANS_ITERS = 2
+
+
+def _assign_to(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assignment step against a broadcast centroid table: K-row
+    fan-out per vector, groupBy argmax, shuffle carries one row per
+    vector. Cosine rounded before the argmax; ties break to the lowest
+    cluster id on both engines."""
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("centroid"))
+        / (_norm(F.col("embedding")) * _norm(F.col("centroid"))), 6)
+    best = F.max(F.struct(
+        sim.alias("sim"), (-F.col("cluster")).alias("negc")))
+    return (e.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(best.alias("b"))
+            .select("vec_id",
+                    (-F.col("b.negc")).cast("int").alias("cluster"),
+                    F.col("b.sim").alias("cosine")))
+
+
+def _update_centroids(e: DataFrame, assign: DataFrame) -> DataFrame:
+    """M-step: component means per cluster via posexplode + partial
+    agg (shuffle is |clusters|x|dims| rows, never vectors), components
+    rounded to 6 so both engines fold identical doubles, centroids
+    re-assembled with a dims-bounded collect_list."""
+    comp = (e.join(assign.select("vec_id", "cluster"), "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c")))
+    return (comp.groupBy("cluster")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"]).alias("centroid")))
+
+
+def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] full Lloyd's k-means, KMEANS_ITERS assignment+update rounds
+    then a final assignment — the iterative-algorithm pattern the IVF
+    coarse quantizer trains with. Each round is one broadcast
+    assignment join plus one |clusters|x|dims| centroid shuffle; the
+    corpus is scanned per round but never shuffled whole. Every
+    intermediate is rounded so the DuckDB oracle (same CTE chain,
+    generated below) stays bit-aligned through both iterations."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (e.orderBy("vec_id").limit(N_CLUSTERS)
+             .select(F.col("vec_id").cast("int").alias("cluster"),
+                     F.col("embedding").alias("centroid")))
+    for _ in range(KMEANS_ITERS):
+        assign = _assign_to(e, cents)
+        cents = _update_centroids(e, assign)
+    return _assign_to(e, cents)
+
+
+def _kmeans_oracle() -> str:
+    cos = ("round((" + _DOT_SQL.format(a="e.embedding", b="s.centroid")
+           + ") / ((" + _NORM_SQL.format(a="e.embedding") + ") * ("
+           + _NORM_SQL.format(a="s.centroid") + ")), 6)")
+    ctes = [f"""c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster, embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT {N_CLUSTERS})"""]
+    for i in range(KMEANS_ITERS):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, s.cluster, {cos} AS cosine
+    FROM embeddings e, c{i} s)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cosine DESC, cluster) = 1)""")
+        ctes.append(f"""m{i + 1} AS (
+  SELECT a.cluster, d AS dim,
+         round(avg(CAST(e.embedding[d + 1] AS DOUBLE)), 6) AS c
+  FROM embeddings e JOIN a{i} a USING (vec_id),
+       unnest(range({N_DIMS_CENTROID})) AS t(d)
+  GROUP BY a.cluster, d)""")
+        ctes.append(f"""c{i + 1} AS (
+  SELECT cluster, list(c ORDER BY dim) AS centroid
+  FROM m{i + 1} GROUP BY cluster)""")
+    return f"""
+WITH {','.join(ctes)}
+SELECT vec_id, cluster, cosine FROM (
+  SELECT e.vec_id, s.cluster, {cos} AS cosine
+  FROM embeddings e, c{KMEANS_ITERS} s)
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cosine DESC, cluster) = 1
+"""
+
+
+KMEANS_ITERATE_ORACLE = _kmeans_oracle()

@@ -142,6 +142,8 @@ register("events_in_type_windows", rangejoin.events_in_type_windows,
          rangejoin.EVENTS_IN_TYPE_WINDOWS_ORACLE)
 register("enriched_segment_stream", stream_windows.enriched_segment_stream_q,
          stream_windows.ENRICHED_SEGMENT_STREAM_ORACLE)
+register("kmeans_iterate", similarity.kmeans_iterate,
+         similarity.KMEANS_ITERATE_ORACLE)
 
 # --- block 3: driver-green in r1/r2 --------------------------------------
 register("classify_pk_fk", classify.classification_query,
