@@ -507,3 +507,64 @@ QUALIFY row_number() OVER (PARTITION BY vec_id
 
 
 KMEANS_ITERATE_ORACLE = _kmeans_oracle()
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] symmetric int8 quantization per vector — the storage/transfer
+    form a 100 TB embedding store actually ships (4x smaller, SIMD
+    dot-products downstream). scale = max|x| / 127 per vector;
+    q[i] = round(x[i] / scale) clamped to [-127, 127]. A fully narrow
+    codegen projection (no shuffle, no UDF); the recon_err column
+    round-trips the quantization so the oracle proves the exact same
+    grid on both engines. Zero vectors carry scale 0 and all-zero
+    codes (the 1e-30 guard divides only by a nonzero scale)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform(
+        "embedding", lambda x: F.abs(x.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        "embedding",
+        lambda x: F.when(scale > 1e-30,
+                         F.greatest(F.lit(-127),
+                                    F.least(F.lit(127),
+                                            F.round(x.cast("double") / scale)
+                                            .cast("int"))))
+        .otherwise(F.lit(0)))
+    recon_err = F.round(F.sqrt(F.aggregate(
+        F.zip_with("embedding", q,
+                   lambda x, qi: F.pow(x.cast("double")
+                                       - qi.cast("double") * scale, 2)),
+        F.lit(0.0), lambda a, b: a + b)), 6)
+    return e.select(
+        "vec_id", "label",
+        F.round(scale, 6).alias("scale"),
+        q.alias("q8"),
+        recon_err.alias("recon_err"))
+
+
+EMBEDDING_QUANTIZE_ORACLE = """
+SELECT vec_id, label,
+       round(scale, 6) AS scale,
+       CASE WHEN scale > 1e-30
+            THEN list_transform(embedding, x ->
+                 CAST(greatest(-127, least(127,
+                      round(CAST(x AS DOUBLE) / scale, 0))) AS INTEGER))
+            ELSE list_transform(embedding, x -> 0) END AS q8,
+       round(sqrt(list_sum(list_transform(
+             list_zip(embedding,
+                      CASE WHEN scale > 1e-30
+                           THEN list_transform(embedding, x ->
+                                CAST(greatest(-127, least(127,
+                                     round(CAST(x AS DOUBLE) / scale, 0)))
+                                     AS INTEGER))
+                           ELSE list_transform(embedding, x -> 0) END),
+             p -> pow(CAST(p[1] AS DOUBLE)
+                      - CAST(p[2] AS DOUBLE) * scale, 2)))), 6)
+         AS recon_err
+FROM (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+)
+"""

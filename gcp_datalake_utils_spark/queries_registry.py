@@ -144,6 +144,8 @@ register("enriched_segment_stream", stream_windows.enriched_segment_stream_q,
          stream_windows.ENRICHED_SEGMENT_STREAM_ORACLE)
 register("kmeans_iterate", similarity.kmeans_iterate,
          similarity.KMEANS_ITERATE_ORACLE)
+register("embedding_quantize", similarity.embedding_quantize,
+         similarity.EMBEDDING_QUANTIZE_ORACLE)
 
 # --- block 3: driver-green in r1/r2 --------------------------------------
 register("classify_pk_fk", classify.classification_query,
