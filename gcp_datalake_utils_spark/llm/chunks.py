@@ -29,7 +29,10 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] (doc_id, chunk_idx, n_chunk_tokens, chunk_md5): overlapping
     32-token windows at stride 24; the last chunk may be short, and a
     doc shorter than one window yields exactly one chunk."""
-    words = F.split(F.trim("text"), " ")
+    # staged tokenization: the slice inside the chunk lambda references
+    # the materialized attribute — an inline split would re-tokenize
+    # the document once per chunk window
+    words = F.col("ws")
     n = F.size(words)
     n_chunks = (F.ceil(F.greatest(n - CHUNK_TOKENS, F.lit(0))
                        / CHUNK_STRIDE) + 1).cast("int")
@@ -37,7 +40,8 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(
             F.slice(words, i * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "))
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("ws"))
     return (d.select("doc_id", F.posexplode(chunk)
                      .alias("chunk_idx", "chunk_text"))
             .select("doc_id", "chunk_idx",

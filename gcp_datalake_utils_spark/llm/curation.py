@@ -36,8 +36,11 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason ('dup' | 'quality' | 'lang' | 'kept'). Thresholds and
     tokenization are imported from llm.text so the 'quality' verdict
     always agrees with token_stats.quality_pass."""
-    d = load_table(spark, sf_dir, "documents")
-    words = _words_col()
+    # staged tokenization (one split per row, referenced by the token
+    # count and stopword filter as an attribute)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text", _words_col().alias("ws"))
+    words = F.col("ws")
     n_tokens = F.size(words)
     stop_ratio = stop_ratio_col(words)
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")

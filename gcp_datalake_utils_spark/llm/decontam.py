@@ -31,10 +31,14 @@ CONTAM_THRESHOLD = 5  # flag as contaminated at this overlap
 _WORDS = "string_split(trim(text), ' ')"
 
 
-def _word_ngrams(n: int):
-    """Distinct word n-grams as a Column; empty array for docs shorter
-    than n words (mirrors the oracle's range(1, greatest(..)) -> [])."""
-    words = F.split(F.trim("text"), " ")
+def _word_ngrams_of(ws: str, n: int):
+    """Distinct word n-grams from an ALREADY-MATERIALIZED words
+    attribute (stage the split() in its own .select first — an inline
+    split would be re-inlined into the lambda and re-tokenize the
+    document per position, the r2 repetition_flags pathology). Empty
+    array for docs shorter than n words (mirrors the oracle's
+    range(1, greatest(..)) -> [])."""
+    words = F.col(ws)
     return F.array_distinct(F.transform(
         F.when(F.size(words) >= n,
                F.sequence(F.lit(1), F.size(words) - (n - 1)))
@@ -58,7 +62,9 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the fraction of the eval doc present in the training doc — the
     quantity decontamination thresholds on)."""
     d = load_table(spark, sf_dir, "documents")
-    ng = d.select("doc_id", F.explode(_word_ngrams(N_GRAM)).alias("g"))
+    ng = (d.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
+          .select("doc_id",
+                  F.explode(_word_ngrams_of("ws", N_GRAM)).alias("g")))
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = (ng.where(is_bench)
              .select(F.col("doc_id").alias("bench_doc_id"), "g"))

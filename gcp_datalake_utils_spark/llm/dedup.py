@@ -37,12 +37,21 @@ def _words():
     return F.split(F.trim("text"), " ")
 
 
-def _shingles():
-    # Docs with <3 words must yield an EMPTY shingle array (matching the
-    # oracle's range(1, greatest(len-1, 1)) -> []); an unguarded
-    # sequence(1, size-2) would count DOWN to 0 for short docs and
-    # element_at(words, 0) errors.
-    words = _words()
+def _shingles_of(ws: str):
+    """Shingle array built from an ALREADY-MATERIALIZED words attribute.
+
+    The column must be a real attribute (staged in its own .select), not
+    the raw split() expression: referencing the split inside the lambda
+    would re-tokenize the document per shingle position x3 element_ats —
+    the same O(len^2) re-inlining that made r2's repetition_flags
+    quadratic. CollapseProject keeps the stage because the alias is
+    referenced more than once and split() is not collapse-cheap.
+
+    Docs with <3 words must yield an EMPTY shingle array (matching the
+    oracle's range(1, greatest(len-1, 1)) -> []); an unguarded
+    sequence(1, size-2) would count DOWN to 0 for short docs and
+    element_at(words, 0) errors."""
+    words = F.col(ws)
     return F.array_distinct(F.transform(
         F.when(F.size(words) >= 3,
                F.sequence(F.lit(1), F.size(words) - 2))
@@ -100,7 +109,8 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = max(int(d.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32")) // 2, 8)
     return (d.repartition(n_part, "doc_id")
-            .select("doc_id", F.explode(_shingles()).alias("s")))
+            .select("doc_id", _words().alias("ws"))  # tokenize ONCE
+            .select("doc_id", F.explode(_shingles_of("ws")).alias("s")))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,11 +348,15 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign vector packs into an int. Hamming-close docs bucket together
     when split into 4-bit chunks (done by consumers)."""
     d = load_table(spark, sf_dir, "documents")
-    words = _words()
-    wh = F.transform(
-        words,
-        lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 4),
-                         16, 10).cast("long"))
+    # stage the hashed-word array as a real attribute: the 16 bit-vote
+    # folds below each reference it, and an un-materialized expression
+    # would re-split AND re-md5 the whole document 16 times per row
+    staged = (d.select("doc_id", _words().alias("ws"))
+              .select("doc_id", F.transform(
+                  "ws",
+                  lambda w: F.conv(F.substring(F.md5(w.cast("binary")),
+                                               1, 4),
+                                   16, 10).cast("long")).alias("wh")))
 
     def _bit_vote(b):
         # strict two-parameter merge lambda for F.aggregate
@@ -351,12 +365,12 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bits = []
     for b in range(16):
-        vote = F.aggregate(wh, F.lit(0), _bit_vote(b))
+        vote = F.aggregate(F.col("wh"), F.lit(0), _bit_vote(b))
         bits.append((F.when(vote > 0, 2 ** b).otherwise(0)).cast("long"))
     sh = bits[0]
     for x in bits[1:]:
         sh = sh + x
-    return d.select("doc_id", sh.alias("simhash16"))
+    return staged.select("doc_id", sh.alias("simhash16"))
 
 
 def _simhash_sql() -> str:

@@ -60,8 +60,12 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] token counting (whitespace + BPE-ish regex pre-tokenizer) and
     quality scoring (length / punct / stopword ratios + a composite
     0..1 score) per document — one narrow codegen projection."""
-    d = load_table(spark, sf_dir, "documents")
-    words = _words_col()
+    # stage the token array once; the three downstream uses (count,
+    # stopword filter, ratio denominator) then reference the attribute
+    # instead of re-splitting the text per expression
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text", _words_col().alias("ws"))
+    words = F.col("ws")
     n_tokens = F.size(words)
     # count matches without materializing the token array (the oracle
     # uses len(regexp_extract_all(...)) — same count, run once)
@@ -116,8 +120,11 @@ FROM (
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] heuristic language ID: per-language marker-hit votes, argmax
     with deterministic (hits DESC, lang ASC) tie-break."""
-    d = load_table(spark, sf_dir, "documents")
-    words = _words_col()
+    # staged tokenization: each language's marker filter references the
+    # materialized attribute, not a re-split of the text per language
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _words_col().alias("ws"))
+    words = F.col("ws")
 
     def _marker_filter(ms):
         # single-parameter closure: a default-arg lambda would be read
@@ -311,10 +318,15 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] document fingerprinting: md5 of whitespace-normalized lowered
     text (exact-dup key) + min word-3-gram shingle hash (near-dup key,
     the k=1 MinHash)."""
-    d = load_table(spark, sf_dir, "documents")
+    # staged tokenization: the shingle lambda's element_ats reference
+    # the materialized attribute — an inline split would re-tokenize
+    # the document per shingle position (O(len^2), the r2
+    # repetition_flags pathology)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _words_col().alias("ws"))
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
-    words = _words_col()
-    # guarded like dedup._shingles: <3-word docs get an empty shingle
+    words = F.col("ws")
+    # guarded like dedup shingles: <3-word docs get an empty shingle
     # list (NULL min hash), matching the oracle's empty range — an
     # unguarded sequence(1, size-2) counts down through 0 and errors
     shingles = F.transform(
