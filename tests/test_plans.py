@@ -169,3 +169,25 @@ def test_banded_range_join_is_hash_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan  # cell equi-join survives optimization
+
+
+def test_tokenize_once_counts(spark, sf_dir):
+    """Guard against the lambda re-inlining pathology: every operator
+    that indexes into the word array must tokenize ONCE per scan branch
+    (split() as one materialized projection), never inside the lambda
+    where Catalyst re-evaluates it per element (the r2 repetition_flags
+    quadratic, found again in six operators in r3)."""
+    from gcp_datalake_utils_spark.llm import chunks, decontam, dedup, text
+    cases = [
+        (dedup.shingle_rows(spark, sf_dir), 1),
+        (dedup.simhash(spark, sf_dir), 1),
+        (text.fingerprints(spark, sf_dir), 1),
+        (chunks.doc_chunks(spark, sf_dir), 1),
+        # three scan branches (corpus n-grams, bench n-grams,
+        # bench sizes): one tokenization each
+        (decontam.decontamination(spark, sf_dir), 3),
+    ]
+    for df, max_splits in cases:
+        plan = _formatted_plan(df)
+        n = plan.count("split(trim(")
+        assert n <= max_splits, f"{n} tokenizations (max {max_splits})"
