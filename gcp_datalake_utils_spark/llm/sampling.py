@@ -68,3 +68,74 @@ SELECT doc_id, lang, source, stratum_n, sample_rank
 FROM ranked
 WHERE sample_rank <= ceil({SAMPLE_FRAC} * stratum_n)
 """
+
+
+# target mixture weights per source domain (a training run's data-mix
+# recipe); sources absent from the map are excluded from the mix
+MIX_WEIGHTS: dict[str, float] = {
+    "src0": 0.4,
+    "src1": 0.25,
+    "src2": 0.2,
+    "src3": 0.1,
+    "src4": 0.05,
+}
+MIX_TOTAL_FRAC = 0.3  # sample 30% of the corpus overall
+
+
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] weighted data-mix sampling: draw a deterministic sample whose
+    per-source composition follows MIX_WEIGHTS (the training-mixture
+    recipe), sized at MIX_TOTAL_FRAC of the corpus.
+
+    Per-source quota = ceil(total_corpus * MIX_TOTAL_FRAC * weight),
+    capped by the source's actual size (an under-represented source
+    contributes what it has — the standard mixture shortfall rule).
+    Selection inside a source is the same md5-rank idiom as
+    stratified_sample: reproducible, one window shuffle on source,
+    no global sort. The corpus total rides the same window pass as a
+    size-1 broadcast join (count over an empty partition would need a
+    second scan; a grouped count + broadcast keeps one scan per side
+    at any scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    weights = F.create_map(*[
+        F.lit(x) for kv in sorted(MIX_WEIGHTS.items()) for x in kv])
+    total = d.groupBy().agg(F.count("*").alias("corpus_n"))
+    key = F.md5(F.col("doc_id").cast("string"))
+    per_src = Window.partitionBy("source")
+    w = per_src.orderBy(key.asc(), F.col("doc_id").asc())
+    ranked = (d.select("doc_id", "lang", "source",
+                       F.count("*").over(per_src).alias("source_n"),
+                       F.row_number().over(w).cast("int")
+                       .alias("mix_rank"))
+              .withColumn("weight", weights[F.col("source")])
+              .where(F.col("weight").isNotNull())
+              .crossJoin(F.broadcast(total)))
+    quota = F.least(
+        F.ceil(F.col("corpus_n") * MIX_TOTAL_FRAC * F.col("weight")),
+        F.col("source_n").cast("bigint"))
+    return (ranked.where(F.col("mix_rank") <= quota)
+            .select("doc_id", "lang", "source", "source_n",
+                    F.round("weight", 6).alias("weight"), "mix_rank"))
+
+
+_MIX_CASES = " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items()))
+
+CORPUS_MIXTURE_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         count(*) OVER (PARTITION BY source) AS source_n,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS INTEGER) AS mix_rank,
+         CAST(CASE source {_MIX_CASES} END AS DOUBLE) AS weight
+  FROM documents
+), total AS (SELECT count(*) AS corpus_n FROM documents)
+SELECT doc_id, lang, source, source_n,
+       round(weight, 6) AS weight, mix_rank
+FROM ranked, total
+WHERE weight IS NOT NULL
+  AND mix_rank <= least(ceil(corpus_n * {MIX_TOTAL_FRAC} * weight),
+                        source_n)
+"""

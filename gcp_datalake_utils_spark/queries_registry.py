@@ -146,6 +146,8 @@ register("kmeans_iterate", similarity.kmeans_iterate,
          similarity.KMEANS_ITERATE_ORACLE)
 register("embedding_quantize", similarity.embedding_quantize,
          similarity.EMBEDDING_QUANTIZE_ORACLE)
+register("corpus_mixture", sampling.corpus_mixture,
+         sampling.CORPUS_MIXTURE_ORACLE)
 
 # --- block 3: driver-green in r1/r2 --------------------------------------
 register("classify_pk_fk", classify.classification_query,
