@@ -83,7 +83,8 @@ def test_shingles_short_docs_empty(spark):
     from pyspark.sql import functions as F
     df = spark.createDataFrame(
         [("a",), ("a b",), ("a b c",), ("",), ("a b c d",)], ["text"])
-    rows = df.select(dedup._shingles().alias("sh")).collect()
+    rows = (df.select(dedup._words().alias("ws"))
+            .select(dedup._shingles_of("ws").alias("sh")).collect())
     assert [r.sh for r in rows] == [
         [], [], ["a b c"], [], ["a b c", "b c d"]]
 
