@@ -51,6 +51,13 @@ HEADLINE = [
     "boilerplate_flags",
     "inverted_index",
     "scd2_history",
+    # round-3 additions (snapshot_diff / restore_summary are excluded:
+    # they time parquet snapshot WRITES, not query execution)
+    "events_in_type_windows",
+    "kmeans_iterate",
+    "embedding_quantize",
+    "corpus_mixture",
+    "enriched_segment_stream",
 ]
 
 # results larger than this row count are executed via count() instead of
