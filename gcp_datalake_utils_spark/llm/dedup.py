@@ -389,3 +389,66 @@ SIMHASH_ORACLE = f"""
 SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash16
 FROM documents
 """
+
+
+SIMHASH_HAMMING_MAX = 2
+_SH_BANDS = 4
+_SH_BAND_BITS = 4
+_SH_MASK = (1 << _SH_BAND_BITS) - 1
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] SimHash near-dup pairs: candidates must collide in >= 1 of
+    the 4x4-bit bands of the 16-bit signature (pigeonhole: hamming <= 3
+    GUARANTEES a clean band, so the <= 2 verify below misses nothing),
+    then exact hamming distance verifies.
+
+    Scale note: the candidate bound is n^2 / 2^band_bits per band, so a
+    16-bit signature saturates on billion-doc corpora; production runs
+    widen to simhash64 with 8x8-bit bands (same plan shape, bound
+    n^2/256 per band) — the operator contract (band-collide then
+    verify) is unchanged. The band join ships only (doc_id, h, band,
+    key) int rows; signatures are computed once upstream."""
+    sig = simhash(spark, sf_dir).select(
+        "doc_id", F.col("simhash16").alias("h"))
+    bands = sig.select(
+        "doc_id", "h", F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     F.shiftrightunsigned("h", _SH_BAND_BITS * j)
+                     .bitwiseAND(F.lit(_SH_MASK)).alias("key"))
+            for j in range(_SH_BANDS)])).alias("bk"))\
+        .select("doc_id", "h", "bk.band", "bk.key")
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("h").alias("ha"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("h").alias("hb"), "band", "key")
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (a.join(b, ["band", "key"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ha", "hb").distinct()
+            .where(hamming <= SIMHASH_HAMMING_MAX)
+            .select("doc_a", "doc_b",
+                    hamming.cast("int").alias("hamming")))
+
+
+SIMHASH_NEAR_PAIRS_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS h FROM documents
+),
+bands AS (
+  SELECT doc_id, h, j AS band, (h >> ({_SH_BAND_BITS} * j)) & {_SH_MASK}
+           AS key
+  FROM sig, unnest(range({_SH_BANDS})) AS t(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.h AS ha, b.h AS hb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {SIMHASH_HAMMING_MAX}
+"""

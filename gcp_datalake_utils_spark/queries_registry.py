@@ -148,6 +148,8 @@ register("embedding_quantize", similarity.embedding_quantize,
          similarity.EMBEDDING_QUANTIZE_ORACLE)
 register("corpus_mixture", sampling.corpus_mixture,
          sampling.CORPUS_MIXTURE_ORACLE)
+register("simhash_near_pairs", dedup.simhash_near_pairs,
+         dedup.SIMHASH_NEAR_PAIRS_ORACLE)
 
 # --- block 2b: plans changed by the r3 staged-tokenization rework
 # --- (values unchanged; kept in the driver window for fresh rows)
