@@ -120,3 +120,36 @@ def test_events_queries_utc_under_non_utc_host(spark, sf_dir):
         "SELECT DISTINCT strftime(date_trunc('hour', CAST(ts AS "
         "TIMESTAMP)), '%Y-%m-%d %H:%M:%S') FROM events").fetchall()}
     assert set(hours) <= oracle_hours
+
+
+def test_banded_range_join_matches_naive(spark):
+    """The grid-cell candidate join + residual must return EXACTLY the
+    naive interval-containment result, including windows that span many
+    cells, sub-cell windows, boundary-inclusive starts and exclusive
+    ends, and overlapping windows."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from gcp_datalake_utils_spark.operators.rangejoin import (
+        BAND_SECONDS, banded_range_join)
+    base = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    events = spark.createDataFrame(
+        [(i, base + i * 977 * sec) for i in range(200)],
+        "event_id long, ts timestamp")
+    spans = [  # (id, start_s, end_s): sub-cell, exact-cell, multi-cell,
+        (1, 0, 100), (2, 0, BAND_SECONDS), (3, 500, 3 * BAND_SECONDS),
+        (4, 7 * BAND_SECONDS - 1, 7 * BAND_SECONDS + 1),
+        (5, 0, 200_000), (6, 100, 150),  # overlapping + tiny
+    ]
+    windows = spark.createDataFrame(
+        [(i, base + s * sec, base + e * sec) for i, s, e in spans],
+        "window_id long, ws timestamp, we timestamp")
+    got = (banded_range_join(events, windows)
+           .select("window_id", "event_id"))
+    naive = (events.crossJoin(windows)
+             .where((F.col("ts") >= F.col("ws"))
+                    & (F.col("ts") < F.col("we")))
+             .select("window_id", "event_id"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, naive.collect()))
+    assert naive.count() > 0
