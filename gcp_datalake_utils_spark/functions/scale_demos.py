@@ -21,6 +21,7 @@ from gcp_datalake_utils_spark.functions.skew import (
     salted_join,
     two_phase_agg,
 )
+from gcp_datalake_utils_spark.operators import payload
 from gcp_datalake_utils_spark.sources import load_events, load_table
 from gcp_datalake_utils_spark.sources.bucketing import write_bucketed
 
@@ -40,28 +41,29 @@ def revenue_by_nation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                   joined["c_nationkey"] == n["n_nationkey"])
             .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
             .groupBy("r_name", "n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 6)
-                 .alias("revenue"),
-                 F.count("*").alias("n_items"),
-                 F.countDistinct("o_orderkey").alias("n_orders")))
+            .agg(*payload.revenue_agg_exprs()))
 
 
 def events_by_type_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] per-type event totals via two-phase (salted) aggregation."""
-    e = load_events(spark, sf_dir)
+    e = load_events(spark, sf_dir).withColumn(
+        # exact decimal value so the two-phase partial sums merge
+        # order-independently (value carries <= 2 decimals)
+        "value", F.round("value", 2).cast("decimal(27,2)"))
     agg = two_phase_agg(e, "event_type", n=8,
                         aggs={"event_id": "count", "value": "sum"})
     return agg.select(
         "event_type",
         F.col("count_event_id").cast("long").alias("n_events"),
-        F.round("sum_value", 6).alias("total_value"))
+        # exact DECIMAL output end to end (see payload._dsum rationale)
+        F.col("sum_value").cast("decimal(38,6)").alias("total_value"))
 
 
 EVENTS_BY_TYPE_ORACLE = """
 SELECT event_type,
        count(event_id) AS n_events,
-       round(sum(value), 6) AS total_value
+       CAST(sum(CAST(round(value, 2) AS DECIMAL(27,2)))
+            AS DECIMAL(38,6)) AS total_value
 FROM events
 GROUP BY event_type
 """
@@ -100,8 +102,4 @@ def revenue_by_nation_bucketed(spark: SparkSession,
             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
             .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
             .groupBy("r_name", "n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 6)
-                 .alias("revenue"),
-                 F.count("*").alias("n_items"),
-                 F.countDistinct("o_orderkey").alias("n_orders")))
+            .agg(*payload.revenue_agg_exprs()))

@@ -22,39 +22,84 @@ from gcp_datalake_utils_spark.sources import load_events, load_table
 
 # --- TPC-H Q1-style pricing summary (A-family flagship aggregation) ----
 
+def _dsum(col, scale: int):
+    """Order-independent big sum, emitted as exact DECIMAL(38,6).
+
+    Terms are rounded to their exact decimal width (the testdata's
+    money/quantity columns carry <= 2 decimals, so products carry
+    <= 4/6 — the round is lossless) and summed as DECIMAL. Plain
+    double sums are non-associative: the salted and bucketed twins of
+    revenue_by_nation produced last-ulp divergence at sf0.1 under
+    their different partitionings. The OUTPUT also stays decimal: at
+    sf1 the exact sum_charge carries 17 significant digits — more than
+    double holds — and Spark's BigDecimal cast vs DuckDB's int128/10^k
+    division landed 1 ulp apart, so any float output re-introduces the
+    flake at some scale. DECIMAL end to end is bit-stable at every SF
+    and partitioning."""
+    return F.sum(F.round(col, scale).cast(f"decimal(27,{scale})")) \
+        .cast("decimal(38,6)")
+
+
+def _dsum_sql(expr: str, scale: int) -> str:
+    return (f"CAST(sum(CAST(round({expr}, {scale}) "
+            f"AS DECIMAL(27,{scale})) ) AS DECIMAL(38,6))")
+
+
+def _dsum_dbl(col, scale: int):
+    """Double-valued exact sum for RATIO numerators (avg columns): safe
+    while the scaled sum stays below 2^53 (true through sf100 for these
+    columns — both engines then cast the exact decimal to the identical
+    nearest double); the plain sums use _dsum's decimal output
+    instead, which has no such bound."""
+    return F.sum(F.round(col, scale).cast(f"decimal(27,{scale})")) \
+        .cast("double")
+
+
+def _dsum_dbl_sql(expr: str, scale: int) -> str:
+    return (f"CAST(sum(CAST(round({expr}, {scale}) "
+            f"AS DECIMAL(27,{scale})) ) AS DOUBLE)")
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] A1/A8/F9: grouped aggregate battery over lineitem. One
     shuffle on the tiny (returnflag, linestatus) key space; partial
-    aggregation does nearly all the work map-side."""
+    aggregation does nearly all the work map-side. Sums and averages
+    use exact decimal addition (_dsum) so the result is independent of
+    partition count and merge order at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    cnt = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice")
-                          * (1 - F.col("l_discount"))), 6)
-            .alias("sum_disc_price"),
-            F.round(F.sum(F.col("l_extendedprice")
-                          * (1 - F.col("l_discount"))
-                          * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count("*").alias("count_order")))
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dsum(disc, 4).alias("sum_disc_price"),
+            _dsum(charge, 6).alias("sum_charge"),
+            F.round(_dsum_dbl(F.col("l_quantity"), 2) / cnt, 6)
+            .alias("avg_qty"),
+            F.round(_dsum_dbl(F.col("l_extendedprice"), 2) / cnt, 6)
+            .alias("avg_price"),
+            F.round(_dsum_dbl(F.col("l_discount"), 2) / cnt, 6)
+            .alias("avg_disc"),
+            cnt.alias("count_order")))
 
 
-PRICING_SUMMARY_ORACLE = """
+PRICING_SUMMARY_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+       {_dsum_sql('l_quantity', 2)} AS sum_qty,
+       {_dsum_sql('l_extendedprice', 2)} AS sum_base_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)}
+         AS sum_disc_price,
+       {_dsum_sql(
+           'l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
          AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round({_dsum_dbl_sql('l_quantity', 2)} / count(*), 6) AS avg_qty,
+       round({_dsum_dbl_sql('l_extendedprice', 2)} / count(*), 6)
+         AS avg_price,
+       round({_dsum_dbl_sql('l_discount', 2)} / count(*), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -81,16 +126,23 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 6)
-             .alias("revenue"),
-             F.count("*").alias("n_items"),
-             F.countDistinct("o_orderkey").alias("n_orders")))
+        .agg(*revenue_agg_exprs()))
 
 
-REVENUE_BY_NATION_ORACLE = """
+def revenue_agg_exprs() -> list:
+    """The revenue rollup shared by revenue_by_nation and its salted /
+    bucketed twins: exact decimal summation (_dsum) so all three
+    partitionings hash-match the one oracle at every scale."""
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return [_dsum(disc, 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders")]
+
+
+REVENUE_BY_NATION_ORACLE = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)}
+         AS revenue,
        count(*) AS n_items,
        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
 FROM lineitem
