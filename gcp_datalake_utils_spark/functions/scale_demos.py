@@ -49,7 +49,7 @@ def events_by_type_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir).withColumn(
         # exact decimal value so the two-phase partial sums merge
         # order-independently (value carries <= 2 decimals)
-        "value", F.round("value", 2).cast("decimal(27,2)"))
+        "value", F.round("value", 2).cast("decimal(18,2)"))
     agg = two_phase_agg(e, "event_type", n=8,
                         aggs={"event_id": "count", "value": "sum"})
     return agg.select(
@@ -62,7 +62,7 @@ def events_by_type_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_BY_TYPE_ORACLE = """
 SELECT event_type,
        count(event_id) AS n_events,
-       CAST(sum(CAST(round(value, 2) AS DECIMAL(27,2)))
+       CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
             AS DECIMAL(38,6)) AS total_value
 FROM events
 GROUP BY event_type

@@ -36,13 +36,13 @@ def _dsum(col, scale: int):
     division landed 1 ulp apart, so any float output re-introduces the
     flake at some scale. DECIMAL end to end is bit-stable at every SF
     and partitioning."""
-    return F.sum(F.round(col, scale).cast(f"decimal(27,{scale})")) \
+    return F.sum(F.round(col, scale).cast(f"decimal(18,{scale})")) \
         .cast("decimal(38,6)")
 
 
 def _dsum_sql(expr: str, scale: int) -> str:
     return (f"CAST(sum(CAST(round({expr}, {scale}) "
-            f"AS DECIMAL(27,{scale})) ) AS DECIMAL(38,6))")
+            f"AS DECIMAL(18,{scale})) ) AS DECIMAL(38,6))")
 
 
 def _dsum_dbl(col, scale: int):
@@ -51,13 +51,13 @@ def _dsum_dbl(col, scale: int):
     columns — both engines then cast the exact decimal to the identical
     nearest double); the plain sums use _dsum's decimal output
     instead, which has no such bound."""
-    return F.sum(F.round(col, scale).cast(f"decimal(27,{scale})")) \
+    return F.sum(F.round(col, scale).cast(f"decimal(18,{scale})")) \
         .cast("double")
 
 
 def _dsum_dbl_sql(expr: str, scale: int) -> str:
     return (f"CAST(sum(CAST(round({expr}, {scale}) "
-            f"AS DECIMAL(27,{scale})) ) AS DOUBLE)")
+            f"AS DECIMAL(18,{scale})) ) AS DOUBLE)")
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
