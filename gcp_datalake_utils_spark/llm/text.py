@@ -354,3 +354,66 @@ SELECT doc_id,
          s -> md5(s))) AS min_shingle_hash
 FROM documents
 """
+
+
+def vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] word-level Shannon entropy per document (type-token
+    diversity — the perplexity-proxy quality signal: boilerplate and
+    template spam score low, natural prose high).
+
+    H = log2(n) - (sum_i c_i*log2(c_i)) / n over word counts c_i.
+    Fully narrow: the counts come from the same sorted-run-length fold
+    as the repetition mode counts (linear per doc, no shuffle), and
+    the entropy terms accumulate INSIDE the fold in sorted-word order.
+    The DuckDB oracle reproduces the identical sequential float
+    addition via list(c ORDER BY word) + list_reduce, so both engines
+    sum the same doubles in the same order — bit-equal before the
+    round, no associativity flake at any scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _words_col().alias("ws"))
+    s = F.array_sort("ws")
+    n = F.size("ws")
+
+    def _step(acc, x):
+        is_run = acc["prev"].eqNullSafe(x)
+        run = F.when(is_run, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        flushed = F.when(is_run | acc["prev"].isNull(), acc["s"]) \
+            .otherwise(acc["s"] + acc["run"] * F.log2(acc["run"]))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        flushed.alias("s"))
+
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0.0).alias("s"))
+    total_s = F.aggregate(
+        s, init, _step,
+        lambda acc: acc["s"] + acc["run"] * F.log2(acc["run"]))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_types"),
+        F.round(F.log2(n) - total_s / n, 6).alias("word_entropy"))
+
+
+VOCAB_ENTROPY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+),
+cnt AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+),
+ord AS (
+  SELECT doc_id,
+         list(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+              ORDER BY word) AS terms,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       round(log2(n_tokens)
+             - list_reduce(list_prepend(0.0, terms),
+                           (a, b) -> a + b) / n_tokens, 6)
+         AS word_entropy
+FROM ord
+"""

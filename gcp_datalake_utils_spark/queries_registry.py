@@ -150,6 +150,11 @@ register("corpus_mixture", sampling.corpus_mixture,
          sampling.CORPUS_MIXTURE_ORACLE)
 register("simhash_near_pairs", dedup.simhash_near_pairs,
          dedup.SIMHASH_NEAR_PAIRS_ORACLE)
+register("click_attribution_stream",
+         stream_windows.click_attribution_stream_q,
+         stream_windows.CLICK_ATTRIBUTION_STREAM_ORACLE)
+register("vocab_entropy", text.vocab_entropy,
+         text.VOCAB_ENTROPY_ORACLE)
 
 # --- block 2b: plans changed by the r3 staged-tokenization rework
 # --- (values unchanged; kept in the driver window for fresh rows)

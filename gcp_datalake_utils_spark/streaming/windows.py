@@ -218,6 +218,55 @@ GROUP BY 1, 2
 """
 
 
+def click_attribution_stream_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """[Q] stream-stream interval join: each purchase event joins the
+    SAME user's click events from the preceding 30 minutes — the
+    classic attribution join. Both sides are watermarked so the click
+    buffer state is bounded by the interval + watermark horizon (the
+    100 TB/day requirement); the join condition carries the event-time
+    range predicate Spark uses to expire state. Drained AvailableNow;
+    the oracle replays the identical interval join in batch SQL."""
+    e = _event_stream(spark, sf_dir)
+    clicks = (e.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "1 hour"))
+    purchases = (e.where(F.col("event_type") == "purchase")
+                 .select("user_id",
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("value").alias("purchase_value"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "1 hour"))
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts")
+           >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")))
+    out = run_available_now(
+        joined.select("purchase_id", "click_id", "user_id",
+                      F.round("purchase_value", 6)
+                      .alias("purchase_value")),
+        _next_sink())
+    return out
+
+
+CLICK_ATTRIBUTION_STREAM_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id, round(p.value, 6) AS purchase_value
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+ AND CAST(c.ts AS TIMESTAMP)
+     >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase'
+"""
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] session windows per user (gap-based), batch-checked: Spark's
     ``session_window`` vs a gaps-and-islands oracle. The same expression
