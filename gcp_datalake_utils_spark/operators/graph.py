@@ -16,7 +16,7 @@ CTE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_datalake_utils_spark.catalog import fixtures as fx
@@ -120,4 +120,114 @@ bfs AS (
 )
 SELECT table_id, CAST(min(level) AS INTEGER) AS level
 FROM bfs GROUP BY table_id
+"""
+
+
+# --- PageRank over the dependency graph (iterative; G-family ext) -------
+
+DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+
+def _osum(pairs_col, field: str):
+    """Order-controlled float sum: sort the (key, value) structs, fold
+    sequentially. Both engines then perform the identical sequence of
+    additions (the oracle mirrors with list(v ORDER BY k) +
+    list_reduce), so iterated float arithmetic stays bit-equal — the
+    groupBy-sum alternative is merge-order dependent."""
+    return F.aggregate(F.array_sort(pairs_col), F.lit(0.0),
+                       lambda a, x: a + x[field])
+
+
+def pagerank(spark: SparkSession,
+             rels: DataFrame | None = None,
+             iters: int = PAGERANK_ITERS) -> DataFrame:
+    """[Q] G-ext: PageRank centrality of tables in the FK dependency
+    graph — "which table does the schema revolve around" (the hub
+    score the reference's layout heuristics approximate with degree).
+
+    Standard damped iteration with dangling-mass redistribution. The
+    graph is metadata-sized (one node per table) at ANY data scale, so
+    every frame is single-partition and each of the ``iters`` rounds is
+    one small job; per-round localCheckpoint keeps lineage flat (same
+    discipline as bfs_levels). At web scale the same loop runs
+    partitioned: contributions become a src-keyed shuffle join and the
+    ordered folds stay per-dst."""
+    rels = detect_all(spark) if rels is None else rels
+    e = edges(spark, rels).coalesce(1).localCheckpoint()
+    nodes = (fx.meta_tables_df(spark).select("table_id")
+             .coalesce(1).localCheckpoint())
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e2 = e.join(deg, "src").localCheckpoint()
+    pr = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        pr = pr.coalesce(1).localCheckpoint()
+        dang = (pr.join(deg.select(F.col("src").alias("table_id")),
+                        "table_id", "left_anti")
+                .agg(_osum(F.collect_list(F.struct("table_id", "rank")),
+                           "rank").alias("s")))
+        contrib = (e2.join(pr.withColumnRenamed("table_id", "src"),
+                           "src")
+                   .select("dst", "src",
+                           (F.col("rank") / F.col("outdeg"))
+                           .alias("contrib"))
+                   .groupBy("dst")
+                   .agg(_osum(F.collect_list(F.struct("src", "contrib")),
+                              "contrib").alias("c")))
+        pr = (nodes
+              .join(contrib.withColumnRenamed("dst", "table_id"),
+                    "table_id", "left")
+              .crossJoin(F.broadcast(dang))
+              .select("table_id",
+                      (F.lit((1 - DAMPING) / n)
+                       + DAMPING * (F.coalesce("c", F.lit(0.0))
+                                    + F.col("s") / n)).alias("rank")))
+    w = Window.orderBy(F.desc("rank"), "table_id")
+    return (pr.select("table_id", F.round("rank", 6).alias("rank"))
+            .withColumn("position",
+                        F.row_number().over(w).cast("int")))
+
+
+def pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank(spark)
+
+
+def pagerank_oracle(iters: int = PAGERANK_ITERS) -> str:
+    ctes = [f"""edges AS (
+  SELECT DISTINCT source_table AS src, target_table AS dst
+  FROM validated),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT table_id FROM tabs),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+pr0 AS (SELECT table_id, 1.0 / nn.n AS rank FROM nodes, nn)"""]
+    for i in range(iters):
+        ctes.append(f"""dang{i} AS (
+  SELECT list_reduce(list_prepend(
+           0.0, COALESCE(list(rank ORDER BY table_id), [])),
+         (a, b) -> a + b) AS s
+  FROM pr{i} WHERE table_id NOT IN (SELECT src FROM deg))""")
+        ctes.append(f"""contrib{i} AS (
+  SELECT e.dst AS table_id,
+         list_reduce(list_prepend(
+           0.0, list(p.rank / d.outdeg ORDER BY e.src)),
+         (a, b) -> a + b) AS c
+  FROM edges e
+  JOIN pr{i} p ON p.table_id = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst)""")
+        ctes.append(f"""pr{i + 1} AS (
+  SELECT nd.table_id,
+         (1 - {DAMPING}) / nn.n
+           + {DAMPING} * (COALESCE(c.c, 0.0) + dang{i}.s / nn.n) AS rank
+  FROM nodes nd
+  CROSS JOIN nn
+  CROSS JOIN dang{i}
+  LEFT JOIN contrib{i} c ON c.table_id = nd.table_id)"""
+        )
+    return do._preamble() + ", " + ",\n".join(ctes) + f"""
+SELECT table_id, round(rank, 6) AS rank,
+       CAST(row_number() OVER (ORDER BY rank DESC, table_id)
+            AS INTEGER) AS position
+FROM pr{iters}
 """

@@ -155,6 +155,8 @@ register("click_attribution_stream",
          stream_windows.CLICK_ATTRIBUTION_STREAM_ORACLE)
 register("vocab_entropy", text.vocab_entropy,
          text.VOCAB_ENTROPY_ORACLE)
+register("pagerank_tables", graph.pagerank_query,
+         graph.pagerank_oracle())
 
 # --- block 2b: plans changed by the r3 staged-tokenization rework
 # --- (values unchanged; kept in the driver window for fresh rows)
