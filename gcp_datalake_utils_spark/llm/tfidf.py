@@ -71,3 +71,42 @@ FROM (SELECT *, row_number() OVER (
       FROM scored)
 WHERE rank <= {TOP_TERMS}
 """
+
+
+VOCAB_TOP_K = 200
+
+
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] vocabulary builder: top-K terms by document frequency (with
+    total term frequency as tie data) — the tokenizer-training /
+    stopword-mining pass. One explode + one partial-aggregated groupBy;
+    the global top-K plans as TakeOrderedAndProject (each partition
+    contributes its local top K; no corpus-wide sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (d.select("doc_id", F.explode(
+            F.split(F.trim("text"), " ")).alias("term"))
+         .groupBy("term")
+         .agg(F.countDistinct("doc_id").alias("doc_freq"),
+              F.count("*").alias("term_freq")))
+    top = w.orderBy(F.desc("doc_freq"), F.desc("term_freq"),
+                    "term").limit(VOCAB_TOP_K)
+    rank_w = Window.orderBy(F.desc("doc_freq"), F.desc("term_freq"),
+                            "term")
+    return top.withColumn(
+        "rank", F.row_number().over(rank_w).cast("int"))
+
+
+CORPUS_VOCABULARY_ORACLE = f"""
+SELECT term, doc_freq, term_freq,
+       CAST(row_number() OVER (ORDER BY doc_freq DESC, term_freq DESC,
+                               term) AS INTEGER) AS rank
+FROM (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         count(*) AS term_freq
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        FROM documents)
+  GROUP BY term
+)
+ORDER BY doc_freq DESC, term_freq DESC, term
+LIMIT {VOCAB_TOP_K}
+"""

@@ -157,6 +157,8 @@ register("vocab_entropy", text.vocab_entropy,
          text.VOCAB_ENTROPY_ORACLE)
 register("pagerank_tables", graph.pagerank_query,
          graph.pagerank_oracle())
+register("corpus_vocabulary", tfidf.corpus_vocabulary,
+         tfidf.CORPUS_VOCABULARY_ORACLE)
 
 # --- block 2b: plans changed by the r3 staged-tokenization rework
 # --- (values unchanged; kept in the driver window for fresh rows)
