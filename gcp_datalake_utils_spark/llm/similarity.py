@@ -568,3 +568,76 @@ FROM (
   FROM embeddings
 )
 """
+
+
+N_BATCH_QUERIES = 10
+BATCH_TOP_K = 5
+
+
+def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] batched ANN: top-K neighbors for MANY query vectors in one
+    job — the production query pattern (a query batch arriving every
+    micro-batch / the all-pairs-lite "nearest catalog item" join).
+
+    Each of the N_BATCH_QUERIES query vectors explodes to its 17
+    multi-probe bucket keys; ONE equi-join on bucket matches all
+    queries against the corpus simultaneously (no per-query scan — the
+    classic batching win), then a per-query window keeps top-K. The
+    probe side is |queries| x 17 rows -> broadcast; the corpus side is
+    scanned once regardless of batch size."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("bucket", _bucket_spark("embedding")))
+    probes = [F.col("q_bucket")] + [
+        F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
+        for j in range(N_PLANES)]
+    q = (e.where(F.col("vec_id") < N_BATCH_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_embedding"),
+                 F.col("bucket").alias("q_bucket"))
+         .select("query_id", "q_embedding",
+                 F.explode(F.array(*probes)).alias("bucket"))
+         .dropDuplicates(["query_id", "bucket"]))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_embedding"))
+        / (_norm(F.col("embedding")) * _norm(F.col("q_embedding"))), 6)
+    scored = (e.join(F.broadcast(q), "bucket")
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", "label", cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= BATCH_TOP_K)
+            .select("query_id", "vec_id", "label", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+BATCH_ANN_TOPK_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id, label, embedding,
+         {_bucket_duck('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT DISTINCT vec_id AS query_id, embedding AS q_embedding, probe
+  FROM (
+    SELECT vec_id, embedding,
+           unnest([bucket] || list_transform(
+             range({N_PLANES}), j -> xor(bucket, 1 << j))) AS probe
+    FROM sig WHERE vec_id < {N_BATCH_QUERIES}
+  )
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         round(({_DOT_SQL.format(a='e.embedding', b='q.q_embedding')})
+               / (({_NORM_SQL.format(a='e.embedding')})
+                  * ({_NORM_SQL.format(a='q.q_embedding')})), 6)
+           AS cosine
+  FROM sig e JOIN q ON e.bucket = q.probe
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {BATCH_TOP_K}
+"""

@@ -159,6 +159,8 @@ register("pagerank_tables", graph.pagerank_query,
          graph.pagerank_oracle())
 register("corpus_vocabulary", tfidf.corpus_vocabulary,
          tfidf.CORPUS_VOCABULARY_ORACLE)
+register("batch_ann_topk", similarity.batch_ann_topk,
+         similarity.BATCH_ANN_TOPK_ORACLE)
 
 # --- block 2b: plans changed by the r3 staged-tokenization rework
 # --- (values unchanged; kept in the driver window for fresh rows)
