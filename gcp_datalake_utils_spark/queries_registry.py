@@ -165,21 +165,23 @@ register("batch_ann_topk", similarity.batch_ann_topk,
 # --- block 2b: plans changed by the r3 staged-tokenization rework
 # --- (values unchanged; kept in the driver window for fresh rows)
 register("text_token_stats", text.token_stats, text.TOKEN_STATS_ORACLE)
-register("text_language_id", text.language_id, text.LANGUAGE_ID_ORACLE)
 register("text_fingerprints", text.fingerprints,
          text.FINGERPRINTS_ORACLE)
+register("dedup_near_pairs", dedup.near_dup_pairs, dedup.NEAR_DUP_ORACLE)
+register("dedup_simhash", dedup.simhash, dedup.SIMHASH_ORACLE)
+register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
+register("decontamination", decontam.decontamination,
+         decontam.DECONTAMINATION_ORACLE)
+register("doc_chunks", chunks.doc_chunks, chunks.DOC_CHUNKS_ORACLE)
+# (lighter-touched in r3: consume the staged shingle pass but had
+#  no rewrite of their own; r2 driver rows + local sf0.01/0.1 green)
+register("text_language_id", text.language_id, text.LANGUAGE_ID_ORACLE)
 register("dedup_minhash_signatures", dedup.minhash_signatures,
          dedup.MINHASH_ORACLE)
 register("dedup_lsh_buckets", dedup.lsh_bucket_stats,
          dedup.LSH_BUCKETS_ORACLE)
-register("dedup_near_pairs", dedup.near_dup_pairs, dedup.NEAR_DUP_ORACLE)
-register("dedup_simhash", dedup.simhash, dedup.SIMHASH_ORACLE)
-register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
 register("dedup_keep_best", dedup.dedup_keep_best,
          dedup._keep_best_oracle())
-register("decontamination", decontam.decontamination,
-         decontam.DECONTAMINATION_ORACLE)
-register("doc_chunks", chunks.doc_chunks, chunks.DOC_CHUNKS_ORACLE)
 
 # --- block 3: driver-green in r1/r2 --------------------------------------
 register("classify_pk_fk", classify.classification_query,
