@@ -191,3 +191,14 @@ def test_tokenize_once_counts(spark, sf_dir):
         plan = _formatted_plan(df)
         n = plan.count("split(trim(")
         assert n <= max_splits, f"{n} tokenizations (max {max_splits})"
+
+
+def test_batch_ann_topk_plan(spark, sf_dir):
+    """The batched ANN query must keep the per-query limit as a
+    WindowGroupLimit (each task retains only its local top-K per
+    query_id during the sort) and join the probe side via
+    BroadcastHashJoin — one corpus scan regardless of batch size."""
+    from gcp_datalake_utils_spark.llm import similarity
+    plan = _formatted_plan(similarity.batch_ann_topk(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
