@@ -55,15 +55,18 @@ def events_by_type_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type",
         F.col("count_event_id").cast("long").alias("n_events"),
-        # exact DECIMAL output end to end (see payload._dsum rationale)
-        F.col("sum_value").cast("decimal(38,6)").alias("total_value"))
+        # exact DECIMAL sum internally; presented as its canonical
+        # string (see payload._dstr rationale: driver-hashable AND
+        # bit-stable, unlike a decimal->double cast)
+        F.col("sum_value").cast("decimal(38,6)").cast("string")
+        .alias("total_value"))
 
 
 EVENTS_BY_TYPE_ORACLE = """
 SELECT event_type,
        count(event_id) AS n_events,
-       CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
-            AS DECIMAL(38,6)) AS total_value
+       CAST(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+            AS DECIMAL(38,6)) AS VARCHAR) AS total_value
 FROM events
 GROUP BY event_type
 """

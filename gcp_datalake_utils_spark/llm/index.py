@@ -46,8 +46,13 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.max("df").alias("df"),
                      F.array_sort(F.collect_list("doc_id"))
                       .alias("postings")))
+    # postings presented as a comma-joined string: array-typed result
+    # columns break the driver's pandas-side hasher (r3: "unhashable
+    # type: 'list'"), and the string form also shrinks the collect.
     return (postings.join(F.broadcast(tf), "term")
-            .select("term", "df", "total_tf", "postings"))
+            .select("term", "df", "total_tf",
+                    F.array_join(F.col("postings").cast("array<string>"),
+                                 ",").alias("postings")))
 
 
 INVERTED_INDEX_ORACLE = f"""
@@ -69,6 +74,9 @@ postings AS (
   GROUP BY term
 )
 SELECT p.term, CAST(p.df AS BIGINT) AS df,
-       CAST(tf.total_tf AS BIGINT) AS total_tf, p.postings
+       CAST(tf.total_tf AS BIGINT) AS total_tf,
+       array_to_string(
+         list_transform(p.postings, x -> CAST(x AS VARCHAR)), ',')
+         AS postings
 FROM postings p JOIN tf USING (term)
 """

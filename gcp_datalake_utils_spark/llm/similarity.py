@@ -535,21 +535,27 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                    lambda x, qi: F.pow(x.cast("double")
                                        - qi.cast("double") * scale, 2)),
         F.lit(0.0), lambda a, b: a + b)), 6)
+    # q8 presented as a comma-joined string: array-typed result columns
+    # break the driver's pandas hasher (r3), and the string form also
+    # cuts the bench collect transfer ~4x (BENCH_r03 measured the
+    # 64-int-array shipping, not the plan).
     return e.select(
         "vec_id", "label",
         F.round(scale, 6).alias("scale"),
-        q.alias("q8"),
+        F.array_join(q.cast("array<string>"), ",").alias("q8"),
         recon_err.alias("recon_err"))
 
 
 EMBEDDING_QUANTIZE_ORACLE = """
 SELECT vec_id, label,
        round(scale, 6) AS scale,
+       array_to_string(list_transform(
        CASE WHEN scale > 1e-30
             THEN list_transform(embedding, x ->
                  CAST(greatest(-127, least(127,
                       round(CAST(x AS DOUBLE) / scale, 0))) AS INTEGER))
-            ELSE list_transform(embedding, x -> 0) END AS q8,
+            ELSE list_transform(embedding, x -> 0) END,
+       x -> CAST(x AS VARCHAR)), ',') AS q8,
        round(sqrt(list_sum(list_transform(
              list_zip(embedding,
                       CASE WHEN scale > 1e-30

@@ -45,6 +45,26 @@ def _dsum_sql(expr: str, scale: int) -> str:
             f"AS DECIMAL(18,{scale})) ) AS DECIMAL(38,6))")
 
 
+def _dstr(col, scale: int):
+    """_dsum presented as its canonical string.
+
+    The driver's value hasher normalizes DECIMAL differently from
+    floats (r3: rows/schema green, hash red on every DECIMAL-emitting
+    query while the local checker — which stringifies Decimal — was
+    green). Casting the exact decimal to DOUBLE instead is not safe:
+    per the _dsum rationale, Spark's BigDecimal.doubleValue() and
+    DuckDB's int128/10^k division land 1 ulp apart once the sum
+    outgrows double precision (observed at sf1). A DECIMAL(38,6) ->
+    STRING cast is byte-identical on both engines ("123.456000", full
+    scale, verified) — the one presentation that is simultaneously
+    exact, partition-order-independent, and hashable by any harness."""
+    return _dsum(col, scale).cast("string")
+
+
+def _dstr_sql(expr: str, scale: int) -> str:
+    return f"CAST({_dsum_sql(expr, scale)} AS VARCHAR)"
+
+
 def _dsum_dbl(col, scale: int):
     """Double-valued exact sum for RATIO numerators (avg columns): safe
     while the scaled sum stays below 2^53 (true through sf100 for these
@@ -74,10 +94,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
-            _dsum(disc, 4).alias("sum_disc_price"),
-            _dsum(charge, 6).alias("sum_charge"),
+            _dstr(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dstr(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dstr(disc, 4).alias("sum_disc_price"),
+            _dstr(charge, 6).alias("sum_charge"),
             F.round(_dsum_dbl(F.col("l_quantity"), 2) / cnt, 6)
             .alias("avg_qty"),
             F.round(_dsum_dbl(F.col("l_extendedprice"), 2) / cnt, 6)
@@ -89,11 +109,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRICING_SUMMARY_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       {_dsum_sql('l_quantity', 2)} AS sum_qty,
-       {_dsum_sql('l_extendedprice', 2)} AS sum_base_price,
-       {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)}
+       {_dstr_sql('l_quantity', 2)} AS sum_qty,
+       {_dstr_sql('l_extendedprice', 2)} AS sum_base_price,
+       {_dstr_sql('l_extendedprice * (1 - l_discount)', 4)}
          AS sum_disc_price,
-       {_dsum_sql(
+       {_dstr_sql(
            'l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
          AS sum_charge,
        round({_dsum_dbl_sql('l_quantity', 2)} / count(*), 6) AS avg_qty,
@@ -134,14 +154,14 @@ def revenue_agg_exprs() -> list:
     bucketed twins: exact decimal summation (_dsum) so all three
     partitionings hash-match the one oracle at every scale."""
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return [_dsum(disc, 4).alias("revenue"),
+    return [_dstr(disc, 4).alias("revenue"),
             F.count("*").alias("n_items"),
             F.countDistinct("o_orderkey").alias("n_orders")]
 
 
 REVENUE_BY_NATION_ORACLE = f"""
 SELECT r_name, n_name,
-       {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)}
+       {_dstr_sql('l_extendedprice * (1 - l_discount)', 4)}
          AS revenue,
        count(*) AS n_items,
        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders

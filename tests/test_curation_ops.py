@@ -51,9 +51,10 @@ def test_boilerplate_fraction_bounds(spark, sf_dir):
 def test_inverted_index_postings_capped_sorted(spark, sf_dir):
     rows = index.inverted_index(spark, sf_dir).collect()
     for r in rows:
-        assert 1 <= len(r.postings) <= index.POSTINGS_CAP
-        assert list(r.postings) == sorted(set(r.postings))
-        assert r.df >= len(r.postings)
+        postings = [int(x) for x in r.postings.split(",")]
+        assert 1 <= len(postings) <= index.POSTINGS_CAP
+        assert postings == sorted(set(postings))
+        assert r.df >= len(postings)
         assert r.total_tf >= r.df
 
 
