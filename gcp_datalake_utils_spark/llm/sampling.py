@@ -136,6 +136,8 @@ SELECT doc_id, lang, source, source_n,
        round(weight, 6) AS weight, mix_rank
 FROM ranked, total
 WHERE weight IS NOT NULL
-  AND mix_rank <= least(ceil(corpus_n * {MIX_TOTAL_FRAC} * weight),
+  AND mix_rank <= least(ceil(CAST(corpus_n AS DOUBLE)
+                             * CAST({MIX_TOTAL_FRAC} AS DOUBLE)
+                             * weight),
                         source_n)
 """

@@ -371,6 +371,29 @@ WHERE {{cos}} >= 0.95
 N_DIMS_CENTROID = 64
 
 
+def _davg6(col):
+    """Order-independent component mean, rounded to 6.
+
+    Plain ``F.avg`` over doubles is partial-merge-order-dependent in
+    the last ulps (the flake class the money aggregates eliminated
+    with payload._dsum), and round-after-an-order-dependent-sum can
+    still flip on a half-ulp boundary at some SF/partitioning. Terms
+    are instead rounded to 7 decimals (float32 carries ~7.2
+    significant digits; both engines apply the identical round) and
+    summed EXACTLY as DECIMAL(18,7), so merge order cannot move the
+    result. The decimal->double cast before the divide is exact while
+    the scaled sum stays below 2^53 — |component| <= ~1 here, so safe
+    to ~1e8 rows per (cluster, dim); beyond that widen the decimal and
+    divide in decimal."""
+    return F.round(
+        F.sum(F.round(col.cast("double"), 7).cast("decimal(18,7)"))
+        .cast("double") / F.count("*"), 6)
+
+
+_DAVG6_SQL = ("round(CAST(sum(CAST(round(CAST({v} AS DOUBLE), 7) "
+              "AS DECIMAL(18,7))) AS DOUBLE) / count(*), 6)")
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] per-label centroid + each vector's cosine to its own label
     centroid (cluster-coherence scoring; the IVF trainer's E-step view).
@@ -386,8 +409,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = (e.select("label", F.posexplode("embedding")
                      .alias("dim", "v"))
             .groupBy("label", "dim")
-            .agg(F.round(F.avg(F.col("v").cast("double")), 6)
-                 .alias("c")))
+            .agg(_davg6(F.col("v")).alias("c")))
     cent = (comp.groupBy("label")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "c"))),
@@ -402,7 +424,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 LABEL_CENTROIDS_ORACLE = f"""
 WITH comp AS (
   SELECT label, d AS dim,
-         round(avg(CAST(embedding[d + 1] AS DOUBLE)), 6) AS c
+         {_DAVG6_SQL.format(v='embedding[d + 1]')} AS c
   FROM embeddings, unnest(range({N_DIMS_CENTROID})) AS t(d)
   GROUP BY label, d
 ),
@@ -448,7 +470,7 @@ def _update_centroids(e: DataFrame, assign: DataFrame) -> DataFrame:
     comp = (e.join(assign.select("vec_id", "cluster"), "vec_id")
             .select("cluster", F.posexplode("embedding").alias("dim", "v"))
             .groupBy("cluster", "dim")
-            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c")))
+            .agg(_davg6(F.col("v")).alias("c")))
     return (comp.groupBy("cluster")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "c"))),
@@ -489,7 +511,7 @@ def _kmeans_oracle() -> str:
                              ORDER BY cosine DESC, cluster) = 1)""")
         ctes.append(f"""m{i + 1} AS (
   SELECT a.cluster, d AS dim,
-         round(avg(CAST(e.embedding[d + 1] AS DOUBLE)), 6) AS c
+         {_DAVG6_SQL.format(v='e.embedding[d + 1]')} AS c
   FROM embeddings e JOIN a{i} a USING (vec_id),
        unnest(range({N_DIMS_CENTROID})) AS t(d)
   GROUP BY a.cluster, d)""")

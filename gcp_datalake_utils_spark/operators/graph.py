@@ -216,9 +216,13 @@ pr0 AS (SELECT table_id, 1.0 / nn.n AS rank FROM nodes, nn)"""]
   JOIN pr{i} p ON p.table_id = e.src
   JOIN deg d ON d.src = e.src
   GROUP BY e.dst)""")
+        # interpolate the exact Python double (1 - 0.85 ==
+        # 0.15000000000000002...): a SQL `1 - 0.85` is evaluated by
+        # DuckDB in DECIMAL (exactly 0.15), a 1-ulp divergence from the
+        # Spark side injected into every node every iteration
         ctes.append(f"""pr{i + 1} AS (
   SELECT nd.table_id,
-         (1 - {DAMPING}) / nn.n
+         CAST({1 - DAMPING!r} AS DOUBLE) / nn.n
            + {DAMPING} * (COALESCE(c.c, 0.0) + dang{i}.s / nn.n) AS rank
   FROM nodes nd
   CROSS JOIN nn

@@ -34,10 +34,12 @@ BAND_SECONDS = 6 * 3600
 _BAND_US = BAND_SECONDS * 1_000_000
 
 
-def _cell(ts: Column) -> Column:
-    # floor-division of epoch micros; timestamps are post-1970 here, and
-    # Spark's integral div on longs matches DuckDB's // for positives
-    return (F.unix_micros(ts) / F.lit(_BAND_US)).cast("long")
+def _cell(ts_sql: str) -> Column:
+    # true integer floor-division of epoch micros (SQL `div`, not `/`):
+    # long `/` in Spark is double division and epoch-2024 micros exceed
+    # 2^53, so the quotient would round (ulp ~256 us) and cells near
+    # band boundaries could land one off from the exact floor
+    return F.expr(f"unix_micros({ts_sql}) div {_BAND_US}L")
 
 
 def banded_range_join(events: DataFrame, windows: DataFrame,
@@ -49,10 +51,9 @@ def banded_range_join(events: DataFrame, windows: DataFrame,
     w_cells = windows.withColumn(
         "_cell",
         F.explode(F.sequence(
-            _cell(F.col(ws_col)),
-            ((F.unix_micros(F.col(we_col)) - 1) / F.lit(_BAND_US))
-            .cast("long"))))
-    e_cells = events.withColumn("_cell", _cell(F.col(ts_col)))
+            _cell(ws_col),
+            F.expr(f"(unix_micros({we_col}) - 1) div {_BAND_US}L"))))
+    e_cells = events.withColumn("_cell", _cell(ts_col))
     return (e_cells.join(w_cells, "_cell")
             .where((F.col(ts_col) >= F.col(ws_col))
                    & (F.col(ts_col) < F.col(we_col)))

@@ -128,13 +128,16 @@ def snapshot_diff(spark: SparkSession, base: str, table: str,
 
 
 def _tmp_base(sf_dir: str, kind: str) -> str:
-    """Deterministic per-sf scratch dir for the [Q] snapshot queries,
-    wiped on every call so repeated runs are reproducible."""
+    """Per-process scratch dir for the [Q] snapshot queries, wiped on
+    every call so repeated runs within a process are reproducible. The
+    path carries the pid: a path shared across processes (the driver's
+    correctness run next to a local bench/pytest) races — one process
+    rmtree's the store while the other's Spark job is mid-read."""
     import hashlib
     import shutil
     d = os.path.join(
         "/tmp", "spark_graft_snapshots", kind,
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}-{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
