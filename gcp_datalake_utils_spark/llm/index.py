@@ -11,9 +11,11 @@ ever holds more than K entries. Corpus-wide truth stays in the
 scalar aggregates (``df``, ``total_tf``), which partial-aggregate
 map-side and never materialize a list.
 
-Shuffles, all on the term key (AQE coalesces adjacent same-key
-exchanges): tokens->tf rollup; distinct pairs -> windowed rank + df;
-the final tf join broadcasts the vocabulary-sized side.
+ONE exchange total, on the term key: the (doc_id, term, tf) rollup is
+a narrow projection (``terms.doc_term_pairs`` — raw tokens never
+shuffle), the rank window shuffles the pair stream once on term, and
+the final groupBy(term) reuses that partitioning (df, total_tf and the
+capped postings all fold in the same agg — no join at all).
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gcp_datalake_utils_spark.llm.terms import doc_term_pairs
 from gcp_datalake_utils_spark.sources import load_table
 
 POSTINGS_CAP = 10
@@ -32,27 +35,24 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] (term, df, total_tf, postings): document frequency, corpus
     term frequency, and the first K doc ids (ascending) per term."""
     d = load_table(spark, sf_dir, "documents")
-    tokens = d.select(
-        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term"))
-    tf = tokens.groupBy("term").agg(F.count("*").alias("total_tf"))
-    pairs = tokens.distinct()
+    pairs = doc_term_pairs(d)
     w = Window.partitionBy("term").orderBy("doc_id")
-    ranked = (pairs
-              .withColumn("df", F.count("*").over(
-                  Window.partitionBy("term")))
-              .withColumn("rk", F.row_number().over(w)))
-    postings = (ranked.where(F.col("rk") <= POSTINGS_CAP)
-                .groupBy("term")
-                .agg(F.max("df").alias("df"),
-                     F.array_sort(F.collect_list("doc_id"))
-                      .alias("postings")))
+    ranked = pairs.withColumn("rk", F.row_number().over(w))
+    # df, total_tf and the capped postings fold in ONE agg on the
+    # window's partitioning: collect_list skips the nulls the rk-cap
+    # when() emits, so no aggregation buffer holds more than CAP ids.
     # postings presented as a comma-joined string: array-typed result
     # columns break the driver's pandas-side hasher (r3: "unhashable
     # type: 'list'"), and the string form also shrinks the collect.
-    return (postings.join(F.broadcast(tf), "term")
-            .select("term", "df", "total_tf",
-                    F.array_join(F.col("postings").cast("array<string>"),
-                                 ",").alias("postings")))
+    return (ranked.groupBy("term")
+            .agg(F.count("*").alias("df"),
+                 F.sum("tf").alias("total_tf"),
+                 F.array_join(
+                     F.array_sort(F.collect_list(
+                         F.when(F.col("rk") <= POSTINGS_CAP,
+                                F.col("doc_id"))))
+                     .cast("array<string>"), ",").alias("postings"))
+            .select("term", "df", "total_tf", "postings"))
 
 
 INVERTED_INDEX_ORACLE = f"""

@@ -1,16 +1,15 @@
 """Per-document TF-IDF top terms (north-star text-analysis op): the
 classic keyword-extraction / relevance-weighting primitive.
 
-Shuffle budget at 100 TB (each stage partial-aggregates first):
+Shuffle budget at 100 TB: the (doc_id, term, tf) rollup is a NARROW
+projection (``terms.doc_term_pairs`` — raw tokens never shuffle), so:
 
-1. term frequency: explode words -> groupBy(doc_id, term)   [shuffle 1]
-2. document frequency: distinct pairs -> groupBy(term)      [shuffle 2]
-   (the result is vocabulary-sized — tiny next to the corpus, so the
-   tf<-df join broadcasts when stats allow; AQE decides at runtime)
-3. corpus size N joins in as a broadcast 1-row aggregate (never a
+1. document frequency: pair-sized groupBy(term); the vocabulary-sized
+   result broadcasts back onto the pairs (AQE decides at runtime)
+2. corpus size N joins in as a broadcast 1-row aggregate (never a
    driver-side collect)
-4. top-k per doc: window partitioned by doc_id — per-group k, never a
-   global sort.
+3. top-k per doc: window partitioned by doc_id — the ONLY shuffle that
+   carries the pair stream; per-group k, never a global sort.
 """
 
 from __future__ import annotations
@@ -18,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gcp_datalake_utils_spark.llm.terms import doc_term_pairs
 from gcp_datalake_utils_spark.sources import load_table
 
 TOP_TERMS = 3
@@ -29,14 +29,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] (doc_id, term, tf, df, tfidf, rank): top-3 terms per doc by
     tf * ln(N/df), ties broken by term text so ranks are total."""
     d = load_table(spark, sf_dir, "documents")
-    tokens = d.select(
-        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term"))
-    tf = (tokens.groupBy("doc_id", "term")
-          .agg(F.count("*").alias("tf")))
-    df = (tokens.distinct().groupBy("term")
+    tf = doc_term_pairs(d)
+    df = (tf.groupBy("term")
           .agg(F.count("*").alias("df")))
     n_docs = d.agg(F.count("*").alias("n_docs"))
-    scored = (tf.join(df, "term")
+    scored = (tf.join(F.broadcast(df), "term")
               .crossJoin(F.broadcast(n_docs))
               .withColumn("tfidf",
                           F.round(F.col("tf")
@@ -79,15 +76,15 @@ VOCAB_TOP_K = 200
 def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] vocabulary builder: top-K terms by document frequency (with
     total term frequency as tie data) — the tokenizer-training /
-    stopword-mining pass. One explode + one partial-aggregated groupBy;
+    stopword-mining pass. Narrow per-doc rollup + one pair-sized
+    groupBy(term);
     the global top-K plans as TakeOrderedAndProject (each partition
     contributes its local top K; no corpus-wide sort)."""
     d = load_table(spark, sf_dir, "documents")
-    w = (d.select("doc_id", F.explode(
-            F.split(F.trim("text"), " ")).alias("term"))
+    w = (doc_term_pairs(d)
          .groupBy("term")
-         .agg(F.countDistinct("doc_id").alias("doc_freq"),
-              F.count("*").alias("term_freq")))
+         .agg(F.count("*").alias("doc_freq"),
+              F.sum("tf").alias("term_freq")))
     top = w.orderBy(F.desc("doc_freq"), F.desc("term_freq"),
                     "term").limit(VOCAB_TOP_K)
     rank_w = Window.orderBy(F.desc("doc_freq"), F.desc("term_freq"),

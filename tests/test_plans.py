@@ -148,15 +148,16 @@ def test_repetition_flags_narrow_linear(spark, sf_dir):
     assert "array_sort" in plan and "aggregate(" in plan
 
 
-def test_inverted_index_cap_pushed_before_collect(spark, sf_dir):
-    """The posting-list cap must plan as WindowGroupLimit (per-term
-    top-K kept during the sort) so no aggregation buffer ever holds an
-    uncapped posting list; the vocabulary-sized tf side broadcasts."""
+def test_inverted_index_cap_bounded_no_global_sort(spark, sf_dir):
+    """The posting-list cap is enforced inside the agg (collect_list
+    over a rank-capped when(), which skips nulls) so no aggregation
+    buffer ever holds more than POSTINGS_CAP ids; the window must stay
+    term-partitioned — never a SinglePartition global sort."""
     from gcp_datalake_utils_spark.llm import index
     plan = _formatted_plan(index.inverted_index(spark, sf_dir))
-    assert "WindowGroupLimit" in plan
     assert "SinglePartition" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert f"<= {index.POSTINGS_CAP}" in plan  # cap inside the agg
+    assert "collect_list(CASE WHEN" in plan
 
 
 def test_banded_range_join_is_hash_join(spark, sf_dir):
@@ -202,3 +203,35 @@ def test_batch_ann_topk_plan(spark, sf_dir):
     plan = _formatted_plan(similarity.batch_ann_topk(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_term_pipeline_pair_sized_shuffles(spark, sf_dir):
+    """The term pipeline's first stage (doc_term_pairs) is a narrow
+    projection — raw tokens must never reach an exchange. Downstream:
+    inverted_index folds window + agg into ONE term exchange (no join);
+    corpus_vocabulary is one term exchange + TakeOrderedAndProject;
+    tfidf_top_terms broadcasts the vocabulary-sized df side back onto
+    the pair stream (never the pair stream itself)."""
+    from gcp_datalake_utils_spark.llm import index, tfidf
+
+    plan = _formatted_plan(index.inverted_index(spark, sf_dir))
+    n_exchanges = sum(
+        ln.strip().split(" ", 2)[1] == "Exchange"
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and " " in ln.strip())
+    assert n_exchanges == 1, f"inverted_index: {n_exchanges} exchanges"
+    assert "hashpartitioning(term" in plan
+    assert "Join" not in plan
+
+    plan = _formatted_plan(tfidf.corpus_vocabulary(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert sum("Exchange" in ln and "Broadcast" not in ln
+               for ln in plan.splitlines()
+               if ln.strip().startswith("(")) <= 1
+
+    plan = _formatted_plan(tfidf.tfidf_top_terms(spark, sf_dir))
+    # the equi-join's build side is the broadcast df aggregate: the
+    # BroadcastExchange must sit ABOVE an Exchange(term) (the df agg),
+    # proving the probe side is the un-shuffled pair stream
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row n_docs only
