@@ -452,3 +452,143 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE bit_count(xor(ha, hb)) <= {SIMHASH_HAMMING_MAX}
 """
+
+
+# --- 64-bit SimHash (the production-width signature space) -------------
+#
+# The 16-bit variant above saturates on billion-doc corpora (candidate
+# bound n^2 / 2^band_bits per band). This is the documented widening:
+# 64 signature bits from the first 16 md5 hex chars per word, handled
+# as TWO 32-bit halves so no expression ever touches the signed 64th
+# bit (Spark ANSI long arithmetic + DuckDB both stay overflow-free),
+# banded 8x8 bits. Pigeonhole: hamming <= 7 guarantees a clean band,
+# so the <= 3 verify below is complete. Same band-collide-then-verify
+# contract and plan shape (equi-join on (band, key)) as the 16-bit
+# operator; only the constants widen.
+
+SIMHASH64_HAMMING_MAX = 3
+_SH64_BANDS_PER_HALF = 4  # 4 bands x 8 bits per 32-bit half
+
+
+def _sig32_expr(arr: str):
+    """32 bit-votes folded over a staged per-word hash array attribute
+    (one nested-lambda expression, not 32 copies of the fold subtree —
+    the _bucket_spark codegen lesson). Result in [0, 2^32): packing
+    uses bits 0..31 of a BIGINT only."""
+    return F.expr(f"""
+CAST(aggregate(transform(sequence(0, 31), b ->
+  CASE WHEN aggregate({arr}, 0, (acc, h) ->
+      acc + CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END) > 0
+  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)""")
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] 64-bit SimHash per document as (sig_hi, sig_lo) 32-bit
+    halves (reference parity: same signature family as simhash16,
+    reference dedup semantics; width per the r3 scale note)."""
+    d = load_table(spark, sf_dir, "documents")
+    # stage 1: tokenize once; stage 2: one md5 per word, staged;
+    # stage 3: the two 32-bit halves of each word hash, staged as
+    # attributes so the 64 bit-vote folds never re-hash a word
+    staged = (
+        d.select("doc_id", _words().alias("ws"))
+        .select("doc_id", F.transform(
+            "ws", lambda w: F.substring(F.md5(w.cast("binary")), 1, 16))
+            .alias("mh"))
+        .select(
+            "doc_id",
+            F.transform("mh", lambda m: F.conv(
+                F.substring(m, 1, 8), 16, 10).cast("long")).alias("wh"),
+            F.transform("mh", lambda m: F.conv(
+                F.substring(m, 9, 8), 16, 10).cast("long")).alias("wl")))
+    return staged.select(
+        "doc_id",
+        _sig32_expr("wh").alias("sig_hi"),
+        _sig32_expr("wl").alias("sig_lo"))
+
+
+def _simhash32_sql(hex_start: int) -> str:
+    wh = (f"list_transform({_WORDS}, "
+          f"w -> CAST(('0x' || substr(md5(w), {hex_start}, 8)) "
+          f"AS BIGINT))")
+    terms = []
+    for b in range(32):
+        vote = (f"list_sum(list_transform({wh}, "
+                f"h -> CASE WHEN floor(h / {2 ** b}) % 2 = 1 "
+                f"THEN 1 ELSE -1 END))")
+        terms.append(
+            f"(CASE WHEN {vote} > 0 THEN CAST({2 ** b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+SIMHASH64_ORACLE = f"""
+SELECT doc_id, {_simhash32_sql(1)} AS sig_hi,
+       {_simhash32_sql(9)} AS sig_lo
+FROM documents
+"""
+
+
+def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] 64-bit SimHash near-dup pairs: 8x8-bit band collide (4 bands
+    per 32-bit half) then exact hamming verify — the plan that holds at
+    1e9+ docs. Shuffle budget: the band join ships only (doc_id, half
+    sigs, band, key) int rows; the verify runs on cell-sharing
+    candidates only."""
+    sig = simhash64(spark, sf_dir)
+    halves = [("sig_lo", 0), ("sig_hi", _SH64_BANDS_PER_HALF)]
+    bands = sig.select(
+        "doc_id", "sig_hi", "sig_lo", F.explode(F.array(*[
+            F.struct(F.lit(off + j).alias("band"),
+                     F.shiftright(F.col(col), 8 * j)
+                     .bitwiseAND(F.lit(255)).alias("key"))
+            for col, off in halves
+            for j in range(_SH64_BANDS_PER_HALF)])).alias("bk"))\
+        .select("doc_id", "sig_hi", "sig_lo", "bk.band", "bk.key")
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sig_hi").alias("ha_hi"),
+                     F.col("sig_lo").alias("ha_lo"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sig_hi").alias("hb_hi"),
+                     F.col("sig_lo").alias("hb_lo"), "band", "key")
+    hamming = (F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi")))
+               + F.bit_count(F.col("ha_lo").bitwiseXOR(F.col("hb_lo"))))
+    return (a.join(b, ["band", "key"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ha_hi", "ha_lo",
+                    "hb_hi", "hb_lo").distinct()
+            .where(hamming <= SIMHASH64_HAMMING_MAX)
+            .select("doc_a", "doc_b",
+                    hamming.cast("int").alias("hamming")))
+
+
+SIMHASH64_NEAR_PAIRS_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id, {_simhash32_sql(1)} AS sig_hi,
+         {_simhash32_sql(9)} AS sig_lo
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, sig_hi, sig_lo, band,
+         CASE WHEN band < {_SH64_BANDS_PER_HALF}
+              THEN (sig_lo >> (8 * band)) & 255
+              ELSE (sig_hi >> (8 * (band - {_SH64_BANDS_PER_HALF})))
+                   & 255 END AS key
+  FROM sig, unnest(range({2 * _SH64_BANDS_PER_HALF})) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig_hi AS ha_hi, a.sig_lo AS ha_lo,
+         b.sig_hi AS hb_hi, b.sig_lo AS hb_lo
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha_hi, hb_hi))
+            + bit_count(xor(ha_lo, hb_lo)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(ha_hi, hb_hi))
+      + bit_count(xor(ha_lo, hb_lo)) <= {SIMHASH64_HAMMING_MAX}
+"""

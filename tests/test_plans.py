@@ -106,13 +106,18 @@ def test_pii_redaction_zero_exchange_codegen(spark, sf_dir):
 
 
 def test_stratified_sample_partitioned_window_only(spark, sf_dir):
-    """Quota sampling shuffles ONCE on the stratum key; never a global
-    (single-partition) sort or window."""
+    """Quota sampling must (a) never global-sort (no SinglePartition
+    window), (b) feed the rank window from the seeded-threshold
+    PREFILTERED subset — the hfrac filter (conv of the md5 prefix)
+    sits below the window exchange, so the sort carries ~frac of each
+    large stratum — and (c) keep the exact top-up branch (Union) with
+    broadcast-only joins (stratum-count frames are tiny at any SF)."""
     from gcp_datalake_utils_spark.llm import sampling
     plan = _formatted_plan(sampling.stratified_sample(spark, sf_dir))
-    # formatted mode prints each node twice (tree + numbered detail)
-    assert plan.count("Exchange") == 2, "expected exactly one exchange"
     assert "SinglePartition" not in plan
+    assert "conv(substring(md5(" in plan, "threshold prefilter missing"
+    assert "Union" in plan  # exact top-up branch
+    assert "SortMergeJoin" not in plan  # count frames broadcast
 
 
 def test_scd2_single_exchange_merged_windows(spark, sf_dir):
