@@ -58,6 +58,10 @@ HEADLINE = [
     "embedding_quantize",
     "corpus_mixture",
     "enriched_segment_stream",
+    # round-4 additions: production-width signature spaces + nested
+    "simhash64_near_pairs",
+    "batch_ann64_topk",
+    "order_lines_nested",
 ]
 
 # results larger than this row count are executed via count() instead of

@@ -541,30 +541,44 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid on both engines. Zero vectors carry scale 0 and all-zero
     codes (the 1e-30 guard divides only by a nonzero scale)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # STAGING ORDER MATTERS: scale and qarr become real attributes
+    # before any lambda references them — an un-staged scale inside the
+    # recon lambda is re-evaluated PER ELEMENT (the array_max subtree
+    # makes that O(dims^2) per row; the r2 lambda-re-inlining class)
     absmax = F.array_max(F.transform(
         "embedding", lambda x: F.abs(x.cast("double"))))
-    scale = absmax / F.lit(127.0)
+    # the staged column is named scale_raw, NOT scale: the final select
+    # aliases round(...) AS scale, and Spark's lateral-column-alias
+    # resolution would make recon's F.col("scale") silently read the
+    # ROUNDED value (observed: recon off in the 5th decimal)
+    s1 = e.select("vec_id", "label", "embedding",
+                  (absmax / F.lit(127.0)).alias("scale_raw"))
     q = F.transform(
         "embedding",
-        lambda x: F.when(scale > 1e-30,
+        lambda x: F.when(F.col("scale_raw") > 1e-30,
                          F.greatest(F.lit(-127),
                                     F.least(F.lit(127),
-                                            F.round(x.cast("double") / scale)
+                                            F.round(x.cast("double")
+                                                    / F.col("scale_raw"))
                                             .cast("int"))))
         .otherwise(F.lit(0)))
+    s2 = s1.select("vec_id", "label", "embedding", "scale_raw",
+                   q.alias("qarr"))
     recon_err = F.round(F.sqrt(F.aggregate(
-        F.zip_with("embedding", q,
+        F.zip_with("embedding", "qarr",
                    lambda x, qi: F.pow(x.cast("double")
-                                       - qi.cast("double") * scale, 2)),
+                                       - qi.cast("double")
+                                       * F.col("scale_raw"), 2)),
         F.lit(0.0), lambda a, b: a + b)), 6)
     # q8 presented as a comma-joined string: array-typed result columns
     # break the driver's pandas hasher (r3), and the string form also
     # cuts the bench collect transfer ~4x (BENCH_r03 measured the
     # 64-int-array shipping, not the plan).
-    return e.select(
+    return s2.select(
         "vec_id", "label",
-        F.round(scale, 6).alias("scale"),
-        F.array_join(q.cast("array<string>"), ",").alias("q8"),
+        F.round("scale_raw", 6).alias("scale"),
+        F.array_join(F.col("qarr").cast("array<string>"), ",")
+        .alias("q8"),
         recon_err.alias("recon_err"))
 
 
@@ -687,7 +701,15 @@ WHERE rank <= {BATCH_TOP_K}
 
 def _bucket32_spark(col: str, offset: int):
     """Planes [offset, offset+32) of the shared plane family, packed
-    into bits 0..31 of a BIGINT (always non-negative)."""
+    into bits 0..31 of a BIGINT (always non-negative).
+
+    Stays a nested-lambda HOF fold like the 16-plane `_bucket_spark`.
+    (A flat constant-folded 32x64-term codegen tree was tried and is
+    8x SLOWER: the 13 MiB expression tree blows past JIT method
+    limits, so the 'codegen' runs as interpreted bytecode. The
+    interpreted HOF fold at ~4 s/20k vecs at sf0.1 is the better
+    trade; at 100 TB the signature is computed once at write time and
+    stored, so query-time cost is the probe join, not the hash.)"""
     return F.expr(f"""
 CAST(aggregate(transform(sequence({offset}, {offset + 31}), j ->
   CASE WHEN round(aggregate(
