@@ -11,11 +11,11 @@ ever holds more than K entries. Corpus-wide truth stays in the
 scalar aggregates (``df``, ``total_tf``), which partial-aggregate
 map-side and never materialize a list.
 
-ONE exchange total, on the term key: the (doc_id, term, tf) rollup is
-a narrow projection (``terms.doc_term_pairs`` — raw tokens never
-shuffle), the rank window shuffles the pair stream once on term, and
-the final groupBy(term) reuses that partitioning (df, total_tf and the
-capped postings all fold in the same agg — no join at all).
+Two pair-sized exchanges, no join: the (doc_id, term, tf) rollup
+partial-aggregates map-side (``terms.doc_term_pairs`` — raw tokens
+never cross the network), the rank window shuffles the pair stream on
+term, and the final groupBy(term) reuses the window's partitioning
+(df, total_tf and the capped postings all fold in the same agg).
 """
 
 from __future__ import annotations

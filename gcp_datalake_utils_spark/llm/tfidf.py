@@ -1,15 +1,16 @@
 """Per-document TF-IDF top terms (north-star text-analysis op): the
 classic keyword-extraction / relevance-weighting primitive.
 
-Shuffle budget at 100 TB: the (doc_id, term, tf) rollup is a NARROW
-projection (``terms.doc_term_pairs`` — raw tokens never shuffle), so:
+Shuffle budget at 100 TB: the (doc_id, term, tf) rollup partial-
+aggregates map-side (``terms.doc_term_pairs`` — raw tokens never cross
+the network), so:
 
 1. document frequency: pair-sized groupBy(term); the vocabulary-sized
    result broadcasts back onto the pairs (AQE decides at runtime)
 2. corpus size N joins in as a broadcast 1-row aggregate (never a
    driver-side collect)
-3. top-k per doc: window partitioned by doc_id — the ONLY shuffle that
-   carries the pair stream; per-group k, never a global sort.
+3. top-k per doc: window partitioned by doc_id — per-group k, never a
+   global sort. Every exchange in the plan carries pair-sized data.
 """
 
 from __future__ import annotations
@@ -76,9 +77,8 @@ VOCAB_TOP_K = 200
 def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] vocabulary builder: top-K terms by document frequency (with
     total term frequency as tie data) — the tokenizer-training /
-    stopword-mining pass. Narrow per-doc rollup + one pair-sized
-    groupBy(term);
-    the global top-K plans as TakeOrderedAndProject (each partition
+    stopword-mining pass. Pair rollup + pair-sized term agg; the
+    global top-K plans as TakeOrderedAndProject (each partition
     contributes its local top K; no corpus-wide sort)."""
     d = load_table(spark, sf_dir, "documents")
     w = (doc_term_pairs(d)

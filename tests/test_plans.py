@@ -211,10 +211,11 @@ def test_batch_ann_topk_plan(spark, sf_dir):
 
 
 def test_term_pipeline_pair_sized_shuffles(spark, sf_dir):
-    """The term pipeline's first stage (doc_term_pairs) is a narrow
-    projection — raw tokens must never reach an exchange. Downstream:
-    inverted_index folds window + agg into ONE term exchange (no join);
-    corpus_vocabulary is one term exchange + TakeOrderedAndProject;
+    """The term pipeline's first stage (doc_term_pairs) must collapse
+    (doc_id, term) duplicates in a PARTIAL hash aggregate below its
+    exchange — raw tokens never cross the network. Downstream:
+    inverted_index is two pair-sized exchanges, window + same-key agg,
+    NO join; corpus_vocabulary is one pair agg + TakeOrdered;
     tfidf_top_terms broadcasts the vocabulary-sized df side back onto
     the pair stream (never the pair stream itself)."""
     from gcp_datalake_utils_spark.llm import index, tfidf
@@ -224,15 +225,20 @@ def test_term_pipeline_pair_sized_shuffles(spark, sf_dir):
         ln.strip().split(" ", 2)[1] == "Exchange"
         for ln in plan.splitlines()
         if ln.strip().startswith("(") and " " in ln.strip())
-    assert n_exchanges == 1, f"inverted_index: {n_exchanges} exchanges"
+    assert n_exchanges == 2, f"inverted_index: {n_exchanges} exchanges"
     assert "hashpartitioning(term" in plan
     assert "Join" not in plan
+    # partial agg sits below the first exchange: the map-side collapse
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange] or \
+        plan.count("HashAggregate") >= 2
 
     plan = _formatted_plan(tfidf.corpus_vocabulary(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+    # two pair-sized exchanges: (doc_id, term) rollup + term agg
     assert sum("Exchange" in ln and "Broadcast" not in ln
                for ln in plan.splitlines()
-               if ln.strip().startswith("(")) <= 1
+               if ln.strip().startswith("(")) <= 2
 
     plan = _formatted_plan(tfidf.tfidf_top_terms(spark, sf_dir))
     # the equi-join's build side is the broadcast df aggregate: the

@@ -1,0 +1,47 @@
+"""Time a subset of registry queries at a given sf_dir (scale-curve
+evidence for BASELINE.md). Protocol: one discarded warm-up, then
+median of N timed runs (default 3; use N=1 for the expensive sf10
+rows, marked in BASELINE.md).
+
+Usage: python tools/scale_sweep.py SF_DIR N q1 [q2 ...]
+Prints one JSON line {"sf_dir": ..., "runs": N, "spark": {q: sec}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+COLLECT_CAP = 100_000
+
+
+def main() -> None:
+    sf_dir, n = sys.argv[1], int(sys.argv[2])
+    names = sys.argv[3:]
+    from gcp_datalake_utils_spark.session import get_spark
+    from gcp_datalake_utils_spark import queries_registry as qr
+    spark = get_spark("scale_sweep", shuffle_partitions=32)
+    out = {}
+    for name in names:
+        fn = qr.QUERIES[name]
+        n_rows = fn(spark, sf_dir).count()  # warm-up; sizes the run
+        small = n_rows <= COLLECT_CAP
+        times = []
+        for _ in range(n):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.collect() if small else df.count()
+            times.append(time.time() - t0)
+        out[name] = round(statistics.median(times), 3)
+    print(json.dumps({"sf_dir": sf_dir, "runs": n, "spark": out,
+                      "loadavg": list(os.getloadavg())}))
+
+
+if __name__ == "__main__":
+    main()
