@@ -1,0 +1,272 @@
+"""Bounded-state sketches: HyperLogLog distinct counts and a Count-Min
+frequency sketch with heavy-hitter readout.
+
+At 100 TB, `COUNT(DISTINCT x)` and "top terms with counts" are the two
+aggregations whose EXACT forms stop scaling first: exact distinct needs
+a key-sized shuffle (every distinct value crosses the network) and
+exact term counts need a vocabulary-sized hash table per partition.
+Sketches replace both with FIXED-size aggregation state:
+
+* HyperLogLog (p=8, m=256 registers): per-register max(rho) is a
+  256-group aggregate — the partial HashAggregate below the exchange
+  collapses each input partition to at most 256 rows, so what shuffles
+  is O(partitions x 256) regardless of input size, and memory per task
+  is constant. Standard error ~ 1.04/sqrt(256) = 6.5%.
+* Count-Min (d=4 rows x w=1024 cells): the sketch is a 4096-group
+  aggregate with the same partial-agg property; point-lookup estimates
+  are upper bounds with overestimate <= e/w * total_mass at
+  probability 1 - e^-d.
+
+Cross-engine determinism (the repo's oracle contract): both engines
+derive register index / cell index / rho from the SAME md5-hex prefix
+arithmetic (Spark `conv(hex,16,10)` == DuckDB `('0x'||hex)::BIGINT`,
+verified bit-identical), and the HLL register sum is computed as an
+EXACT integer — sum of 2^(53-M_j) as BIGINT (max 256 * 2^53 < 2^62) —
+so the final double division is a single deterministic operation, never
+an order-dependent float fold. Count-Min is integer-only throughout.
+
+Reference parity: the reference exposes only exact COUNT(*) /
+COUNT(DISTINCT) scans (data_test SQL builders, data_test.py row-count
+and distribution checks); sketches are part of this repo's
+training-data-pipeline extension surface, not a reference port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.llm.terms import doc_term_pairs
+from gcp_datalake_utils_spark.sources import load_table
+
+# --- HyperLogLog ----------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+# alpha_m * m^2 * 2^53 pre-folded to ONE double literal so both engines
+# perform a single division by the exact integer register sum
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_HLL_FACTOR = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
+_HLL_COLS = [("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+             ("lineitem", "l_suppkey"), ("orders", "o_custkey")]
+
+
+def _hll_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(col_name, v): one branch per audited column; each branch scans
+    exactly one parquet column (column pruning per union branch)."""
+    parts = []
+    for table, col in _HLL_COLS:
+        t = load_table(spark, sf_dir, table)
+        parts.append(t.select(F.lit(col).alias("col_name"),
+                              F.col(col).cast("string").alias("v")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] HyperLogLog distinct-count sketch over FK columns, with the
+    exact distinct count joined in for accuracy audit:
+    (col_name, zero_registers, reg_sum, hll_estimate, exact_distinct,
+    rel_error).
+
+    The exact branch exists for the audit readout; the production
+    pipeline at 100 TB runs the sketch branch alone (constant state).
+    Register grid is generated (m x columns) and left-joined so empty
+    registers contribute 2^53 to the sum exactly as the algorithm
+    requires — never silently dropped."""
+    vals = _hll_value_frame(spark, sf_dir)
+    h = F.md5("v")
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v52 = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = (F.when(v52 == 0, F.lit(53))
+           .otherwise(F.lit(53) - F.length(F.bin(v52))))
+    regs = (vals.select("col_name", reg.alias("reg"), rho.alias("rho"))
+            .groupBy("col_name", "reg")
+            .agg(F.max("rho").alias("mx")))
+    cols = spark.createDataFrame(
+        [(c,) for _, c in _HLL_COLS], "col_name string")
+    grid = (spark.range(HLL_M)
+            .select(F.col("id").cast("int").alias("reg"))
+            .crossJoin(F.broadcast(cols)))
+    filled = (grid.join(regs, ["col_name", "reg"], "left")
+            .select("col_name", "reg",
+                    F.coalesce("mx", F.lit(0)).alias("mx")))
+    folded = (filled.groupBy("col_name")
+              .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mx)"))
+                   .alias("reg_sum"),
+                   F.sum(F.when(F.col("mx") == 0, 1).otherwise(0))
+                   .cast("int").alias("zero_registers")))
+    raw = F.lit(_HLL_FACTOR) / F.col("reg_sum")
+    est = F.round(
+        F.when((raw <= F.lit(2.5 * HLL_M))
+               & (F.col("zero_registers") > 0),
+               F.lit(float(HLL_M))
+               * F.log(F.lit(float(HLL_M))
+                       / F.col("zero_registers")))
+        .otherwise(raw), 4)
+    exact = (vals.groupBy("col_name")
+             .agg(F.count_distinct("v").alias("exact_distinct")))
+    return (folded.join(exact, "col_name")
+            .select("col_name", "zero_registers", "reg_sum",
+                    est.alias("hll_estimate"), "exact_distinct",
+                    F.round((est - F.col("exact_distinct"))
+                            / F.col("exact_distinct"), 4)
+                    .alias("rel_error")))
+
+
+def _hll_values_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{col}' AS col_name, CAST({col} AS VARCHAR) AS v "
+        f"FROM {table}"
+        for table, col in _HLL_COLS)
+
+
+_HLL_COLS_SQL = ", ".join(f"('{c}')" for _, c in _HLL_COLS)
+
+HLL_DISTINCT_ORACLE = f"""
+WITH vals AS ({_hll_values_sql()}),
+hashed AS (
+  SELECT col_name,
+         ('0x' || substr(md5(v), 1, 2))::INT AS reg,
+         ('0x' || substr(md5(v), 3, 13))::BIGINT AS v52
+  FROM vals
+),
+regs AS (
+  SELECT col_name, reg,
+         max(CASE WHEN v52 = 0 THEN 53
+                  ELSE 53 - length(bin(v52)) END) AS mx
+  FROM hashed GROUP BY col_name, reg
+),
+grid AS (
+  SELECT c.col_name, t.reg
+  FROM (SELECT unnest(range({HLL_M})) AS reg) t
+  CROSS JOIN (VALUES {_HLL_COLS_SQL}) c(col_name)
+),
+filled AS (
+  SELECT g.col_name, g.reg, coalesce(r.mx, 0) AS mx
+  FROM grid g LEFT JOIN regs r
+    ON r.col_name = g.col_name AND r.reg = g.reg
+),
+folded AS (
+  SELECT col_name,
+         sum((CAST(1 AS BIGINT) << (53 - mx)))::BIGINT AS reg_sum,
+         CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS INTEGER)
+           AS zero_registers
+  FROM filled GROUP BY col_name
+),
+est AS (
+  SELECT col_name, zero_registers, reg_sum,
+         round(CASE WHEN {_HLL_FACTOR!r} / reg_sum <= {2.5 * HLL_M}
+                     AND zero_registers > 0
+               THEN {float(HLL_M)!r}
+                    * ln({float(HLL_M)!r}
+                         / CAST(zero_registers AS DOUBLE))
+               ELSE {_HLL_FACTOR!r} / reg_sum END, 4) AS hll_estimate
+  FROM folded
+),
+exact AS (
+  SELECT col_name, count(DISTINCT v) AS exact_distinct FROM vals
+  GROUP BY col_name
+)
+SELECT e.col_name, e.zero_registers, e.reg_sum, e.hll_estimate,
+       x.exact_distinct,
+       round((e.hll_estimate - x.exact_distinct)
+             / CAST(x.exact_distinct AS DOUBLE), 4) AS rel_error
+FROM est e JOIN exact x USING (col_name)
+"""
+
+
+# --- Count-Min ------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_K = 20
+
+
+def _cms_cell_spark(row_col, term_col):
+    salted = F.concat(row_col.cast("string"), F.lit("|"), term_col)
+    return (F.conv(F.substring(F.md5(salted), 1, 5), 16, 10)
+            .cast("long") % CMS_WIDTH).cast("int")
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] Count-Min sketch over the corpus term stream + heavy-hitter
+    readout: (term, exact_tf, cm_estimate, overestimate) for the
+    top-K terms by exact total frequency.
+
+    Build path: the (doc, term, tf) pair rollup (shared ``terms``
+    stage, partial-aggregated map-side) -> term totals -> explode d
+    sketch rows -> groupBy (row, cell). Summing pre-rolled totals into
+    cells is algebraically identical to hashing the raw token stream
+    (sums commute) but ships pair-sized data, never tokens. The sketch
+    itself is <= d*w = 4096 rows — broadcastable state, constant at
+    any corpus size. The exact totals/top-K exist as the audit
+    readout; cm_estimate >= exact_tf always (Count-Min guarantee,
+    pytest-asserted)."""
+    d = load_table(spark, sf_dir, "documents")
+    totals = (doc_term_pairs(d).groupBy("term")
+              .agg(F.sum("tf").alias("exact_tf")))
+    rows = totals.select(
+        "term", "exact_tf",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1)))
+        .alias("r"))
+    sketch = (rows.groupBy(
+        "r", _cms_cell_spark(F.col("r"), F.col("term")).alias("cell"))
+        .agg(F.sum("exact_tf").alias("cell_tf")))
+    top = (totals.orderBy(F.desc("exact_tf"), "term")
+           .limit(CMS_TOP_K))
+    probes = (top.select(
+        "term", "exact_tf",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1)))
+        .alias("r"))
+        .select("term", "exact_tf", "r",
+                _cms_cell_spark(F.col("r"), F.col("term"))
+                .alias("cell")))
+    return (sketch.join(F.broadcast(probes), ["r", "cell"])
+            .groupBy("term", "exact_tf")
+            .agg(F.min("cell_tf").alias("cm_estimate"))
+            .select("term", "exact_tf", "cm_estimate",
+                    (F.col("cm_estimate") - F.col("exact_tf"))
+                    .alias("overestimate")))
+
+
+_WORDS = "string_split(trim(text), ' ')"
+
+_CMS_CELL_SQL = ("CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' "
+                 f"|| term), 1, 5))::BIGINT % {CMS_WIDTH} AS INTEGER)")
+
+CMS_HEAVY_HITTERS_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_WORDS}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+totals AS (
+  SELECT term, sum(tf) AS exact_tf FROM pairs GROUP BY term
+),
+rows_ AS (
+  SELECT term, exact_tf, CAST(r AS INTEGER) AS r,
+         {_CMS_CELL_SQL} AS cell
+  FROM totals, unnest(range({CMS_DEPTH})) t(r)
+),
+sketch AS (
+  SELECT r, cell, sum(exact_tf) AS cell_tf
+  FROM rows_ GROUP BY r, cell
+),
+top AS (
+  SELECT term, exact_tf FROM totals
+  ORDER BY exact_tf DESC, term LIMIT {CMS_TOP_K}
+),
+probes AS (
+  SELECT term, exact_tf, CAST(r AS INTEGER) AS r,
+         {_CMS_CELL_SQL} AS cell
+  FROM top, unnest(range({CMS_DEPTH})) t(r)
+)
+SELECT p.term, CAST(p.exact_tf AS BIGINT) AS exact_tf,
+       CAST(min(s.cell_tf) AS BIGINT) AS cm_estimate,
+       CAST(min(s.cell_tf) - p.exact_tf AS BIGINT) AS overestimate
+FROM sketch s JOIN probes p ON s.r = p.r AND s.cell = p.cell
+GROUP BY p.term, p.exact_tf
+"""

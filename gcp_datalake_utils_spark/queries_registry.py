@@ -39,6 +39,7 @@ from gcp_datalake_utils_spark.llm import (
     multimodal,
     sampling,
     similarity,
+    sketches,
     text,
     tfidf,
 )
@@ -79,6 +80,10 @@ register("batch_ann64_topk", similarity.batch_ann64_topk,
          similarity.BATCH_ANN64_TOPK_ORACLE)
 register("order_lines_nested", nested.order_lines_nested,
          nested.ORDER_LINES_NESTED_ORACLE)
+register("hll_distinct", sketches.hll_distinct,
+         sketches.HLL_DISTINCT_ORACLE)
+register("cms_heavy_hitters", sketches.cms_heavy_hitters,
+         sketches.CMS_HEAVY_HITTERS_ORACLE)
 
 # --- block B: plan / presentation / oracle CHANGED in round 4 ------------
 register("pricing_summary", payload.pricing_summary,
