@@ -497,24 +497,25 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("long").alias("wl")))
 
     def _votes(col: str):
-        return [F.sum(F.col("tf")
-                      * (F.shiftright(F.col(col), b)
-                         .bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"_{col}{b}")
+        # single-parse SQL strings: ~1 py4j round-trip per aggregate
+        # instead of ~8 Column calls (plan construction, not execution,
+        # dominated this query's wall time — see similarity's
+        # _bucket64_exploded note)
+        return [F.expr(f"sum(tf * (CAST(shiftright({col}, {b}) & 1 "
+                       f"AS BIGINT) * 2 - 1))").alias(f"_{col}{b}")
                 for b in range(32)]
 
     votes = hh.groupBy("doc_id").agg(*_votes("wh"), *_votes("wl"))
 
-    def _pack(col: str):
-        sig = F.lit(0).cast("long")
-        for b in range(32):
-            sig = sig + F.when(F.col(f"_{col}{b}") > 0,
-                               F.lit(1 << b).cast("long")) \
-                .otherwise(F.lit(0).cast("long"))
-        return sig
+    def _pack_sql(col: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN _{col}{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)" for b in range(32))
+        return f"CAST({terms} AS BIGINT)"
 
-    return votes.select("doc_id",
-                        _pack("wh").alias("sig_hi"),
-                        _pack("wl").alias("sig_lo"))
+    return votes.selectExpr("doc_id",
+                            _pack_sql("wh") + " AS sig_hi",
+                            _pack_sql("wl") + " AS sig_lo")
 
 
 def _simhash32_sql(hex_start: int) -> str:
@@ -545,7 +546,10 @@ def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e9+ docs. Shuffle budget: the band join ships only (doc_id, half
     sigs, band, key) int rows; the verify runs on cell-sharing
     candidates only."""
-    sig = simhash64(spark, sf_dir)
+    # checkpoint: the band frame feeds BOTH sides of the self-join —
+    # without it the 64-vote signature aggregation executes twice
+    # (same pattern as the MinHash band keys above)
+    sig = simhash64(spark, sf_dir).localCheckpoint()
     halves = [("sig_lo", 0), ("sig_hi", _SH64_BANDS_PER_HALF)]
     bands = sig.select(
         "doc_id", "sig_hi", "sig_lo", F.explode(F.array(*[

@@ -699,29 +699,45 @@ WHERE rank <= {BATCH_TOP_K}
 # scan, per-query window top-K) is unchanged.
 
 
-def _bucket32_spark(col: str, offset: int):
-    """Planes [offset, offset+32) of the shared plane family, packed
-    into bits 0..31 of a BIGINT (always non-negative).
+def _bucket64_exploded(e: DataFrame) -> DataFrame:
+    """Append (b_hi, b_lo) 32-plane halves via posexplode + 64 codegen
+    sum aggregates — the simhash64 shape.
 
-    Stays a nested-lambda HOF fold like the 16-plane `_bucket_spark`.
-    (A flat constant-folded 32x64-term codegen tree was tried and is
-    8x SLOWER: the 13 MiB expression tree blows past JIT method
-    limits, so the 'codegen' runs as interpreted bytecode. The
-    interpreted HOF fold at ~4 s/20k vecs at sf0.1 is the better
-    trade; at 100 TB the signature is computed once at write time and
-    stored, so query-time cost is the probe join, not the hash.)"""
-    return F.expr(f"""
-CAST(aggregate(transform(sequence({offset}, {offset + 31}), j ->
-  CASE WHEN round(aggregate(
-      zip_with({col}, sequence(0, {N_DIMS - 1}),
-        (x, d) -> CAST(x AS DOUBLE) *
-          (CASE WHEN (({_PA} * CAST(j AS BIGINT)
-                       + CAST(d AS BIGINT) * {_PB}) % {_PM}) % 2 = 0
-                THEN 1.0 ELSE -1.0 END)),
-      CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6) >= 0
-  THEN shiftleft(CAST(1 AS BIGINT), j - {offset})
-  ELSE CAST(0 AS BIGINT) END),
-  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)""")
+    Three designs measured at sf0.1 (2k vecs x 64 planes x 64 dims):
+    a nested-lambda HOF fold (interpreted expressions, ~4 s), a flat
+    constant-folded 32x64-term codegen tree (13 MiB expression blows
+    past JIT method limits, runs interpreted, 8x worse), and this one:
+    explode to (vec, dim, x) rows and compute all 64 plane projections
+    as plain `sum` aggregates in whole-stage codegen.
+
+    Determinism: each vector's 64 exploded rows are emitted
+    contiguously inside one input partition, so the partial aggregate
+    accumulates them in dimension order — the same add sequence as the
+    sequential fold and as DuckDB's `list_sum`, double-for-double
+    (`0.0 + x == x` bitwise; a -0.0 seed difference cannot propagate
+    past the sign test). At 100 TB the signature is computed once at
+    write time and stored; this path prices the backfill job itself.
+    """
+    base = e.select("vec_id", "label", "embedding",
+                    F.posexplode("embedding").alias("d", "x"))
+    projs = [F.expr(
+        f"sum(CAST(x AS DOUBLE) * (CASE WHEN "
+        f"(({j * _PA} + CAST(d AS BIGINT) * {_PB}) % {_PM}) % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END))").alias(f"_p{j}")
+        for j in range(2 * 32)]
+    agg = base.groupBy("vec_id", "label", "embedding").agg(*projs)
+
+    def _pack_sql(offset: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN round(_p{j}, 6) >= 0 "
+            f"THEN CAST({1 << (j - offset)} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for j in range(offset, offset + 32))
+        return f"CAST({terms} AS BIGINT)"
+
+    return agg.selectExpr("vec_id", "label", "embedding",
+                          _pack_sql(32) + " AS b_hi",
+                          _pack_sql(0) + " AS b_lo")
 
 
 def _bucket32_duck(col: str, offset: int) -> str:
@@ -740,25 +756,22 @@ def batch_ann64_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] batched multi-probe ANN over the 64-plane bucket space:
     top-K per query via ONE corpus scan, broadcast (query x 65-probe)
     side, equi-join on (b_hi, b_lo)."""
-    e = (load_table(spark, sf_dir, "embeddings")
-         .withColumn("b_hi", _bucket32_spark("embedding", 32))
-         .withColumn("b_lo", _bucket32_spark("embedding", 0)))
-    probes = [F.struct(F.col("q_hi").alias("b_hi"),
-                       F.col("q_lo").alias("b_lo"))]
-    probes += [F.struct(F.col("q_hi").alias("b_hi"),
-                        F.col("q_lo").bitwiseXOR(F.lit(1 << j))
-                        .alias("b_lo")) for j in range(32)]
-    probes += [F.struct(F.col("q_hi").bitwiseXOR(F.lit(1 << j))
-                        .alias("b_hi"),
-                        F.col("q_lo").alias("b_lo"))
-               for j in range(32)]
+    e = _bucket64_exploded(load_table(spark, sf_dir, "embeddings"))
+    probe_items = ["struct(q_hi AS b_hi, q_lo AS b_lo)"]
+    probe_items += [
+        f"struct(q_hi AS b_hi, CAST(q_lo ^ {1 << j} AS BIGINT) AS b_lo)"
+        for j in range(32)]
+    probe_items += [
+        f"struct(CAST(q_hi ^ {1 << j} AS BIGINT) AS b_hi, q_lo AS b_lo)"
+        for j in range(32)]
+    probes_expr = F.expr("array(" + ", ".join(probe_items) + ")")
     q = (e.where(F.col("vec_id") < N_BATCH_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_embedding"),
                  F.col("b_hi").alias("q_hi"),
                  F.col("b_lo").alias("q_lo"))
          .select("query_id", "q_embedding",
-                 F.explode(F.array(*probes)).alias("p"))
+                 F.explode(probes_expr).alias("p"))
          .select("query_id", "q_embedding",
                  F.col("p.b_hi").alias("b_hi"),
                  F.col("p.b_lo").alias("b_lo"))
