@@ -62,6 +62,9 @@ HEADLINE = [
     "simhash64_near_pairs",
     "batch_ann64_topk",
     "order_lines_nested",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "bloom_prefilter_audit",
 ]
 
 # results larger than this row count are executed via count() instead of

@@ -67,6 +67,7 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 # runs ALL entries.
 # ---------------------------------------------------------------------------
 
+from gcp_datalake_utils_spark.functions import bloom  # noqa: E402
 from gcp_datalake_utils_spark.functions import scale_demos  # noqa: E402
 from gcp_datalake_utils_spark.operators import nested  # noqa: E402
 from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
@@ -84,6 +85,8 @@ register("hll_distinct", sketches.hll_distinct,
          sketches.HLL_DISTINCT_ORACLE)
 register("cms_heavy_hitters", sketches.cms_heavy_hitters,
          sketches.CMS_HEAVY_HITTERS_ORACLE)
+register("bloom_prefilter_audit", bloom.bloom_prefilter_audit,
+         bloom.BLOOM_PREFILTER_AUDIT_ORACLE)
 
 # --- block B: plan / presentation / oracle CHANGED in round 4 ------------
 register("pricing_summary", payload.pricing_summary,
