@@ -11,10 +11,11 @@ semantics explicitly so the false-positive behavior is observable,
 deterministic, and oracle-checkable:
 
 * build: k=3 md5-salted positions per build key, `distinct` -> a
-  bit-position set of AT MOST m=16384 rows no matter how large the
-  build side grows (bounded broadcast state, the whole point);
-* probe: each probe key explodes to its 3 positions, equi-joins the
-  broadcast position set, and passes iff all 3 positions hit;
+  bit-position set of AT MOST m rows no matter how large the build
+  side grows (bounded broadcast state, the whole point);
+* probe: each probe key computes its k positions as scalar columns and
+  left-joins the broadcast position set once per hash — passes iff all
+  k hit; no explode, no regroup, zero probe-side exchanges;
 * audit: the confusion matrix against exact membership. A Bloom filter
   never false-negatives, so the (bloom_pass=false, is_member=true)
   cell must be empty — pytest asserts it, and the [Q] readout shows
@@ -40,15 +41,12 @@ BLOOM_K = 3       # audit is populated at test SF; production sizes m
 BAL_MIN = 8000.0  # to the build-side cardinality (~10 bits/key)
 
 
-def _positions_spark(key):
-    """k md5-salted bit positions for a key, as one exploded column."""
-    items = [
-        (F.conv(F.substring(F.md5(F.concat(F.lit(str(i)), F.lit("|"),
-                                           key.cast("string"))),
-                            1, 6), 16, 10)
-         .cast("long") % BLOOM_M).cast("int")
-        for i in range(BLOOM_K)]
-    return F.explode(F.array(*items))
+def _position_spark(key, i: int):
+    """i-th md5-salted bit position for a key (scalar column)."""
+    return (F.conv(F.substring(F.md5(F.concat(F.lit(str(i)), F.lit("|"),
+                                              key.cast("string"))),
+                               1, 6), 16, 10)
+            .cast("long") % BLOOM_M).cast("int")
 
 
 def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,67 +54,69 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     join restricted to high-balance customers:
     (bloom_pass, is_member, n_orders).
 
-    At 100 TB the `bits` frame broadcasts (<= m rows) and the probe
-    side filters BEFORE any shuffle; here the exact branch is kept to
-    measure the false-positive mass the filter lets through."""
+    Probe-side plan shape (the part that must hold at 100 TB): ONE
+    orders scan, k broadcast hash joins against the <= m-row position
+    set, one broadcast membership join — every probe-side operator is
+    narrow, so the only exchange in the whole query is the final
+    4-row confusion rollup. (The first cut exploded probe positions
+    and re-grouped by order key — a fact-sized shuffle the audit
+    showed Catalyst keeping; the per-hash scalar joins express the
+    same ALL-k-positions-hit test with no regroup at all.)"""
     cust = (load_table(spark, sf_dir, "customer")
             .where(F.col("c_acctbal") > BAL_MIN)
             .select(F.col("c_custkey").alias("key")))
-    bits = (cust.select(_positions_spark(F.col("key")).alias("pos"))
-            .distinct())
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey")
-    opos = orders.select(
+    bits = (cust.select(F.explode(F.array(*[
+        _position_spark(F.col("key"), i) for i in range(BLOOM_K)]))
+        .alias("pos")).distinct().localCheckpoint())
+    probe = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey",
-        _positions_spark(F.col("o_custkey")).alias("pos"))
-    hits = (opos.join(F.broadcast(bits.withColumn("hit", F.lit(1))),
-                      "pos", "left")
-            .groupBy("o_orderkey", "o_custkey")
-            .agg((F.sum(F.coalesce("hit", F.lit(0))) == BLOOM_K)
-                 .alias("bloom_pass")))
-    member = (orders.join(
-        F.broadcast(cust.withColumn("mem", F.lit(1))),
-        orders["o_custkey"] == cust["key"], "left")
-        .select("o_orderkey",
-                (F.coalesce("mem", F.lit(0)) == 1).alias("is_member")))
-    return (hits.join(member, "o_orderkey")
-            .groupBy("bloom_pass", "is_member")
+        *[_position_spark(F.col("o_custkey"), i).alias(f"p{i}")
+          for i in range(BLOOM_K)])
+    for i in range(BLOOM_K):
+        b = (bits.withColumnRenamed("pos", f"p{i}")
+             .withColumn(f"hit{i}", F.lit(1)))
+        probe = probe.join(F.broadcast(b), f"p{i}", "left")
+    pass_expr = None
+    for i in range(BLOOM_K):
+        term = F.col(f"hit{i}").isNotNull()
+        pass_expr = term if pass_expr is None else (pass_expr & term)
+    flags = (probe.join(F.broadcast(cust.withColumn("mem", F.lit(1))),
+                        probe["o_custkey"] == cust["key"], "left")
+             .select(pass_expr.alias("bloom_pass"),
+                     F.col("mem").isNotNull().alias("is_member")))
+    return (flags.groupBy("bloom_pass", "is_member")
             .agg(F.count("*").alias("n_orders")))
 
 
-def _positions_sql(key: str) -> str:
-    """DuckDB: one row per (i, position) via an inline k-element list."""
-    items = ", ".join(
-        f"CAST(('0x' || substr(md5('{i}|' || CAST({key} AS VARCHAR)),"
-        f" 1, 6))::BIGINT % {BLOOM_M} AS INTEGER)"
-        for i in range(BLOOM_K))
-    return f"unnest([{items}])"
+def _position_sql(key: str, i: int) -> str:
+    return (f"CAST(('0x' || substr(md5('{i}|' || CAST({key} AS VARCHAR)),"
+            f" 1, 6))::BIGINT % {BLOOM_M} AS INTEGER)")
 
+
+_BITS_ITEMS = ", ".join(_position_sql("key", i) for i in range(BLOOM_K))
+_PROBE_COLS = ", ".join(
+    f"{_position_sql('o_custkey', i)} AS p{i}" for i in range(BLOOM_K))
+_BIT_JOINS = " ".join(
+    f"LEFT JOIN bits b{i} ON b{i}.pos = o.p{i}" for i in range(BLOOM_K))
+_PASS_SQL = " AND ".join(
+    f"b{i}.pos IS NOT NULL" for i in range(BLOOM_K))
 
 BLOOM_PREFILTER_AUDIT_ORACLE = f"""
 WITH cust AS (
   SELECT c_custkey AS key FROM customer WHERE c_acctbal > {BAL_MIN}
 ),
 bits AS (
-  SELECT DISTINCT {_positions_sql('key')} AS pos FROM cust
+  SELECT DISTINCT unnest([{_BITS_ITEMS}]) AS pos FROM cust
 ),
-opos AS (
-  SELECT o_orderkey, o_custkey, {_positions_sql('o_custkey')} AS pos
-  FROM orders
+probe AS (
+  SELECT o_orderkey, o_custkey, {_PROBE_COLS} FROM orders
 ),
-hits AS (
-  SELECT o.o_orderkey, o.o_custkey,
-         (sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END)
-          = {BLOOM_K}) AS bloom_pass
-  FROM opos o LEFT JOIN bits b ON b.pos = o.pos
-  GROUP BY o.o_orderkey, o.o_custkey
-),
-member AS (
-  SELECT o.o_orderkey,
+flags AS (
+  SELECT ({_PASS_SQL}) AS bloom_pass,
          (c.key IS NOT NULL) AS is_member
-  FROM orders o LEFT JOIN cust c ON c.key = o.o_custkey
+  FROM probe o {_BIT_JOINS}
+  LEFT JOIN cust c ON c.key = o.o_custkey
 )
-SELECT h.bloom_pass, m.is_member, count(*) AS n_orders
-FROM hits h JOIN member m USING (o_orderkey)
-GROUP BY h.bloom_pass, m.is_member
+SELECT bloom_pass, is_member, count(*) AS n_orders
+FROM flags GROUP BY bloom_pass, is_member
 """

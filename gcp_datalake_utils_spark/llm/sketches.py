@@ -206,8 +206,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout; cm_estimate >= exact_tf always (Count-Min guarantee,
     pytest-asserted)."""
     d = load_table(spark, sf_dir, "documents")
+    # checkpoint: totals (vocabulary-sized, small) feeds both the
+    # sketch build and the top-K probe side; without it Catalyst runs
+    # the corpus scan + pair rollup twice (verified in the plan)
     totals = (doc_term_pairs(d).groupBy("term")
-              .agg(F.sum("tf").alias("exact_tf")))
+              .agg(F.sum("tf").alias("exact_tf"))
+              .localCheckpoint())
     rows = totals.select(
         "term", "exact_tf",
         F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1)))
