@@ -65,9 +65,12 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (load_table(spark, sf_dir, "customer")
             .where(F.col("c_acctbal") > BAL_MIN)
             .select(F.col("c_custkey").alias("key")))
+    # bits is referenced by all k probe joins; the build scan is tiny
+    # here so the lazy triple evaluation beats an eager checkpoint
+    # (measured) — at a real build size, persist() it once instead
     bits = (cust.select(F.explode(F.array(*[
         _position_spark(F.col("key"), i) for i in range(BLOOM_K)]))
-        .alias("pos")).distinct().localCheckpoint())
+        .alias("pos")).distinct())
     probe = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey",
         *[_position_spark(F.col("o_custkey"), i).alias(f"p{i}")

@@ -206,12 +206,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout; cm_estimate >= exact_tf always (Count-Min guarantee,
     pytest-asserted)."""
     d = load_table(spark, sf_dir, "documents")
-    # checkpoint: totals (vocabulary-sized, small) feeds both the
-    # sketch build and the top-K probe side; without it Catalyst runs
-    # the corpus scan + pair rollup twice (verified in the plan)
+    # totals feeds both the sketch build and the top-K probe side and
+    # Catalyst does not reuse the exchange, so the corpus scan + pair
+    # rollup runs twice. At test SF that costs ~0.4 s and an eager
+    # localCheckpoint costs MORE (it bypasses AQE); at real corpus
+    # sizes persist()/checkpoint this vocabulary-sized frame once.
     totals = (doc_term_pairs(d).groupBy("term")
-              .agg(F.sum("tf").alias("exact_tf"))
-              .localCheckpoint())
+              .agg(F.sum("tf").alias("exact_tf")))
     rows = totals.select(
         "term", "exact_tf",
         F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1)))
