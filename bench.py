@@ -66,6 +66,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "bloom_prefilter_audit",
     "prefix_filter_pairs",
+    "funnel_conversion",
 ]
 
 # results larger than this row count are executed via count() instead of

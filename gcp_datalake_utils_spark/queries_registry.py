@@ -69,6 +69,7 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 
 from gcp_datalake_utils_spark.functions import bloom  # noqa: E402
 from gcp_datalake_utils_spark.functions import scale_demos  # noqa: E402
+from gcp_datalake_utils_spark.operators import funnel  # noqa: E402
 from gcp_datalake_utils_spark.operators import nested  # noqa: E402
 from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
 from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
@@ -89,6 +90,8 @@ register("bloom_prefilter_audit", bloom.bloom_prefilter_audit,
          bloom.BLOOM_PREFILTER_AUDIT_ORACLE)
 register("prefix_filter_pairs", dedup.prefix_filter_pairs,
          dedup.PREFIX_FILTER_PAIRS_ORACLE)
+register("funnel_conversion", funnel.funnel_conversion,
+         funnel.FUNNEL_CONVERSION_ORACLE)
 
 # --- block B: plan / presentation / oracle CHANGED in round 4 ------------
 register("pricing_summary", payload.pricing_summary,

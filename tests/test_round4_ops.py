@@ -101,3 +101,45 @@ def test_stratified_sample_equals_naive_rank(spark, sf_dir):
     got = sampling.stratified_sample(spark, sf_dir)
     assert got.exceptAll(naive).count() == 0
     assert naive.exceptAll(got).count() == 0
+
+
+def test_funnel_counts_monotone_and_rates(spark, sf_dir):
+    from gcp_datalake_utils_spark.operators import funnel
+    rows = sorted(funnel.funnel_conversion(spark, sf_dir).collect(),
+                  key=lambda r: r.step)
+    assert [r.step_name for r in rows] == funnel.FUNNEL_STEPS
+    ns = [r.n_users for r in rows]
+    assert ns == sorted(ns, reverse=True)  # funnel narrows
+    assert ns[0] > 0
+    assert rows[0].conv_from_prev == 1.0
+    assert rows[0].conv_from_first == 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.conv_from_prev == round(cur.n_users / prev.n_users, 6)
+
+
+def test_funnel_chain_matches_python_replica(spark, sf_dir):
+    """Greedy-chain semantics replicated in pure Python over the raw
+    events — guards the join/horizon conditions."""
+    import collections
+    from gcp_datalake_utils_spark.operators import funnel
+    from gcp_datalake_utils_spark.sources import load_events
+    ev = collections.defaultdict(list)
+    for r in load_events(spark, sf_dir).collect():
+        ev[r.user_id].append((r.ts, r.event_type))
+    horizon = 72 * 3600
+    ns = [0, 0, 0]
+    for user, rows in ev.items():
+        rows.sort()
+        t_prev = None
+        for i, step in enumerate(funnel.FUNNEL_STEPS):
+            cand = [t for t, k in rows if k == step and (
+                t_prev is None
+                or (t > t_prev
+                    and (t - t_prev).total_seconds() <= horizon))]
+            if not cand:
+                break
+            t_prev = min(cand)
+            ns[i] += 1
+    got = sorted(funnel.funnel_conversion(spark, sf_dir).collect(),
+                 key=lambda r: r.step)
+    assert [r.n_users for r in got] == ns
