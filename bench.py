@@ -67,6 +67,7 @@ HEADLINE = [
     "bloom_prefilter_audit",
     "prefix_filter_pairs",
     "funnel_conversion",
+    "robust_outliers",
 ]
 
 # results larger than this row count are executed via count() instead of

@@ -587,3 +587,57 @@ SELECT event_type, count(*) AS n,
 FROM events
 GROUP BY event_type
 """
+
+
+def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] per-type robust outlier audit: median/MAD z-score over event
+    values — (event_type, n, median_value, mad, n_outliers), outlier =
+    |v - median| > 3 * 1.4826 * MAD (the consistent-sigma rule that
+    mean/stddev z-scores get wrong under the very outliers being
+    hunted).
+
+    Two exact grouped percentile passes (median, then MAD over the
+    broadcast-joined deviations) — the exact two-pass form; the scale
+    path swaps `approx_percentile` in both spots for one-pass
+    mergeable sketches. The 3*1.4826 threshold is pre-folded to one
+    literal so both engines evaluate the identical double product."""
+    e = load_events(spark, sf_dir).select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        F.count("*").alias("n"))
+    dev = (e.join(F.broadcast(med), "event_type")
+           .select("event_type", "n", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.max("n").alias("n"),
+                 F.round(F.max("med"), 6).alias("median_value"),
+                 F.round(F.max("mad"), 6).alias("mad"),
+                 F.sum(F.when(F.col("adev")
+                              > F.lit(4.4478) * F.col("mad"), 1)
+                       .otherwise(0)).alias("n_outliers")))
+
+
+ROBUST_OUTLIERS_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med, count(*) AS n
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, m.n, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, max(d.n) AS n,
+       round(max(d.med), 6) AS median_value,
+       round(max(m.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""

@@ -92,6 +92,8 @@ register("prefix_filter_pairs", dedup.prefix_filter_pairs,
          dedup.PREFIX_FILTER_PAIRS_ORACLE)
 register("funnel_conversion", funnel.funnel_conversion,
          funnel.FUNNEL_CONVERSION_ORACLE)
+register("robust_outliers", payload.robust_outliers,
+         payload.ROBUST_OUTLIERS_ORACLE)
 
 # --- block B: plan / presentation / oracle CHANGED in round 4 ------------
 register("pricing_summary", payload.pricing_summary,
