@@ -74,7 +74,7 @@ from gcp_datalake_utils_spark.operators import nested  # noqa: E402
 from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
 from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
 
-# --- block A: NEW in round 4 ---------------------------------------------
+# --- block A: NEW in round 4 (10 operators) ------------------------------
 register("simhash64", dedup.simhash64, dedup.SIMHASH64_ORACLE)
 register("simhash64_near_pairs", dedup.simhash64_near_pairs,
          dedup.SIMHASH64_NEAR_PAIRS_ORACLE)
