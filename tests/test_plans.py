@@ -246,3 +246,59 @@ def test_term_pipeline_pair_sized_shuffles(spark, sf_dir):
     # proving the probe side is the un-shuffled pair stream
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row n_docs only
+
+
+def test_bloom_probe_side_has_single_exchange(spark, sf_dir):
+    """The Bloom probe must stay narrow: k+1 broadcast joins, no
+    fact-sized exchange — the only Exchange allowed is the final
+    4-row confusion rollup (docs/PLANS.md round 4)."""
+    from gcp_datalake_utils_spark.functions import bloom
+    plan = _formatted_plan(bloom.bloom_prefilter_audit(spark, sf_dir))
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles <= 1, f"probe-side shuffle crept in:\n{plan[:2000]}"
+    assert plan.count("BroadcastHashJoin") >= bloom.BLOOM_K + 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_sketch_is_partial_aggregated(spark, sf_dir):
+    """Both the pair rollup and the cell build must partial-aggregate
+    below their exchanges (bounded shuffle at any corpus size)."""
+    from gcp_datalake_utils_spark.llm import sketches
+    plan = _formatted_plan(sketches.cms_heavy_hitters(spark, sf_dir))
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_rollup_partial_aggregated(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import sketches
+    plan = _formatted_plan(sketches.hll_distinct(spark, sf_dir))
+    assert "partial_max" in plan, "register max must combine map-side"
+    assert "CartesianProduct" not in plan
+
+
+def test_batch_ann64_probe_join_is_equi(spark, sf_dir):
+    """The 64-bit probe join must stay a broadcast equi-join on both
+    halves — never a nested-loop product."""
+    from gcp_datalake_utils_spark.llm import similarity
+    plan = _formatted_plan(similarity.batch_ann64_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_filter_no_product_and_pruned(spark, sf_dir):
+    """Prefix self-join must be an equi-join on the shingle; the verify
+    join runs over candidates only (no cross product anywhere)."""
+    from gcp_datalake_utils_spark.llm import dedup
+    plan = _formatted_plan(dedup.prefix_filter_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_steps_filter_pushed(spark, sf_dir):
+    """Each funnel stage must push its event_type filter to the scan."""
+    from gcp_datalake_utils_spark.operators import funnel
+    plan = _formatted_plan(funnel.funnel_conversion(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("EqualTo(event_type") >= len(funnel.FUNNEL_STEPS)
