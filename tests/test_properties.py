@@ -80,3 +80,43 @@ def test_cochran_reference_cliff_is_preserved():
 def test_reference_matcher_sanity(a, b):
     assert _reference_matches(a, a)
     assert not _reference_matches(b, "zzz")
+
+# --- prefix-filter completeness (round 4) ------------------------------
+
+from gcp_datalake_utils_spark.llm import dedup as _dd
+
+_pf_word = st.sampled_from(["a", "b", "c", "aa", "bb"])
+_pf_doc = st.lists(_pf_word, min_size=0, max_size=10).map(" ".join)
+
+
+@settings(max_examples=120, deadline=None)
+@given(texts=st.lists(_pf_doc, min_size=2, max_size=10))
+def test_prefix_filter_oracle_equals_brute_force(texts):
+    """The PPJoin prefix+length+positional prunes must NEVER drop a
+    true pair: on arbitrary tiny-vocab corpora (maximal shingle
+    collision stress) the oracle's pair set equals brute-force
+    all-pairs Jaccard >= t. The Spark side hash-matches this oracle in
+    the query gate, so completeness transfers transitively."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    got = set(map(tuple, con.execute(
+        f"SELECT doc_a, doc_b FROM ({_dd.PREFIX_FILTER_PAIRS_ORACLE})"
+    ).fetchall()))
+    brute = f"""
+    WITH sh AS (SELECT doc_id, unnest({_dd._SHINGLES_SQL}) AS s
+                FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT da, db FROM inter
+    JOIN sizes na ON na.doc_id = da
+    JOIN sizes nb ON nb.doc_id = db
+    WHERE i / CAST(na.n + nb.n - i AS DOUBLE)
+          >= {_dd.JACCARD_THRESHOLD}
+    """
+    want = set(map(tuple, con.execute(brute).fetchall()))
+    con.close()
+    assert got == want, (texts, got, want)
