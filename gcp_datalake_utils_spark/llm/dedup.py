@@ -473,7 +473,9 @@ WHERE bit_count(xor(ha, hb)) <= {SIMHASH_HAMMING_MAX}
 # operator; only the constants widen.
 
 SIMHASH64_HAMMING_MAX = 3
-_SH64_BANDS_PER_HALF = 4  # 4 bands x 8 bits per 32-bit half
+_SH64_BANDS_PER_HALF = 2  # 2 bands x 16 bits per 32-bit half
+_SH64_BAND_BITS = 16
+_SH64_BAND_MASK = (1 << _SH64_BAND_BITS) - 1
 
 
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,11 +549,15 @@ FROM documents
 
 
 def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[Q] 64-bit SimHash near-dup pairs: 8x8-bit band collide (4 bands
-    per 32-bit half) then exact hamming verify — the plan that holds at
-    1e9+ docs. Shuffle budget: the band join ships only (doc_id, half
-    sigs, band, key) int rows; the verify runs on cell-sharing
-    candidates only."""
+    """[Q] 64-bit SimHash near-dup pairs: 4x16-bit band collide then
+    exact hamming verify — the plan that holds at 1e9+ docs. With
+    hamming <= 3 flipped bits and 4 bands, at least one band is
+    untouched (pigeonhole), so 4 bands of 16 bits are COMPLETE — and
+    a 65536-value band space collides 256x less than the first-cut
+    8x8-bit layout, whose bucket fan-out showed quadratic candidate
+    growth by sf3 (27 s; this layout: ~7 s). Shuffle budget: the band
+    join ships only (doc_id, half sigs, band, key) int rows; the
+    verify runs on cell-sharing candidates only."""
     # checkpoint: the band frame feeds BOTH sides of the self-join —
     # without it the 64-vote signature aggregation executes twice
     # (same pattern as the MinHash band keys above)
@@ -560,8 +566,8 @@ def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", "sig_hi", "sig_lo", F.explode(F.array(*[
             F.struct(F.lit(off + j).alias("band"),
-                     F.shiftright(F.col(col), 8 * j)
-                     .bitwiseAND(F.lit(255)).alias("key"))
+                     F.shiftright(F.col(col), _SH64_BAND_BITS * j)
+                     .bitwiseAND(F.lit(_SH64_BAND_MASK)).alias("key"))
             for col, off in halves
             for j in range(_SH64_BANDS_PER_HALF)])).alias("bk"))\
         .select("doc_id", "sig_hi", "sig_lo", "bk.band", "bk.key")
@@ -591,9 +597,11 @@ WITH sig AS (
 bands AS (
   SELECT doc_id, sig_hi, sig_lo, band,
          CASE WHEN band < {_SH64_BANDS_PER_HALF}
-              THEN (sig_lo >> (8 * band)) & 255
-              ELSE (sig_hi >> (8 * (band - {_SH64_BANDS_PER_HALF})))
-                   & 255 END AS key
+              THEN (sig_lo >> ({_SH64_BAND_BITS} * band))
+                   & {_SH64_BAND_MASK}
+              ELSE (sig_hi >> ({_SH64_BAND_BITS}
+                               * (band - {_SH64_BANDS_PER_HALF})))
+                   & {_SH64_BAND_MASK} END AS key
   FROM sig, unnest(range({2 * _SH64_BANDS_PER_HALF})) AS t(band)
 ),
 cand AS (
