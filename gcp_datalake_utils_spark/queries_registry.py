@@ -94,6 +94,9 @@ register("funnel_conversion", funnel.funnel_conversion,
          funnel.FUNNEL_CONVERSION_ORACLE)
 register("robust_outliers", payload.robust_outliers,
          payload.ROBUST_OUTLIERS_ORACLE)
+register("funnel_completions_stream",
+         stream_stateful.funnel_completions_stream_q,
+         stream_stateful.FUNNEL_COMPLETIONS_ORACLE)
 
 # --- block B: plan / presentation / oracle CHANGED in round 4 ------------
 register("pricing_summary", payload.pricing_summary,

@@ -141,3 +141,111 @@ SELECT user_id, session_start, n_events, n_event_types, duration_secs,
        session_value
 FROM agg WHERE session_id < last_session
 """
+
+
+# --- streaming funnel: stateful sequential pattern matching -------------
+
+FUNNEL_HORIZON_HOURS = 72
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+FUNNEL_OUTPUT_SCHEMA = ("user_id long, t_view string, t_click string, "
+                        "t_purchase string, total_secs long")
+FUNNEL_STATE_SCHEMA = "step long, t1 long, t2 long, t3 long"
+
+
+def _advance_funnel(key: tuple, pdfs: Iterable[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user funnel automaton: state is (step, t1, t2, t3) ns — one
+    4-tuple per user regardless of stream length. Processing events in
+    event-time order makes 'first qualifying event' equal the batch
+    min() chain, so the batch funnel SQL is the oracle. A completed
+    user parks at step=3 and ignores further events (first completion
+    only, matching the batch chain)."""
+    (user_id,) = key
+    batch = pd.concat(list(pdfs))
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values("ts")
+    step, t1, t2, t3 = state.get if state.exists else (0, 0, 0, 0)
+    horizon_ns = FUNNEL_HORIZON_HOURS * 3600 * 1_000_000_000
+    out: list[dict[str, Any]] = []
+    for ts, etype in zip(batch["ts"], batch["event_type"]):
+        if step >= len(_FUNNEL_STEPS):
+            break
+        ns = int(pd.Timestamp(ts).value)
+        t_prev = (0, t1, t2)[step]
+        if str(etype) != _FUNNEL_STEPS[step]:
+            continue
+        if step > 0 and not (ns > t_prev and ns - t_prev <= horizon_ns):
+            continue
+        if step == 0:
+            t1 = ns
+        elif step == 1:
+            t2 = ns
+        else:
+            t3 = ns
+            out.append({
+                "user_id": user_id,
+                "t_view": pd.Timestamp(t1).strftime(
+                    "%Y-%m-%d %H:%M:%S"),
+                "t_click": pd.Timestamp(t2).strftime(
+                    "%Y-%m-%d %H:%M:%S"),
+                "t_purchase": pd.Timestamp(t3).strftime(
+                    "%Y-%m-%d %H:%M:%S"),
+                "total_secs": (t3 - t1) // 1_000_000_000,
+            })
+        step += 1
+    state.update((step, t1, t2, t3))
+    if out:
+        yield pd.DataFrame(out)[["user_id", "t_view", "t_click",
+                                 "t_purchase", "total_secs"]]
+
+
+def funnel_completions_stream(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    e = _event_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_type")
+    return (e.groupBy("user_id")
+            .applyInPandasWithState(
+                _advance_funnel, FUNNEL_OUTPUT_SCHEMA,
+                FUNNEL_STATE_SCHEMA, "append",
+                GroupStateTimeout.NoTimeout))
+
+
+def funnel_completions_stream_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """[Q] users who completed view->click->purchase (greedy chain,
+    72 h per-step horizon) with their step timestamps — the streaming
+    twin of operators/funnel, emitted incrementally as completions
+    happen instead of recomputed per batch. Unlike the sessionizer
+    there is no open-tail caveat: a completion is final the moment the
+    purchase lands, so stream output == batch chain exactly."""
+    out = run_available_now(
+        funnel_completions_stream(spark, sf_dir), _next_sink())
+    return out.select("user_id", "t_view", "t_click", "t_purchase",
+                      "total_secs")
+
+
+FUNNEL_COMPLETIONS_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1
+         AND e.ts <= s1.t1 + INTERVAL {FUNNEL_HORIZON_HOURS} HOUR
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         AND e.ts <= s2.t2 + INTERVAL {FUNNEL_HORIZON_HOURS} HOUR
+       GROUP BY e.user_id)
+SELECT s1.user_id,
+       strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS t_view,
+       strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+       strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+       CAST(floor(epoch(s3.t3 - s1.t1)) AS BIGINT) AS total_secs
+FROM s3 JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+"""

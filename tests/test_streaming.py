@@ -56,3 +56,19 @@ def test_closed_sessions_complement_session_window(spark, sf_dir):
             c = closed[key]
             assert c.n_events == r.n_events
             assert abs(c.session_value - r.session_value) < 1e-6
+
+
+def test_funnel_stream_matches_batch_counts(spark, sf_dir):
+    """The streaming funnel's completion set must agree with the batch
+    funnel's step-3 user count (same greedy chain, two engines)."""
+    from gcp_datalake_utils_spark.operators import funnel
+    from gcp_datalake_utils_spark.streaming import stateful
+    stream_rows = stateful.funnel_completions_stream_q(
+        spark, sf_dir).collect()
+    batch = {r.step_name: r.n_users
+             for r in funnel.funnel_conversion(spark, sf_dir).collect()}
+    assert len(stream_rows) == batch["purchase"]
+    assert len({r.user_id for r in stream_rows}) == len(stream_rows)
+    for r in stream_rows:
+        assert r.t_view <= r.t_click <= r.t_purchase
+        assert r.total_secs >= 0
