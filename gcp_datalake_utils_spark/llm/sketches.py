@@ -282,3 +282,111 @@ SELECT p.term, CAST(p.exact_tf AS BIGINT) AS exact_tf,
 FROM sketch s JOIN probes p ON s.r = p.r AND s.cell = p.cell
 GROUP BY p.term, p.exact_tf
 """
+
+
+def hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] GROUPED HyperLogLog: distinct users per event type —
+    (event_type, zero_registers, reg_sum, hll_estimate,
+    exact_distinct, rel_error).
+
+    The form a production pipeline actually runs (distinct-per-key,
+    not one global number): aggregation state is m registers PER
+    GROUP, still constant per group and partial-merged map-side via
+    max. The register grid left-join covers empty registers per
+    group. Same md5-prefix register arithmetic as hll_distinct."""
+    from gcp_datalake_utils_spark.sources import load_events
+    e = (load_events(spark, sf_dir)
+         .select("event_type", F.col("user_id").cast("string")
+                 .alias("v")))
+    h = F.md5("v")
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v52 = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = (F.when(v52 == 0, F.lit(53))
+           .otherwise(F.lit(53) - F.length(F.bin(v52))))
+    regs = (e.select("event_type", reg.alias("reg"), rho.alias("rho"))
+            .groupBy("event_type", "reg")
+            .agg(F.max("rho").alias("mx")))
+    groups = e.select("event_type").distinct()
+    grid = (spark.range(HLL_M)
+            .select(F.col("id").cast("int").alias("reg"))
+            .crossJoin(F.broadcast(groups)))
+    filled = (grid.join(regs, ["event_type", "reg"], "left")
+              .select("event_type", "reg",
+                      F.coalesce("mx", F.lit(0)).alias("mx")))
+    folded = (filled.groupBy("event_type")
+              .agg(F.sum(F.expr(
+                  "shiftleft(CAST(1 AS BIGINT), 53 - mx)"))
+                  .alias("reg_sum"),
+                  F.sum(F.when(F.col("mx") == 0, 1).otherwise(0))
+                  .cast("int").alias("zero_registers")))
+    raw = F.lit(_HLL_FACTOR) / F.col("reg_sum")
+    est = F.round(
+        F.when((raw <= F.lit(2.5 * HLL_M))
+               & (F.col("zero_registers") > 0),
+               F.lit(float(HLL_M))
+               * F.log(F.lit(float(HLL_M))
+                       / F.col("zero_registers")))
+        .otherwise(raw), 4)
+    exact = (e.groupBy("event_type")
+             .agg(F.count_distinct("v").alias("exact_distinct")))
+    return (folded.join(exact, "event_type")
+            .select("event_type", "zero_registers", "reg_sum",
+                    est.alias("hll_estimate"), "exact_distinct",
+                    F.round((est - F.col("exact_distinct"))
+                            / F.col("exact_distinct"), 4)
+                    .alias("rel_error")))
+
+
+HLL_GROUPED_ORACLE = f"""
+WITH vals AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events
+),
+hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(v), 1, 2))::INT AS reg,
+         ('0x' || substr(md5(v), 3, 13))::BIGINT AS v52
+  FROM vals
+),
+regs AS (
+  SELECT event_type, reg,
+         max(CASE WHEN v52 = 0 THEN 53
+                  ELSE 53 - length(bin(v52)) END) AS mx
+  FROM hashed GROUP BY event_type, reg
+),
+grid AS (
+  SELECT g.event_type, t.reg
+  FROM (SELECT unnest(range({HLL_M})) AS reg) t
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) g
+),
+filled AS (
+  SELECT g.event_type, g.reg, coalesce(r.mx, 0) AS mx
+  FROM grid g LEFT JOIN regs r
+    ON r.event_type = g.event_type AND r.reg = g.reg
+),
+folded AS (
+  SELECT event_type,
+         sum((CAST(1 AS BIGINT) << (53 - mx)))::BIGINT AS reg_sum,
+         CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS INTEGER)
+           AS zero_registers
+  FROM filled GROUP BY event_type
+),
+est AS (
+  SELECT event_type, zero_registers, reg_sum,
+         round(CASE WHEN {_HLL_FACTOR!r} / reg_sum <= {2.5 * HLL_M}
+                     AND zero_registers > 0
+               THEN {float(HLL_M)!r}
+                    * ln({float(HLL_M)!r}
+                         / CAST(zero_registers AS DOUBLE))
+               ELSE {_HLL_FACTOR!r} / reg_sum END, 4) AS hll_estimate
+  FROM folded
+),
+exact AS (
+  SELECT event_type, count(DISTINCT v) AS exact_distinct FROM vals
+  GROUP BY event_type
+)
+SELECT e.event_type, e.zero_registers, e.reg_sum, e.hll_estimate,
+       x.exact_distinct,
+       round((e.hll_estimate - x.exact_distinct)
+             / CAST(x.exact_distinct AS DOUBLE), 4) AS rel_error
+FROM est e JOIN exact x USING (event_type)
+"""

@@ -97,6 +97,8 @@ register("robust_outliers", payload.robust_outliers,
 register("funnel_completions_stream",
          stream_stateful.funnel_completions_stream_q,
          stream_stateful.FUNNEL_COMPLETIONS_ORACLE)
+register("hll_grouped", sketches.hll_grouped,
+         sketches.HLL_GROUPED_ORACLE)
 
 # --- block B: plan / presentation / oracle CHANGED in round 4 ------------
 register("pricing_summary", payload.pricing_summary,
