@@ -68,6 +68,8 @@ HEADLINE = [
     "prefix_filter_pairs",
     "funnel_conversion",
     "robust_outliers",
+    "hll_grouped",
+    "funnel_completions_stream",
 ]
 
 # results larger than this row count are executed via count() instead of
