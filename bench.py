@@ -70,6 +70,7 @@ HEADLINE = [
     "robust_outliers",
     "hll_grouped",
     "funnel_completions_stream",
+    "value_drift_psi",
 ]
 
 # results larger than this row count are executed via count() instead of

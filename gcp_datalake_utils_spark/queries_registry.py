@@ -69,12 +69,13 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 
 from gcp_datalake_utils_spark.functions import bloom  # noqa: E402
 from gcp_datalake_utils_spark.functions import scale_demos  # noqa: E402
+from gcp_datalake_utils_spark.operators import drift  # noqa: E402
 from gcp_datalake_utils_spark.operators import funnel  # noqa: E402
 from gcp_datalake_utils_spark.operators import nested  # noqa: E402
 from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
 from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
 
-# --- block A: NEW in round 4 (10 operators) ------------------------------
+# --- block A: NEW in round 4 (13 operators) ------------------------------
 register("simhash64", dedup.simhash64, dedup.SIMHASH64_ORACLE)
 register("simhash64_near_pairs", dedup.simhash64_near_pairs,
          dedup.SIMHASH64_NEAR_PAIRS_ORACLE)
@@ -99,6 +100,8 @@ register("funnel_completions_stream",
          stream_stateful.FUNNEL_COMPLETIONS_ORACLE)
 register("hll_grouped", sketches.hll_grouped,
          sketches.HLL_GROUPED_ORACLE)
+register("value_drift_psi", drift.value_drift_psi,
+         drift.VALUE_DRIFT_PSI_ORACLE)
 
 # --- block B: plan / presentation / oracle CHANGED in round 4 ------------
 register("pricing_summary", payload.pricing_summary,

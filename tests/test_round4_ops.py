@@ -143,3 +143,18 @@ def test_funnel_chain_matches_python_replica(spark, sf_dir):
     got = sorted(funnel.funnel_conversion(spark, sf_dir).collect(),
                  key=lambda r: r.step)
     assert [r.n_users for r in got] == ns
+
+
+def test_psi_nonnegative_and_counts_partition(spark, sf_dir):
+    """PSI is a sum of (p-q)ln(p/q) >= 0 terms; ref_n + cur_n must
+    partition the event count per type."""
+    from gcp_datalake_utils_spark.operators import drift
+    from gcp_datalake_utils_spark.sources import load_events
+    rows = drift.value_drift_psi(spark, sf_dir).collect()
+    totals = {r.event_type: r[1] for r in load_events(spark, sf_dir)
+              .groupBy("event_type").count().collect()}
+    assert len(rows) == len(totals)
+    for r in rows:
+        assert r.psi >= 0
+        assert r.ref_n + r.cur_n == totals[r.event_type]
+        assert r.ref_n > 0 and r.cur_n > 0
