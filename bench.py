@@ -71,6 +71,7 @@ HEADLINE = [
     "hll_grouped",
     "funnel_completions_stream",
     "value_drift_psi",
+    "pmi_collocations",
 ]
 
 # results larger than this row count are executed via count() instead of

@@ -244,3 +244,16 @@ def test_doc_chunks_cover_whole_doc(spark, sf_dir):
         # the final window reaches the end of the document
         assert (last.chunk_idx * ch.CHUNK_STRIDE
                 + last.n_chunk_tokens) == docs[doc_id]
+
+
+def test_pmi_collocations_invariants(spark, sf_dir):
+    """Pair symmetry by construction (term_a < term_b), dense ranks,
+    co-doc count never exceeds either term's doc frequency."""
+    from gcp_datalake_utils_spark.llm import collocations
+    rows = sorted(collocations.pmi_collocations(spark, sf_dir).collect(),
+                  key=lambda r: r.rank)
+    assert rows and len(rows) <= collocations.COLLOC_TOP_K
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.term_a < r.term_b
+        assert r.n_docs_both <= min(r.df_a, r.df_b)
