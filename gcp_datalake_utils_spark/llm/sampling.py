@@ -177,3 +177,74 @@ WHERE weight IS NOT NULL
                              * weight),
                         source_n)
 """
+
+
+# --- temperature-scaled mixture (the multilingual rebalancing knob) -----
+
+MIX_ALPHA = 0.7  # sampling prob ~ w^alpha; alpha < 1 flattens
+
+
+def _temp_weights() -> dict[str, float]:
+    """w_i^alpha, renormalized — computed ONCE in Python so both
+    engines receive the identical double literals (no cross-engine pow
+    evaluation to diverge). alpha < 1 flattens the mixture toward
+    low-resource sources (the standard multilingual rebalancing,
+    often written p^(1/T) with T > 1)."""
+    raw = {s: w ** MIX_ALPHA for s, w in MIX_WEIGHTS.items()}
+    z = sum(raw[s] for s in sorted(raw))
+    return {s: raw[s] / z for s in sorted(raw)}
+
+
+def corpus_mixture_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] corpus_mixture with temperature-flattened weights
+    (w^0.7 renormalized): same md5-rank plan, quotas drawn from the
+    flattened distribution.
+    Output adds the effective weight so the rebalancing is auditable."""
+    d = load_table(spark, sf_dir, "documents")
+    tw = _temp_weights()
+    weights = F.create_map(*[
+        F.lit(x) for kv in sorted(tw.items()) for x in kv])
+    total = d.groupBy().agg(F.count("*").alias("corpus_n"))
+    key = F.md5(F.col("doc_id").cast("string"))
+    per_src = Window.partitionBy("source")
+    w = per_src.orderBy(key.asc(), F.col("doc_id").asc())
+    ranked = (d.select("doc_id", "lang", "source",
+                       F.count("*").over(per_src).alias("source_n"),
+                       F.row_number().over(w).cast("int")
+                       .alias("mix_rank"))
+              .withColumn("weight", weights[F.col("source")])
+              .where(F.col("weight").isNotNull())
+              .crossJoin(F.broadcast(total)))
+    quota = F.least(
+        F.ceil(F.col("corpus_n") * MIX_TOTAL_FRAC * F.col("weight")),
+        F.col("source_n").cast("bigint"))
+    return (ranked.where(F.col("mix_rank") <= quota)
+            .select("doc_id", "lang", "source", "source_n",
+                    F.round("weight", 6).alias("weight"), "mix_rank"))
+
+
+def _temp_cases() -> str:
+    return " ".join(f"WHEN '{s}' THEN {w!r}"
+                    for s, w in sorted(_temp_weights().items()))
+
+
+CORPUS_MIXTURE_TEMP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         count(*) OVER (PARTITION BY source) AS source_n,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS INTEGER) AS mix_rank,
+         CAST(CASE source {_temp_cases()} END AS DOUBLE) AS weight
+  FROM documents
+), total AS (SELECT count(*) AS corpus_n FROM documents)
+SELECT doc_id, lang, source, source_n,
+       round(weight, 6) AS weight, mix_rank
+FROM ranked, total
+WHERE weight IS NOT NULL
+  AND mix_rank <= least(ceil(CAST(corpus_n AS DOUBLE)
+                             * CAST({MIX_TOTAL_FRAC} AS DOUBLE)
+                             * weight),
+                        source_n)
+"""

@@ -76,7 +76,7 @@ from gcp_datalake_utils_spark.operators import nested  # noqa: E402
 from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
 from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
 
-# --- block A: NEW in round 4 (14 operators) ------------------------------
+# --- block A: NEW in round 4 (15 operators) ------------------------------
 register("simhash64", dedup.simhash64, dedup.SIMHASH64_ORACLE)
 register("simhash64_near_pairs", dedup.simhash64_near_pairs,
          dedup.SIMHASH64_NEAR_PAIRS_ORACLE)
@@ -105,6 +105,8 @@ register("value_drift_psi", drift.value_drift_psi,
          drift.VALUE_DRIFT_PSI_ORACLE)
 register("pmi_collocations", collocations.pmi_collocations,
          collocations.PMI_COLLOCATIONS_ORACLE)
+register("corpus_mixture_temp", sampling.corpus_mixture_temp,
+         sampling.CORPUS_MIXTURE_TEMP_ORACLE)
 
 # --- block B: plan / presentation / oracle CHANGED in round 4 ------------
 register("pricing_summary", payload.pricing_summary,

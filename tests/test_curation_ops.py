@@ -70,3 +70,26 @@ def test_scd2_history_intervals_chain(spark, sf_dir):
         for a, b in zip(grp, grp[1:]):
             assert a.valid_to == b.valid_from
             assert a.valid_from <= a.valid_to
+
+
+def test_temperature_mixture_flattens(spark, sf_dir):
+    """T < 1 must pull the mixture toward uniform: the largest source's
+    share shrinks and the smallest's grows vs the raw weights; per-
+    source draws still respect quota = ceil(corpus * frac * w_T)."""
+    from gcp_datalake_utils_spark.llm import sampling
+    tw = sampling._temp_weights()
+    raw = sampling.MIX_WEIGHTS
+    top = max(raw, key=raw.get)
+    bot = min(raw, key=raw.get)
+    raw_z = sum(raw.values())
+    assert tw[top] < raw[top] / raw_z
+    assert tw[bot] > raw[bot] / raw_z
+    assert abs(sum(tw.values()) - 1.0) < 1e-12
+    rows = sampling.corpus_mixture_temp(spark, sf_dir).collect()
+    assert rows
+    import collections, math
+    per_src = collections.Counter(r.source for r in rows)
+    corpus_n = (sampling.load_table(spark, sf_dir, "documents").count())
+    for s, n in per_src.items():
+        quota = math.ceil(corpus_n * sampling.MIX_TOTAL_FRAC * tw[s])
+        assert n <= quota
