@@ -1,0 +1,121 @@
+"""Corpus-trained n-gram LM scoring (the CCNet/KenLM quality filter).
+
+Production corpus curation scores every document with a small n-gram
+language model and drops the tail (CCNet buckets by KenLM perplexity).
+This module trains an add-half-smoothed bigram model ON the corpus
+itself and emits each document's mean log-probability — the same
+join-shaped plan a pre-trained model table would use.
+
+Spark-first shape, and why it holds at 100 TB:
+
+1. bigram extraction is NARROW: ``zip_with`` over two shifted slices
+   of the token array builds the bigram list in-row (no window
+   function, no per-doc sort, no shuffle);
+2. model "training" is two partial-aggregated counts whose RESULTS
+   are vocabulary-sized (tiny next to the corpus): bigram counts and
+   context counts;
+3. scoring joins the exploded bigram stream back to the two count
+   tables — broadcast joins when the vocabulary fits (AQE decides;
+   a real 100 TB corpus has a ~10^8-row bigram table, which stays a
+   hash join co-partitioned on the bigram), then one doc-keyed
+   rollup.
+4. the per-doc mean is an EXACT sum of round-9 log-probs in
+   DECIMAL(28,9) — partial-merge order cannot move the result (the
+   same _dsum discipline the money aggregates use), so Spark and
+   DuckDB agree bit-for-bit after the final round-6.
+
+Reference parity: no LM scoring in the reference (its text handling
+is schema-level); north-star extension per SURVEY §1.2. Smoothing:
+p(w2|w1) = (c(w1 w2) + 0.5) / (c_ctx(w1) + 0.5 * V), with c_ctx the
+count of w1 in bigram-context positions and V the full vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.sources import load_table
+
+_WORDS = "string_split(trim(text), ' ')"
+
+
+def _bigram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, bg): one row per bigram OCCURRENCE (duplicates
+    kept — these are counts, not document frequency)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("ws"))
+    n = F.size("ws")
+    bigrams = F.zip_with(
+        F.slice("ws", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("ws", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"),
+                              F.concat_ws(" ", a, b).alias("bg")))
+    return (d.select("doc_id", F.explode(bigrams).alias("b"))
+            .select("doc_id", F.col("b.w1").alias("w1"),
+                    F.col("b.bg").alias("bg")))
+
+
+def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] (doc_id, n_bigrams, avg_logprob) under the corpus-trained
+    add-half bigram model; docs with <2 tokens report 0 bigrams and a
+    NULL score."""
+    bg = _bigram_rows(spark, sf_dir)
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    ctxc = bg.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("ws"))
+    vocab = (d.select(F.explode("ws").alias("w")).agg(
+        F.count_distinct("w").alias("v")))
+    lp = F.log((F.col("c_bg") + 0.5)
+               / (F.col("c_ctx") + 0.5 * F.col("v")))
+    scored = (bg.join(bgc, "bg").join(ctxc, "w1")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum(F.round(lp, 9).cast("decimal(28,9)"))
+                   .alias("s")))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (docs.join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.round(F.col("s").cast("double")
+                            / F.col("n_bigrams"), 6)
+                    .alias("avg_logprob")))
+
+
+LM_DOC_SCORES_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents
+),
+bg AS (
+  SELECT doc_id, u.w1 AS w1, u.bg AS bg
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 list_zip(words[1 : len(words) - 1],
+                          words[2 : len(words)]),
+                 x -> struct_pack(w1 := x[1],
+                                  bg := concat_ws(' ', x[1], x[2]))))
+                 AS u
+        FROM base)
+),
+bgc AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+ctxc AS (SELECT w1, count(*) AS c_ctx FROM bg GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(words) AS w FROM base)
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         sum(CAST(round(ln((c_bg + 0.5)
+                           / (c_ctx + 0.5 * v)), 9)
+                  AS DECIMAL(28,9))) AS s
+  FROM bg JOIN bgc USING (bg) JOIN ctxc USING (w1), vocab
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(CAST(sc.s AS DOUBLE) / sc.n_bigrams, 6) AS avg_logprob
+FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
+"""

@@ -248,3 +248,59 @@ WHERE weight IS NOT NULL
                              * weight),
                         source_n)
 """
+
+
+# --- weighted sampling without replacement (Efraimidis–Spiridonov A-ES)
+
+WSAMPLE_N = 50
+_U_DENOM = float(16 ** 13)  # 2^52 — exact in double
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] deterministic weighted sample without replacement: the A-ES
+    scheme draws item i with key e_i = -ln(u_i) / w_i and keeps the N
+    smallest keys — equivalent to sequential draws proportional to w
+    without replacement. Here w = n_chars (longer docs proportionally
+    more likely) and u is a seeded uniform from the md5 of doc_id, so
+    the sample is reproducible run-to-run and engine-to-engine.
+
+    Plan: the key is a NARROW projection (no shuffle); the N smallest
+    keys are a ``TakeOrderedAndProject`` (each partition ships only its
+    local top N) — the same no-global-sort shape as the cosine top-k.
+    At 100 TB this is one scan + one N-row exchange.
+
+    Keys are rounded to 9 decimals BEFORE ranking with doc_id as the
+    tie-break, so a last-ulp ln() divergence between engines cannot
+    reorder the sample.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                            1, 13), 16, 10).cast("double")
+         / F.lit(_U_DENOM))
+    e = F.round(-F.log(u) / F.col("n_chars"), 9)
+    keyed = d.select("doc_id", "source",
+                     F.col("n_chars").alias("weight"),
+                     e.alias("es_key"))
+    top = keyed.orderBy(F.asc("es_key"), F.asc("doc_id")).limit(WSAMPLE_N)
+    w = Window.orderBy(F.asc("es_key"), F.asc("doc_id"))
+    return (top.withColumn("ws_rank",
+                           F.row_number().over(w).cast("int"))
+            .select("doc_id", "source", "weight", "es_key", "ws_rank"))
+
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars AS weight,
+         round(-ln(
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) / {_U_DENOM!r})
+           / n_chars, 9) AS es_key
+  FROM documents
+)
+SELECT doc_id, source, weight, es_key,
+       CAST(ws_rank AS INTEGER) AS ws_rank
+FROM (SELECT *, row_number() OVER (ORDER BY es_key ASC, doc_id ASC)
+        AS ws_rank
+      FROM keyed)
+WHERE ws_rank <= {WSAMPLE_N}
+"""

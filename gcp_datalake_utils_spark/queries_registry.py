@@ -33,6 +33,8 @@ from gcp_datalake_utils_spark.llm import (
     curation,
     decontam,
     index,
+    lm,
+    paradedup,
     packing,
     redact,
     rollup,
@@ -144,6 +146,13 @@ register("snapshot_diff", snap.snapshot_diff_query,
          snap.SNAPSHOT_DIFF_ORACLE)
 register("restore_summary", snap.restore_summary_query,
          snap.RESTORE_SUMMARY_ORACLE)
+
+# --- block A2: NEW in the round-4 continuation session ------------------
+register("paragraph_dedup", paradedup.paragraph_dedup,
+         paradedup.PARAGRAPH_DEDUP_ORACLE)
+register("lm_doc_scores", lm.lm_doc_scores, lm.LM_DOC_SCORES_ORACLE)
+register("weighted_sample", sampling.weighted_sample,
+         sampling.WEIGHTED_SAMPLE_ORACLE)
 
 # --- block C: window filler — refresh the oldest driver greens (r1/r2) ---
 register("detect_foreign_key",

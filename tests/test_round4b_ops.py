@@ -1,0 +1,96 @@
+"""Round-4 continuation operators: paragraph-level dedup, bigram LM
+scoring, A-ES weighted sampling."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.llm import lm, paradedup, sampling
+from gcp_datalake_utils_spark.sources import load_table
+
+
+def test_paragraph_dedup_brute_force(spark, sf_dir):
+    """Per-doc kept counts must match a driver-side replay of the
+    first-occurrence rule over the same 16-token segmentation."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    seen: set[str] = set()
+    want: dict[int, tuple[int, int, int]] = {}
+    for d in sorted(docs, key=lambda r: r.doc_id):
+        words = d.text.strip().split(" ")
+        segs = [" ".join(words[i:i + paradedup.SEG_TOKENS])
+                for i in range(0, len(words), paradedup.SEG_TOKENS)] or [""]
+        kept = tokens = 0
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept += 1
+                tokens += len(s.split(" "))
+        want[d.doc_id] = (len(segs), kept, tokens)
+    got = {r.doc_id: (r.n_segs, r.n_kept, r.kept_tokens)
+           for r in paradedup.paragraph_dedup(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_paragraph_dedup_ratio_bounds(spark, sf_dir):
+    for r in paradedup.paragraph_dedup(spark, sf_dir).collect():
+        assert 0.0 < r.kept_ratio <= 1.0
+        assert r.n_kept <= r.n_segs
+
+
+def test_lm_scores_match_manual_model(spark, sf_dir):
+    """Spot-check a few documents against a driver-side add-half bigram
+    model trained on the full corpus."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    from collections import Counter
+    bgc: Counter = Counter()
+    ctxc: Counter = Counter()
+    vocab: set[str] = set()
+    toks = {d.doc_id: d.text.strip().split(" ") for d in docs}
+    for ws in toks.values():
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bgc[(a, b)] += 1
+            ctxc[a] += 1
+    v = len(vocab)
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob)
+           for r in lm.lm_doc_scores(spark, sf_dir).collect()}
+    assert set(got) == set(toks)
+    for doc_id in list(toks)[:20]:
+        ws = toks[doc_id]
+        pairs = list(zip(ws, ws[1:]))
+        n_bg, avg = got[doc_id]
+        assert n_bg == len(pairs)
+        if not pairs:
+            assert avg is None
+            continue
+        s = sum(round(math.log((bgc[p] + 0.5) / (ctxc[p[0]] + 0.5 * v)),
+                      9) for p in pairs)
+        assert abs(avg - round(s / len(pairs), 6)) < 2e-6
+        assert avg < 0  # log-probs are negative
+
+
+def test_weighted_sample_deterministic_and_ranked(spark, sf_dir):
+    a = sampling.weighted_sample(spark, sf_dir).collect()
+    b = sampling.weighted_sample(spark, sf_dir).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len(a) == min(
+        sampling.WSAMPLE_N,
+        load_table(spark, sf_dir, "documents").count())
+    ranks = [r.ws_rank for r in a]
+    assert ranks == list(range(1, len(a) + 1))
+    keys = [r.es_key for r in a]
+    assert keys == sorted(keys)
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """The sampled mean weight must exceed the corpus mean — the whole
+    point of w-proportional sampling."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus_mean = d.agg(F.avg("n_chars")).first()[0]
+    sample = sampling.weighted_sample(spark, sf_dir).collect()
+    sample_mean = sum(r.weight for r in sample) / len(sample)
+    assert sample_mean > corpus_mean
