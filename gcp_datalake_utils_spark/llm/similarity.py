@@ -827,3 +827,90 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rank <= {BATCH_TOP_K}
 """
+
+
+# --- ANN quality audit: recall@K vs exact brute force ------------------
+
+
+def _exact_batch_topk(e: DataFrame) -> DataFrame:
+    """Exact top-K per query vector: broadcast the N query vectors,
+    score the corpus ONCE against all of them, per-query window top-K.
+    Linear in the corpus for a fixed batch — the audit-only cost a
+    production pipeline pays on a sampled query batch."""
+    q = (e.where(F.col("vec_id") < N_BATCH_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_embedding")))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_embedding"))
+        / (_norm(F.col("embedding")) * _norm(F.col("q_embedding"))), 6)
+    scored = (e.crossJoin(F.broadcast(q))
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= BATCH_TOP_K)
+            .select("query_id", "vec_id"))
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] per-query recall@K of the 16-plane multi-probe ANN
+    (batch_ann_topk) against the exact brute-force top-K — the
+    standard ANN quality gate a production index ships with.
+
+    (query_id, n_ann, hits, recall): n_ann = neighbors the ANN
+    returned (sparse buckets can yield < K), hits = how many are in
+    the TRUE top-K, recall = hits / K. Both sides scan the corpus once
+    with the query batch broadcast; the audit join is K-row-per-query
+    sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ann = batch_ann_topk(spark, sf_dir).select("query_id", "vec_id")
+    exact = _exact_batch_topk(e).withColumn("is_hit", F.lit(1))
+    per_q = (ann.join(exact, ["query_id", "vec_id"], "left")
+             .groupBy("query_id")
+             .agg(F.count("*").alias("n_ann"),
+                  F.sum(F.coalesce("is_hit", F.lit(0))).cast("long")
+                  .alias("hits")))
+    qids = (e.where(F.col("vec_id") < N_BATCH_QUERIES)
+            .select(F.col("vec_id").alias("query_id")))
+    return (qids.join(per_q, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_ann", F.lit(0)).cast("long")
+                    .alias("n_ann"),
+                    F.coalesce("hits", F.lit(0)).cast("long")
+                    .alias("hits"),
+                    F.round(F.coalesce("hits", F.lit(0))
+                            / F.lit(BATCH_TOP_K), 6).alias("recall")))
+
+
+ANN_RECALL_AUDIT_ORACLE = f"""
+WITH ann AS ({BATCH_ANN_TOPK_ORACLE}),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(({_DOT_SQL.format(a='e.embedding',
+                                              b='q.embedding')})
+                   / (({_NORM_SQL.format(a='e.embedding')})
+                      * ({_NORM_SQL.format(a='q.embedding')})), 6)
+               DESC, e.vec_id) AS rk
+    FROM embeddings e, embeddings q
+    WHERE q.vec_id < {N_BATCH_QUERIES} AND e.vec_id <> q.vec_id)
+  WHERE rk <= {BATCH_TOP_K}
+),
+per_q AS (
+  SELECT a.query_id, count(*) AS n_ann,
+         sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+  FROM ann a LEFT JOIN exact ex
+    ON a.query_id = ex.query_id AND a.vec_id = ex.vec_id
+  GROUP BY a.query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(p.n_ann, 0) AS BIGINT) AS n_ann,
+       CAST(coalesce(p.hits, 0) AS BIGINT) AS hits,
+       round(coalesce(p.hits, 0) / CAST({BATCH_TOP_K} AS DOUBLE), 6)
+         AS recall
+FROM (SELECT vec_id FROM embeddings
+      WHERE vec_id < {N_BATCH_QUERIES}) q
+LEFT JOIN per_q p ON q.vec_id = p.query_id
+"""

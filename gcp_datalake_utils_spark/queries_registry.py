@@ -42,6 +42,7 @@ from gcp_datalake_utils_spark.llm import (
     multimodal,
     sampling,
     similarity,
+    similarity_arrow,
     sketches,
     text,
     tfidf,
@@ -153,6 +154,10 @@ register("paragraph_dedup", paradedup.paragraph_dedup,
 register("lm_doc_scores", lm.lm_doc_scores, lm.LM_DOC_SCORES_ORACLE)
 register("weighted_sample", sampling.weighted_sample,
          sampling.WEIGHTED_SAMPLE_ORACLE)
+register("ann_recall_audit", similarity.ann_recall_audit,
+         similarity.ANN_RECALL_AUDIT_ORACLE)
+register("cosine_topk_arrow", similarity_arrow.cosine_topk_arrow,
+         similarity.COSINE_TOPK_ORACLE)
 
 # --- block C: window filler — refresh the oldest driver greens (r1/r2) ---
 register("detect_foreign_key",

@@ -94,3 +94,24 @@ def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
     sample = sampling.weighted_sample(spark, sf_dir).collect()
     sample_mean = sum(r.weight for r in sample) / len(sample)
     assert sample_mean > corpus_mean
+
+
+def test_ann_recall_audit_bounds(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import similarity
+    rows = similarity.ann_recall_audit(spark, sf_dir).collect()
+    assert len(rows) == similarity.N_BATCH_QUERIES
+    for r in rows:
+        assert 0 <= r.hits <= min(r.n_ann, similarity.BATCH_TOP_K)
+        assert r.n_ann <= similarity.BATCH_TOP_K
+        assert abs(r.recall - r.hits / similarity.BATCH_TOP_K) < 1e-9
+
+
+def test_cosine_topk_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow-scored operator must return the identical ranked
+    result as the JVM fold operator."""
+    from gcp_datalake_utils_spark.llm import similarity, similarity_arrow
+    jvm = [tuple(r) for r in
+           similarity.cosine_topk(spark, sf_dir).collect()]
+    arrow = [tuple(r) for r in
+             similarity_arrow.cosine_topk_arrow(spark, sf_dir).collect()]
+    assert arrow == jvm
