@@ -72,6 +72,13 @@ HEADLINE = [
     "funnel_completions_stream",
     "value_drift_psi",
     "pmi_collocations",
+    # round-4 continuation: paragraph dedup, LM quality scoring,
+    # weighted sampling, ANN quality audit, Arrow scoring path
+    "paragraph_dedup",
+    "lm_doc_scores",
+    "weighted_sample",
+    "ann_recall_audit",
+    "cosine_topk_arrow",
 ]
 
 # results larger than this row count are executed via count() instead of

@@ -302,3 +302,46 @@ def test_funnel_steps_filter_pushed(spark, sf_dir):
     plan = _formatted_plan(funnel.funnel_conversion(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("EqualTo(event_type") >= len(funnel.FUNNEL_STEPS)
+
+
+def test_paragraph_dedup_hash_keyed_window(spark, sf_dir):
+    """First-occurrence election must shuffle on the segment md5 (a
+    partitioned window), never a single-partition global sort, and the
+    segmentation stage must stay narrow (no extra exchange)."""
+    from gcp_datalake_utils_spark.llm import paradedup
+    plan = _formatted_plan(paradedup.paragraph_dedup(spark, sf_dir))
+    assert "Window" in plan
+    assert "hashpartitioning(seg_md5" in plan
+    assert "SinglePartition" not in plan
+    # segment window exchange + doc rollup exchange only
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_lm_scores_no_cartesian_but_vocab_broadcast(spark, sf_dir):
+    """The only nested-loop join allowed is the broadcast of the 1-row
+    vocabulary count; bigram/context joins must be hash joins."""
+    from gcp_datalake_utils_spark.llm import lm
+    plan = _formatted_plan(lm.lm_doc_scores(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row vocab frame
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """A-ES top-N must plan as TakeOrderedAndProject — no global sort
+    of the keyed corpus."""
+    from gcp_datalake_utils_spark.llm import sampling
+    plan = _formatted_plan(sampling.weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_topk_arrow_shape(spark, sf_dir):
+    """The Arrow path must run the scorer as a single MapInPandas over
+    a pruned 3-column scan and still top-k via TakeOrderedAndProject."""
+    from gcp_datalake_utils_spark.llm import similarity_arrow
+    plan = _formatted_plan(
+        similarity_arrow.cosine_topk_arrow(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
+    read_schema = [ln for ln in plan.splitlines()
+                   if "ReadSchema" in ln][0]
+    assert "embedding" in read_schema
