@@ -64,3 +64,103 @@ def cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("vec_id", "label", "embedding")
               .mapInPandas(score, _SCHEMA))
     return _topk_ranked(scored)
+
+
+# --- retrieve -> rerank (two-stage ANN, Arrow second stage) ------------
+
+RERANK_K = 3
+
+
+def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] two-stage retrieval: the multi-probe ANN supplies candidates
+    (batch_ann_topk, K per query), a second-stage scorer re-ranks them
+    and keeps the best RERANK_K — the retrieve->rerank shape every
+    production semantic-search pipeline runs, where stage 2 is an
+    expensive cross-encoder.
+
+    The stage-2 scorer here is a deterministic stand-in with the same
+    cost profile slot: weighted Jaccard over squared components,
+    sum(min(q_i^2, e_i^2)) / sum(max(q_i^2, e_i^2)) — non-linear in
+    both vectors (not recoverable from the stage-1 cosine) and exactly
+    mirrorable in SQL, so the whole two-stage result stays
+    hash-oracled. It runs as one numpy pass per Arrow batch via
+    ``mapInPandas``.
+
+    Scale shape: stage 2 touches only |queries| x K candidate rows —
+    the vector gather is an equi-join on vec_id against the (huge)
+    embedding table, hash-partitioned on the id; the rerank window is
+    K-rows-per-query sized. Corpus cost lives entirely in stage 1.
+    """
+    from gcp_datalake_utils_spark.llm.similarity import batch_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = batch_ann_topk(spark, sf_dir).select("query_id", "vec_id")
+    qvecs = (e.select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_embedding")))
+    gathered = (cand
+                .join(e.select("vec_id", "embedding"), "vec_id")
+                .join(qvecs, "query_id")
+                .select("query_id", "vec_id", "embedding",
+                        "q_embedding"))
+
+    def rerank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            em = np.stack(pdf["embedding"].to_numpy()) \
+                .astype(np.float64) ** 2
+            qm = np.stack(pdf["q_embedding"].to_numpy()) \
+                .astype(np.float64) ** 2
+            score = (np.minimum(em, qm).sum(axis=1)
+                     / np.maximum(em, qm).sum(axis=1))
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].astype("int64"),
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "rerank_score": np.round(score, 6),
+            })
+
+    scored = gathered.mapInPandas(
+        rerank, "query_id long, vec_id long, rerank_score double")
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rerank_score"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= RERANK_K)
+            .select("query_id", "vec_id", "rerank_score",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def _wjac_sql() -> str:
+    pair = "list_zip(e.embedding, q.embedding)"
+    sq1 = "CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE)"
+    sq2 = "CAST(x[2] AS DOUBLE) * CAST(x[2] AS DOUBLE)"
+    return (f"round(list_sum(list_transform({pair}, "
+            f"x -> least({sq1}, {sq2}))) "
+            f"/ list_sum(list_transform({pair}, "
+            f"x -> greatest({sq1}, {sq2}))), 6)")
+
+
+def _ann_rerank_oracle() -> str:
+    from gcp_datalake_utils_spark.llm.similarity import (
+        BATCH_ANN_TOPK_ORACLE,
+    )
+    return f"""
+WITH cand AS (
+  SELECT query_id, vec_id FROM ({BATCH_ANN_TOPK_ORACLE})
+),
+rr AS (
+  SELECT c.query_id, c.vec_id, {_wjac_sql()} AS rerank_score
+  FROM cand c
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN embeddings q ON c.query_id = q.vec_id
+)
+SELECT query_id, vec_id, rerank_score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rerank_score DESC, vec_id)
+        AS rank
+      FROM rr)
+WHERE rank <= {RERANK_K}
+"""
+
+
+ANN_RERANK_ORACLE = _ann_rerank_oracle()

@@ -158,6 +158,8 @@ register("ann_recall_audit", similarity.ann_recall_audit,
          similarity.ANN_RECALL_AUDIT_ORACLE)
 register("cosine_topk_arrow", similarity_arrow.cosine_topk_arrow,
          similarity.COSINE_TOPK_ORACLE)
+register("ann_rerank", similarity_arrow.ann_rerank,
+         similarity_arrow.ANN_RERANK_ORACLE)
 
 # --- block C: window filler — refresh the oldest driver greens (r1/r2) ---
 register("detect_foreign_key",

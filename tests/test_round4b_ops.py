@@ -115,3 +115,20 @@ def test_cosine_topk_arrow_matches_jvm(spark, sf_dir):
     arrow = [tuple(r) for r in
              similarity_arrow.cosine_topk_arrow(spark, sf_dir).collect()]
     assert arrow == jvm
+
+
+def test_ann_rerank_subset_of_candidates(spark, sf_dir):
+    """Reranked rows must be a subset of stage-1 candidates, ranks
+    dense per query, scores in (0, 1]."""
+    from gcp_datalake_utils_spark.llm import similarity, similarity_arrow
+    cand = {(r.query_id, r.vec_id)
+            for r in similarity.batch_ann_topk(spark, sf_dir).collect()}
+    rows = similarity_arrow.ann_rerank(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert (r.query_id, r.vec_id) in cand
+        assert 0.0 < r.rerank_score <= 1.0
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= similarity_arrow.RERANK_K
