@@ -119,3 +119,49 @@ SELECT d.doc_id,
        round(CAST(sc.s AS DOUBLE) / sc.n_bigrams, 6) AS avg_logprob
 FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
 """
+
+
+N_QUALITY_BINS = 5
+
+
+def lm_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] CCNet-style quality bucketing: rank documents by LM score
+    and cut the corpus into N equal-frequency bins (ntile), reporting
+    per-bin volume and score range. Production pipelines train on the
+    best bins and drop or down-weight the tail.
+
+    The ntile window is a single global ordering of DOC-level rows
+    (one row per document, already aggregated — corpus-count sized,
+    not token sized). At 100 TB of raw text the doc table is ~1e9
+    rows; a global ntile at that size is still one range-partitioned
+    sort of slim (doc_id, score) pairs. Docs with no bigrams (NULL
+    score) are excluded — they go to the length gate instead.
+    Ties order by doc_id so both engines cut bins identically."""
+    scores = lm_doc_scores(spark, sf_dir).where(
+        F.col("avg_logprob").isNotNull())
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("avg_logprob"), "doc_id")
+    binned = scores.withColumn(
+        "bin", F.ntile(N_QUALITY_BINS).over(w).cast("int"))
+    return (binned.groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.round(F.max("avg_logprob"), 6).alias("best_lp"),
+                 F.round(F.min("avg_logprob"), 6).alias("worst_lp"),
+                 F.sum("n_bigrams").cast("long").alias("total_bigrams"))
+            .orderBy("bin"))
+
+
+LM_QUALITY_BINS_ORACLE = f"""
+WITH scores AS ({LM_DOC_SCORES_ORACLE}),
+binned AS (
+  SELECT doc_id, n_bigrams, avg_logprob,
+         CAST(ntile({N_QUALITY_BINS}) OVER (
+           ORDER BY avg_logprob DESC, doc_id) AS INTEGER) AS bin
+  FROM scores WHERE avg_logprob IS NOT NULL
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       round(max(avg_logprob), 6) AS best_lp,
+       round(min(avg_logprob), 6) AS worst_lp,
+       CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
+FROM binned GROUP BY bin
+"""

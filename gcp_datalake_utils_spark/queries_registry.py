@@ -160,6 +160,8 @@ register("cosine_topk_arrow", similarity_arrow.cosine_topk_arrow,
          similarity.COSINE_TOPK_ORACLE)
 register("ann_rerank", similarity_arrow.ann_rerank,
          similarity_arrow.ANN_RERANK_ORACLE)
+register("lm_quality_bins", lm.lm_quality_bins,
+         lm.LM_QUALITY_BINS_ORACLE)
 
 # --- block C: window filler — refresh the oldest driver greens (r1/r2) ---
 register("detect_foreign_key",

@@ -132,3 +132,20 @@ def test_ann_rerank_subset_of_candidates(spark, sf_dir):
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= similarity_arrow.RERANK_K
+
+
+def test_lm_quality_bins_partition_corpus(spark, sf_dir):
+    """Bins must partition the scored docs into N near-equal groups
+    with non-overlapping, descending score ranges."""
+    from gcp_datalake_utils_spark.llm import lm
+    scored = lm.lm_doc_scores(spark, sf_dir) \
+        .where(F.col("avg_logprob").isNotNull()).count()
+    rows = sorted(lm.lm_quality_bins(spark, sf_dir).collect(),
+                  key=lambda r: r.bin)
+    assert [r.bin for r in rows] == \
+        list(range(1, lm.N_QUALITY_BINS + 1))
+    assert sum(r.n_docs for r in rows) == scored
+    assert max(r.n_docs for r in rows) \
+        - min(r.n_docs for r in rows) <= 1
+    for hi, lo in zip(rows, rows[1:]):
+        assert hi.worst_lp >= lo.best_lp
