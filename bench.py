@@ -92,7 +92,11 @@ def _run_once(fn, spark, small: bool) -> float:
     if small:
         df.collect()
     else:
-        df.count()
+        # NOT count(): Catalyst eliminates row-preserving joins and
+        # projections under count, which would time a parquet
+        # row-count instead of the operator. The noop sink forces
+        # every row/column to materialize without driver transfer.
+        df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 

@@ -36,7 +36,14 @@ def main() -> None:
         for _ in range(n):
             t0 = time.time()
             df = fn(spark, sf_dir)
-            df.collect() if small else df.count()
+            if small:
+                df.collect()
+            else:
+                # NOT count(): Catalyst eliminates row-preserving
+                # joins/projections under count, so count-mode would
+                # time a parquet row-count, not the operator. The noop
+                # sink forces every row and column to materialize.
+                df.write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
         out[name] = round(statistics.median(times), 3)
     print(json.dumps({"sf_dir": sf_dir, "runs": n, "spark": out,
