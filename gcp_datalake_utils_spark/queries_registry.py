@@ -162,6 +162,15 @@ register("ann_rerank", similarity_arrow.ann_rerank,
          similarity_arrow.ANN_RERANK_ORACLE)
 register("lm_quality_bins", lm.lm_quality_bins,
          lm.LM_QUALITY_BINS_ORACLE)
+register("embedding_near_dups64", similarity.embedding_near_dups64,
+         similarity.EMBEDDING_NEAR_DUP64_ORACLE)
+# plan changed this session (Arrow bucketizer) -> back into the window
+register("similarity_embedding_near_dups", similarity.embedding_near_dups,
+         similarity.EMBEDDING_NEAR_DUP_ORACLE)
+register("batch_ann_topk", similarity.batch_ann_topk,
+         similarity.BATCH_ANN_TOPK_ORACLE)
+register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
+         similarity.RP_LSH_TOPK_ORACLE)
 
 # --- block C: window filler — refresh the oldest driver greens (r1/r2) ---
 register("detect_foreign_key",
@@ -270,8 +279,6 @@ register("relationships_per_table", state.relationships_per_table,
          state.relationships_per_table_oracle())
 register("repetition_flags", text.repetition_flags,
          text.REPETITION_FLAGS_ORACLE)
-register("similarity_embedding_near_dups", similarity.embedding_near_dups,
-         similarity.EMBEDDING_NEAR_DUP_ORACLE)
 register("metadata_richness", payload.metadata_richness,
          payload.metadata_richness_oracle())
 register("enriched_segment_stream", stream_windows.enriched_segment_stream_q,
@@ -283,8 +290,6 @@ register("click_attribution_stream",
          stream_windows.CLICK_ATTRIBUTION_STREAM_ORACLE)
 register("vocab_entropy", text.vocab_entropy,
          text.VOCAB_ENTROPY_ORACLE)
-register("batch_ann_topk", similarity.batch_ann_topk,
-         similarity.BATCH_ANN_TOPK_ORACLE)
 register("text_token_stats", text.token_stats, text.TOKEN_STATS_ORACLE)
 register("text_fingerprints", text.fingerprints,
          text.FINGERPRINTS_ORACLE)
@@ -309,8 +314,6 @@ register("similarity_ivf_topk", similarity.ivf_topk,
          similarity.IVF_TOPK_ORACLE)
 register("similarity_rp_lsh_buckets", similarity.rp_lsh_buckets,
          similarity.RP_LSH_BUCKETS_ORACLE)
-register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
-         similarity.RP_LSH_TOPK_ORACLE)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

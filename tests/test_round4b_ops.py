@@ -149,3 +149,70 @@ def test_lm_quality_bins_partition_corpus(spark, sf_dir):
         - min(r.n_docs for r in rows) <= 1
     for hi, lo in zip(rows, rows[1:]):
         assert hi.worst_lp >= lo.best_lp
+
+
+def test_arrow_bucketizer_matches_jvm_fold(spark, sf_dir):
+    """Every vector must land in the identical 16-plane bucket under
+    the Arrow GEMV path and the JVM HOF fold."""
+    from gcp_datalake_utils_spark.llm import similarity
+    from gcp_datalake_utils_spark.sources import load_table
+    e = load_table(spark, sf_dir, "embeddings")
+    jvm = {r.vec_id: r.bucket for r in e.select(
+        "vec_id",
+        similarity._bucket_spark("embedding").alias("bucket")).collect()}
+    arrow = {r.vec_id: r.bucket
+             for r in similarity._with_bucket16_arrow(e)
+             .select("vec_id", "bucket").collect()}
+    assert arrow == jvm
+
+
+def test_near_dups64_finds_planted_pairs(spark, sf_dir):
+    """Plant three 0.95+-cosine pairs (tiny perturbations of a base
+    vector, same label) among random-ish fillers and assert the 64-bit
+    banded join finds exactly the planted pairs — a non-vacuous check
+    the 0-row driver corpus cannot give."""
+    import math
+    import random
+    from gcp_datalake_utils_spark.llm import similarity
+    rng = random.Random(7)
+    rows = []
+    for pair in range(3):
+        base = [rng.uniform(-1, 1) for _ in range(similarity.N_DIMS)]
+        bumped = list(base)
+        bumped[0] += 0.01  # ~0.9999 cosine
+        rows.append((100 + 2 * pair, base, 1))
+        rows.append((101 + 2 * pair, bumped, 1))
+    for i in range(40):  # fillers: random directions, same label
+        rows.append((200 + i,
+                     [rng.uniform(-1, 1)
+                      for _ in range(similarity.N_DIMS)], 1))
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v], lbl) for i, v, lbl in rows],
+        "vec_id long, embedding array<float>, label int")
+    got = {(r.vec_a, r.vec_b)
+           for r in similarity._near_dups64_from(e).collect()}
+    want = {(100, 101), (102, 103), (104, 105)}
+    assert want <= got
+    # anything extra must genuinely be >= 0.95 cosine (verify stage)
+    vecs = {i: v for i, v, _ in rows}
+    for a, b in got:
+        va, vb = vecs[a], vecs[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        assert dot / (na * nb) >= 0.95
+
+
+def test_arrow_bucket64_matches_exploded(spark, sf_dir):
+    """The Arrow 64-plane signature halves must equal the exploded
+    codegen-aggregate build for every vector."""
+    from gcp_datalake_utils_spark.llm import similarity
+    from gcp_datalake_utils_spark.sources import load_table
+    e = load_table(spark, sf_dir, "embeddings")
+    jvm = {r.vec_id: (r.b_hi, r.b_lo)
+           for r in similarity._bucket64_exploded(e)
+           .select("vec_id", "b_hi", "b_lo").collect()}
+    arrow = {r.vec_id: (r.b_hi, r.b_lo)
+             for r in similarity._with_bucket64_arrow(e)
+             .select("vec_id", "b_hi", "b_lo").collect()}
+    assert arrow == jvm
