@@ -1,0 +1,108 @@
+"""Column profiling (the Deequ/`pandas-profiling` analyzer battery).
+
+The reference is a data-catalog tool: its detection pipeline consumes
+per-column statistics (null rates, distinct counts, ranges) fetched
+via driver-side queries (schema_analyzer sampling paths). This
+operator computes the full per-column profile of a table in ONE scan:
+every analyzer is a partial-aggregated expression in the same
+Aggregate node, so profiling a 100 TB table costs one pass and a
+1-row shuffle — never an analyzer-per-scan loop.
+
+Output is long-form (one row per column): completeness, exact
+distinct cardinality, and type-appropriate min/max (numerics and
+timestamps in a DOUBLE pair — timestamps as epoch micros — strings
+in a VARCHAR pair), the shape a catalog UI or a drift monitor joins
+against. Cross-engine note: numeric extremes travel as DOUBLE
+columns, never stringified doubles (Java and DuckDB format doubles
+differently); string extremes only for VARCHAR columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.sources import load_table
+
+# (column, kind): kind picks the min/max surrogate — num -> CAST AS
+# DOUBLE, ts -> epoch micros, str -> lexicographic VARCHAR
+PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] one-scan column profile of `orders`: (column_name, n_rows,
+    n_nulls, n_distinct, min_num, max_num, min_str, max_str)."""
+    t = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n")]
+    for c, kind in PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"c_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"d_{c}"))
+        if kind == "num":
+            num = F.col(c).cast("double")
+        elif kind == "ts":
+            # parquet NTZ micros; session tz is UTC so the cast is the
+            # identity and epoch micros match DuckDB's epoch_us
+            num = F.unix_micros(F.col(c).cast("timestamp")) \
+                .cast("double")
+        else:
+            num = None
+        if num is not None:
+            aggs.append(F.min(num).alias(f"mn_{c}"))
+            aggs.append(F.max(num).alias(f"mx_{c}"))
+        else:
+            aggs.append(F.min(c).alias(f"mns_{c}"))
+            aggs.append(F.max(c).alias(f"mxs_{c}"))
+    a = t.agg(*aggs)
+    rows = []
+    for c, kind in PROFILE_COLS:
+        is_str = kind == "str"
+        rows.append(F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n").alias("n_rows"),
+            (F.col("n") - F.col(f"c_{c}")).alias("n_nulls"),
+            F.col(f"d_{c}").alias("n_distinct"),
+            (F.lit(None).cast("double") if is_str
+             else F.col(f"mn_{c}")).alias("min_num"),
+            (F.lit(None).cast("double") if is_str
+             else F.col(f"mx_{c}")).alias("max_num"),
+            (F.col(f"mns_{c}") if is_str
+             else F.lit(None).cast("string")).alias("min_str"),
+            (F.col(f"mxs_{c}") if is_str
+             else F.lit(None).cast("string")).alias("max_str")))
+    return (a.select(F.explode(F.array(*rows)).alias("p"))
+            .select("p.*"))
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(min({c}) AS DOUBLE)", \
+                f"CAST(max({c}) AS DOUBLE)"
+            mns = mxs = "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"CAST(epoch_us(min({c})) AS DOUBLE)"
+            mx = f"CAST(epoch_us(max({c})) AS DOUBLE)"
+            mns = mxs = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"min({c})", f"max({c})"
+        parts.append(f"""
+  SELECT '{c}' AS column_name,
+         count(*) AS n_rows,
+         count(*) - count({c}) AS n_nulls,
+         count(DISTINCT {c}) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         {mns} AS min_str, {mxs} AS max_str
+  FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+PROFILE_ORDERS_ORACLE = _profile_oracle()

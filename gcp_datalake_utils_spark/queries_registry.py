@@ -76,6 +76,7 @@ from gcp_datalake_utils_spark.functions import scale_demos  # noqa: E402
 from gcp_datalake_utils_spark.operators import drift  # noqa: E402
 from gcp_datalake_utils_spark.operators import funnel  # noqa: E402
 from gcp_datalake_utils_spark.operators import nested  # noqa: E402
+from gcp_datalake_utils_spark.operators import profile  # noqa: E402
 from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
 from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
 
@@ -164,6 +165,8 @@ register("lm_quality_bins", lm.lm_quality_bins,
          lm.LM_QUALITY_BINS_ORACLE)
 register("embedding_near_dups64", similarity.embedding_near_dups64,
          similarity.EMBEDDING_NEAR_DUP64_ORACLE)
+register("profile_orders", profile.profile_orders,
+         profile.PROFILE_ORDERS_ORACLE)
 # plan changed this session (Arrow bucketizer) -> back into the window
 register("similarity_embedding_near_dups", similarity.embedding_near_dups,
          similarity.EMBEDDING_NEAR_DUP_ORACLE)

@@ -216,3 +216,35 @@ def test_arrow_bucket64_matches_exploded(spark, sf_dir):
              for r in similarity._with_bucket64_arrow(e)
              .select("vec_id", "b_hi", "b_lo").collect()}
     assert arrow == jvm
+
+
+def test_profile_orders_matches_pandas(spark, sf_dir):
+    """Profile rows must match a pandas replay of the same analyzers."""
+    import pandas as pd
+    from gcp_datalake_utils_spark.operators import profile
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    got = {r.column_name: r for r in
+           profile.profile_orders(spark, sf_dir).collect()}
+    assert set(got) == {c for c, _ in profile.PROFILE_COLS}
+    for c, kind in profile.PROFILE_COLS:
+        r = got[c]
+        assert r.n_rows == len(pdf)
+        assert r.n_nulls == int(pdf[c].isna().sum())
+        assert r.n_distinct == pdf[c].nunique()
+        if kind == "num":
+            assert r.min_num == float(pdf[c].min())
+            assert r.max_num == float(pdf[c].max())
+        elif kind == "str":
+            assert r.min_str == pdf[c].min()
+            assert r.max_str == pdf[c].max()
+
+
+def test_profile_orders_single_scan_plan(spark, sf_dir):
+    """All analyzers must live in ONE aggregation over ONE scan."""
+    from gcp_datalake_utils_spark.operators import profile
+    df = profile.profile_orders(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted"))
+    # formatted mode prints each node twice (tree + numbered detail)
+    assert plan.count("Scan parquet") == 2
