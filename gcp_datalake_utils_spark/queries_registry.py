@@ -78,6 +78,7 @@ from gcp_datalake_utils_spark.operators import funnel  # noqa: E402
 from gcp_datalake_utils_spark.operators import nested  # noqa: E402
 from gcp_datalake_utils_spark.operators import profile  # noqa: E402
 from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
+from gcp_datalake_utils_spark.sources import evolution  # noqa: E402
 from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
 
 # --- block A: NEW in round 4 (15 operators) ------------------------------
@@ -167,6 +168,8 @@ register("embedding_near_dups64", similarity.embedding_near_dups64,
          similarity.EMBEDDING_NEAR_DUP64_ORACLE)
 register("profile_orders", profile.profile_orders,
          profile.PROFILE_ORDERS_ORACLE)
+register("evolving_read", evolution.evolving_read,
+         evolution.EVOLVING_READ_ORACLE)
 # plan changed this session (Arrow bucketizer) -> back into the window
 register("similarity_embedding_near_dups", similarity.embedding_near_dups,
          similarity.EMBEDDING_NEAR_DUP_ORACLE)

@@ -248,3 +248,17 @@ def test_profile_orders_single_scan_plan(spark, sf_dir):
         .ExplainMode.fromString("formatted"))
     # formatted mode prints each node twice (tree + numbered detail)
     assert plan.count("Scan parquet") == 2
+
+
+def test_evolving_read_backfills_nulls(spark, sf_dir):
+    """The legacy generation must read back with a NULL-filled new
+    column; the modern generation keeps its values."""
+    from gcp_datalake_utils_spark.sources import evolution
+    rows = {r.generation: r
+            for r in evolution.evolving_read(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    g0, g1 = rows[0], rows[1]
+    assert g0.n_null_rank == g0.n_rows  # every legacy row back-filled
+    assert g0.rank_sum == 0
+    assert g1.n_null_rank == 0
+    assert g1.rank_sum > 0
