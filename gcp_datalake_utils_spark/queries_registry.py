@@ -76,6 +76,7 @@ from gcp_datalake_utils_spark.functions import scale_demos  # noqa: E402
 from gcp_datalake_utils_spark.operators import drift  # noqa: E402
 from gcp_datalake_utils_spark.operators import funnel  # noqa: E402
 from gcp_datalake_utils_spark.operators import nested  # noqa: E402
+from gcp_datalake_utils_spark.operators import pivot  # noqa: E402
 from gcp_datalake_utils_spark.operators import profile  # noqa: E402
 from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
 from gcp_datalake_utils_spark.sources import evolution  # noqa: E402
@@ -170,6 +171,8 @@ register("profile_orders", profile.profile_orders,
          profile.PROFILE_ORDERS_ORACLE)
 register("evolving_read", evolution.evolving_read,
          evolution.EVOLVING_READ_ORACLE)
+register("events_pivot", pivot.events_pivot,
+         pivot.EVENTS_PIVOT_ORACLE)
 # plan changed this session (Arrow bucketizer) -> back into the window
 register("similarity_embedding_near_dups", similarity.embedding_near_dups,
          similarity.EMBEDDING_NEAR_DUP_ORACLE)

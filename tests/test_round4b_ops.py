@@ -262,3 +262,25 @@ def test_evolving_read_backfills_nulls(spark, sf_dir):
     assert g0.rank_sum == 0
     assert g1.n_null_rank == 0
     assert g1.rank_sum > 0
+
+
+def test_events_pivot_matches_long_form(spark, sf_dir):
+    """Wide counts must equal the long-form groupBy; totals add up."""
+    from gcp_datalake_utils_spark.operators import pivot
+    from gcp_datalake_utils_spark.sources.registry import load_events
+    e = load_events(spark, sf_dir)
+    long_form = {(r.day, r.event_type): r.n for r in
+                 e.groupBy(
+                     F.date_format(F.date_trunc("day", "ts"),
+                                   "yyyy-MM-dd").alias("day"),
+                     "event_type")
+                 .agg(F.count("*").alias("n")).collect()}
+    rows = pivot.events_pivot(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        total = 0
+        for t in pivot.EVENT_TYPES:
+            n = getattr(r, f"n_{t}")
+            assert n == long_form.get((r.day, t), 0)
+            total += n
+        assert r.n_total == total
