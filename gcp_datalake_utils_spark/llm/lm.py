@@ -61,36 +61,28 @@ def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-half bigram model; docs with <2 tokens report 0 bigrams and a
     NULL score.
 
-    Plan note (the terms.py pair-rollup discipline): the exploded
-    bigram stream is collapsed ONCE to (doc_id, w1, bg, tf); the
-    bigram and context counts aggregate that pair frame (tf-weighted),
-    and scoring multiplies each pair's round-9 log-prob by tf — so
-    the identical pair Exchange feeds all three consumers
-    (ReusedExchange, one explode) instead of re-tokenizing the corpus
-    per count table."""
-    pairs = (_bigram_rows(spark, sf_dir)
-             .groupBy("doc_id", "w1", "bg")
-             .agg(F.count("*").alias("tf")))
-    bgc = pairs.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
-    ctxc = pairs.groupBy("w1").agg(F.sum("tf").alias("c_ctx"))
+    Plan note: a (doc_id, w1, bg, tf) pair rollup shared by all three
+    consumers was built and MEASURED SLOWER (11.3 s vs 8.6 s at sf1):
+    per-branch column pruning gives each consumer a different partial
+    aggregate, so the pair Exchange never canonicalizes equal and
+    nothing is reused — the rollup just inserted an extra shuffle in
+    front of count tables whose map-side partial aggregation already
+    collapses the occurrence stream to vocabulary size before the
+    wire. The occurrence shape below is the faster plan."""
+    bg = _bigram_rows(spark, sf_dir)
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    ctxc = bg.groupBy("w1").agg(F.count("*").alias("c_ctx"))
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), " ").alias("ws"))
     vocab = (d.select(F.explode("ws").alias("w")).agg(
         F.count_distinct("w").alias("v")))
     lp = F.log((F.col("c_bg") + 0.5)
                / (F.col("c_ctx") + 0.5 * F.col("v")))
-    scored = (pairs.join(bgc, "bg").join(ctxc, "w1")
+    scored = (bg.join(bgc, "bg").join(ctxc, "w1")
               .crossJoin(F.broadcast(vocab))
               .groupBy("doc_id")
-              .agg(F.sum("tf").alias("n_bigrams"),
-                   # lp fits (18,9); tf as (10,0) keeps the product at
-                   # precision 29 — a (28,9) x BIGINT product would
-                   # exceed precision 38 and Spark silently TRUNCATES
-                   # the scale to fit (allowPrecisionLoss), which is
-                   # exactly the cross-engine drift this decimal path
-                   # exists to prevent
-                   F.sum(F.round(lp, 9).cast("decimal(18,9)")
-                         * F.col("tf").cast("decimal(10,0)"))
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum(F.round(lp, 9).cast("decimal(28,9)"))
                    .alias("s")))
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return (docs.join(scored, "doc_id", "left")
@@ -117,22 +109,18 @@ bg AS (
                  AS u
         FROM base)
 ),
-pairs AS (
-  SELECT doc_id, w1, bg, count(*) AS tf FROM bg
-  GROUP BY doc_id, w1, bg
-),
-bgc AS (SELECT bg, sum(tf) AS c_bg FROM pairs GROUP BY bg),
-ctxc AS (SELECT w1, sum(tf) AS c_ctx FROM pairs GROUP BY w1),
+bgc AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+ctxc AS (SELECT w1, count(*) AS c_ctx FROM bg GROUP BY w1),
 vocab AS (
   SELECT count(DISTINCT w) AS v
   FROM (SELECT unnest(words) AS w FROM base)
 ),
 scored AS (
-  SELECT doc_id, sum(tf) AS n_bigrams,
+  SELECT doc_id, count(*) AS n_bigrams,
          sum(CAST(round(ln((c_bg + 0.5)
                            / (c_ctx + 0.5 * v)), 9)
-                  AS DECIMAL(18,9)) * CAST(tf AS DECIMAL(10,0))) AS s
-  FROM pairs JOIN bgc USING (bg) JOIN ctxc USING (w1), vocab
+                  AS DECIMAL(28,9))) AS s
+  FROM bg JOIN bgc USING (bg) JOIN ctxc USING (w1), vocab
   GROUP BY doc_id
 )
 SELECT d.doc_id,
