@@ -965,19 +965,50 @@ WHERE rank <= {BATCH_TOP_K}
 
 
 def _exact_batch_topk(e: DataFrame) -> DataFrame:
-    """Exact top-K per query vector: broadcast the N query vectors,
-    score the corpus ONCE against all of them, per-query window top-K.
-    Linear in the corpus for a fixed batch — the audit-only cost a
+    """Exact top-K per query vector: one Arrow batch-GEMM pass over
+    the corpus with the query matrix as a closure constant, keeping
+    only each batch's LOCAL top-K per query — the final window ranks
+    (n_batches x K x queries) survivor rows, never the scored corpus.
+    Linear in the corpus for a fixed batch, and the cross-partition
+    traffic is K-rows-per-query-per-batch — the audit-only cost a
     production pipeline pays on a sampled query batch."""
-    q = (e.where(F.col("vec_id") < N_BATCH_QUERIES)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_embedding")))
-    cos = F.round(
-        _dot(F.col("embedding"), F.col("q_embedding"))
-        / (_norm(F.col("embedding")) * _norm(F.col("q_embedding"))), 6)
-    scored = (e.crossJoin(F.broadcast(q))
-              .where(F.col("vec_id") != F.col("query_id"))
-              .select("query_id", "vec_id", cos.alias("cosine")))
+    import numpy as np
+    import pandas as pd
+
+    qrows = sorted(
+        e.where(F.col("vec_id") < N_BATCH_QUERIES)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vec_ids = pdf["vec_id"].to_numpy()
+            norms = np.sqrt((m * m).sum(axis=1))
+            cos = np.round((m @ qm.T) / np.outer(norms, qn), 6)
+            out_q, out_v, out_c = [], [], []
+            for qi in range(len(qids)):
+                col = cos[:, qi]
+                mask = vec_ids != qids[qi]
+                order = np.lexsort((vec_ids[mask], -col[mask]))
+                keep = order[:BATCH_TOP_K]
+                out_q.append(np.full(len(keep), qids[qi]))
+                out_v.append(vec_ids[mask][keep])
+                out_c.append(col[mask][keep])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v).astype("int64"),
+                "cosine": np.concatenate(out_c),
+            })
+
+    scored = (e.select("vec_id", "embedding")
+              .mapInPandas(score,
+                           "query_id long, vec_id long, cosine double"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= BATCH_TOP_K)
