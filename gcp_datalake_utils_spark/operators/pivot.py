@@ -50,3 +50,56 @@ SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
 FROM events
 GROUP BY 1
 """
+
+
+# --- time-range rolling aggregates (RANGE frame) ------------------------
+
+
+def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] 7-day trailing window per event type: for each (type, day)
+    with activity, the total events and value over days [d-6, d] — a
+    RANGE frame over day numbers, so gaps in the calendar are handled
+    by VALUE distance, not row offsets (a rowsBetween frame would
+    silently shrink the window across quiet days).
+
+    Scale shape: daily pre-aggregation first (the corpus collapses to
+    |types| x |days| rows map-side), THEN the rolling window over the
+    tiny daily frame — never a per-event window. The window shuffle
+    carries days, not events."""
+    e = load_events(spark, sf_dir)
+    day_num = F.floor(
+        F.unix_micros(F.date_trunc("day", "ts")) / F.lit(86_400_000_000))
+    daily = (e.groupBy("event_type", day_num.alias("day_num"))
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.round("value", 6)
+                        .cast("decimal(18,6)")).alias("v")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("event_type").orderBy("day_num")
+         .rangeBetween(-6, 0))
+    return (daily.select(
+        "event_type",
+        F.col("day_num").cast("long").alias("day_num"),
+        F.col("n").alias("n_day"),
+        F.sum("n").over(w).cast("long").alias("n_7d"),
+        F.round(F.sum("v").over(w).cast("double"), 6).alias("v_7d")))
+
+
+EVENTS_ROLLING_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                    / 86400000000.0) AS BIGINT) AS day_num,
+         count(*) AS n,
+         sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS v
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, day_num, n AS n_day,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day_num
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_7d,
+       round(CAST(sum(v) OVER (PARTITION BY event_type ORDER BY day_num
+                               RANGE BETWEEN 6 PRECEDING
+                               AND CURRENT ROW) AS DOUBLE), 6) AS v_7d
+FROM daily
+"""

@@ -284,3 +284,16 @@ def test_events_pivot_matches_long_form(spark, sf_dir):
             assert n == long_form.get((r.day, t), 0)
             total += n
         assert r.n_total == total
+
+
+def test_events_rolling_trailing_window(spark, sf_dir):
+    """The 7-day figure must equal the sum of daily figures within
+    [d-6, d] replayed driver-side from the daily frame itself."""
+    from gcp_datalake_utils_spark.operators import pivot
+    rows = pivot.events_rolling(spark, sf_dir).collect()
+    daily = {(r.event_type, r.day_num): r.n_day for r in rows}
+    for r in rows:
+        want = sum(daily.get((r.event_type, d), 0)
+                   for d in range(r.day_num - 6, r.day_num + 1))
+        assert r.n_7d == want
+        assert r.n_7d >= r.n_day
