@@ -103,3 +103,63 @@ SELECT event_type, day_num, n AS n_day,
                                AND CURRENT ROW) AS DOUBLE), 6) AS v_7d
 FROM daily
 """
+
+
+# --- calendar gap-fill (dense time series from a sparse event log) -----
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] dense hourly series per event type: every hour in the
+    type's [first, last] activity range appears, quiet hours as 0 —
+    the densification step before any rolling/forecast consumer
+    (a sparse left side would silently skip empty buckets).
+
+    Spark-first shape: per-type min/max hour (one tiny agg) ->
+    ``sequence()`` generates each type's hour range in-row ->
+    ``explode`` -> LEFT join the observed hourly counts back. The
+    generated side is |types| x |hours| rows (calendar-sized, not
+    event-sized); the only event-sized work is the hourly pre-agg.
+    At 100 TB the join is a broadcast of the observed counts per
+    type-hour if small, else a hash join on (type, hour) — both
+    linear."""
+    e = load_events(spark, sf_dir)
+    hour_num = F.floor(
+        F.unix_micros(F.date_trunc("hour", "ts"))
+        / F.lit(3_600_000_000))
+    hourly = (e.groupBy("event_type", hour_num.alias("hour_num"))
+              .agg(F.count("*").alias("n")))
+    spans = (hourly.groupBy("event_type")
+             .agg(F.min("hour_num").alias("h0"),
+                  F.max("hour_num").alias("h1")))
+    dense = (spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1")).alias("hour_num")))
+    return (dense.join(hourly, ["event_type", "hour_num"], "left")
+            .select("event_type",
+                    F.col("hour_num").cast("long").alias("hour_num"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+
+
+EVENTS_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                    / 3600000000.0) AS BIGINT) AS hour_num,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, min(hour_num) AS h0, max(hour_num) AS h1
+  FROM hourly GROUP BY event_type
+),
+dense AS (
+  SELECT s.event_type, CAST(t.h AS BIGINT) AS hour_num
+  FROM spans s, unnest(generate_series(s.h0, s.h1)) AS t(h)
+)
+SELECT d.event_type, d.hour_num,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n
+FROM dense d
+LEFT JOIN hourly h
+  ON d.event_type = h.event_type AND d.hour_num = h.hour_num
+"""

@@ -175,6 +175,8 @@ register("events_pivot", pivot.events_pivot,
          pivot.EVENTS_PIVOT_ORACLE)
 register("events_rolling", pivot.events_rolling,
          pivot.EVENTS_ROLLING_ORACLE)
+register("events_gapfill", pivot.events_gapfill,
+         pivot.EVENTS_GAPFILL_ORACLE)
 # plan changed this session (Arrow bucketizer) -> back into the window
 register("similarity_embedding_near_dups", similarity.embedding_near_dups,
          similarity.EMBEDDING_NEAR_DUP_ORACLE)

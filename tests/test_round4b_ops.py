@@ -297,3 +297,20 @@ def test_events_rolling_trailing_window(spark, sf_dir):
                    for d in range(r.day_num - 6, r.day_num + 1))
         assert r.n_7d == want
         assert r.n_7d >= r.n_day
+
+
+def test_events_gapfill_dense_and_consistent(spark, sf_dir):
+    """Every type's series must be contiguous in hours, zeros filled,
+    and the nonzero entries must equal the sparse hourly counts."""
+    from gcp_datalake_utils_spark.operators import pivot
+    from gcp_datalake_utils_spark.sources.registry import load_events
+    rows = pivot.events_gapfill(spark, sf_dir).collect()
+    by_type: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, {})[r.hour_num] = r.n
+    total = sum(r.n for r in rows)
+    assert total == load_events(spark, sf_dir).count()
+    for t, series in by_type.items():
+        hours = sorted(series)
+        assert hours == list(range(hours[0], hours[-1] + 1)), t
+        assert series[hours[0]] > 0 and series[hours[-1]] > 0
