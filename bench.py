@@ -79,6 +79,15 @@ HEADLINE = [
     "weighted_sample",
     "ann_recall_audit",
     "cosine_topk_arrow",
+    "ann_rerank",
+    "lm_quality_bins",
+    "embedding_near_dups64",
+    "profile_orders",
+    "events_pivot",
+    "events_rolling",
+    "events_gapfill",
+    # evolving_read excluded: it times parquet snapshot WRITES (same
+    # rule as snapshot_diff / restore_summary)
 ]
 
 # results larger than this row count are executed via count() instead of
