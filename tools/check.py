@@ -50,6 +50,16 @@ def run_duck(sql: str, sf_dir: str):
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{name}.parquet')")
+    # mirror the Spark loader's adaptive events-ts normalization
+    # (sources/registry.event_ts_to_micros): tmp timing corpora store
+    # ts as BIGINT nanos, which plain `CAST(ts AS TIMESTAMP)` oracles
+    # cannot read — re-expose the view with integer-exact micros.
+    ts_type = con.execute(
+        "SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+    if ts_type and ts_type[0] == "BIGINT":
+        con.execute("CREATE OR REPLACE VIEW events AS "
+                    "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM read_parquet('{sf_dir}/events.parquet')")
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
