@@ -31,13 +31,17 @@ def _stream_dir(sf_dir: str) -> str:
     events.parquet file through a per-sf symlink dir under /tmp."""
     import hashlib
     import os
-    src = os.path.join(sf_dir, "events.parquet")
+    # abspath: a RELATIVE sf_dir would otherwise produce a symlink that
+    # resolves relative to the link's own directory — dangling, so the
+    # stream reads 0 rows and exists() (which follows links) says False
+    # and re-links into EEXIST. lexists() tests the link itself.
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     d = os.path.join(
         "/tmp", "spark_graft_streams",
         hashlib.md5(src.encode()).hexdigest()[:12])
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
+    if not os.path.lexists(link):
         os.symlink(src, link)
     return d
 
