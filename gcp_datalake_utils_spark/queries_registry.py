@@ -80,6 +80,7 @@ from gcp_datalake_utils_spark.operators import pivot  # noqa: E402
 from gcp_datalake_utils_spark.operators import profile  # noqa: E402
 from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
 from gcp_datalake_utils_spark.sources import evolution  # noqa: E402
+from gcp_datalake_utils_spark.sources import zorder  # noqa: E402
 from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
 
 # --- block A: NEW in round 4 (15 operators) ------------------------------
@@ -177,6 +178,8 @@ register("events_rolling", pivot.events_rolling,
          pivot.EVENTS_ROLLING_ORACLE)
 register("events_gapfill", pivot.events_gapfill,
          pivot.EVENTS_GAPFILL_ORACLE)
+register("zorder_layout", zorder.zorder_layout,
+         zorder.ZORDER_LAYOUT_ORACLE)
 # plan changed this session (Arrow bucketizer) -> back into the window
 register("similarity_embedding_near_dups", similarity.embedding_near_dups,
          similarity.EMBEDDING_NEAR_DUP_ORACLE)

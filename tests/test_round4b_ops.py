@@ -314,3 +314,31 @@ def test_events_gapfill_dense_and_consistent(spark, sf_dir):
         hours = sorted(series)
         assert hours == list(range(hours[0], hours[-1] + 1)), t
         assert series[hours[0]] > 0 and series[hours[-1]] > 0
+
+
+def test_zorder_interleave_and_locality(spark, sf_dir):
+    """The Morton key must interleave bits exactly, and bucket
+    bounding boxes must be tighter than the global extent on BOTH
+    dimensions for most buckets (the point of z-ordering)."""
+    from gcp_datalake_utils_spark.sources import zorder
+    rows = zorder.zorder_layout(spark, sf_dir).collect()
+    assert rows
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(zorder.Z_BITS):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    # spot-check the bit math against a python replay
+    assert morton(0b1111, 0) == 0b01010101
+    assert morton(0, 0b1111) == 0b10101010
+    g_cust = (min(r.min_cust for r in rows),
+              max(r.max_cust for r in rows))
+    g_day = (min(r.min_day for r in rows), max(r.max_day for r in rows))
+    tight = sum(
+        1 for r in rows
+        if (r.max_cust - r.min_cust) < (g_cust[1] - g_cust[0])
+        and (r.max_day - r.min_day) < (g_day[1] - g_day[0]))
+    assert tight >= len(rows) // 2
