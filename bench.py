@@ -6,7 +6,8 @@ Prints ONE JSON line:
 Protocol (BASELINE.md): one discarded warm-up run per query, then the
 median of 3 timed runs; value = sum of per-query medians. Each timed run
 executes the full plan to completion exactly ONCE — collect for small
-results, count for large ones (the warm-up run determines which) — the
+results, the noop sink for large ones (the warm-up run determines
+which; count() would let Catalyst eliminate row-preserving work) — the
 same single-execution protocol as the DuckDB baseline.
 """
 
@@ -86,6 +87,7 @@ HEADLINE = [
     "events_pivot",
     "events_rolling",
     "events_gapfill",
+    "zorder_layout",
     # evolving_read excluded: it times parquet snapshot WRITES (same
     # rule as snapshot_diff / restore_summary)
 ]
