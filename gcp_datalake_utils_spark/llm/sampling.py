@@ -277,6 +277,12 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
                             1, 13), 16, 10).cast("double")
          / F.lit(_U_DENOM))
+    # clamp u away from 0 (an all-zero 13-hex prefix, p ~ 2^-52/doc):
+    # Spark log(0) is NULL (sorts FIRST asc) while DuckDB ln(0) is
+    # -inf (key +inf, sorts last) — the engines would disagree on
+    # that doc. 2^-52 is the smallest NONZERO u, so the clamp merges
+    # u=0 into its neighbor identically in both engines.
+    u = F.greatest(u, F.lit(2.0 ** -52))
     e = F.round(-F.log(u) / F.col("n_chars"), 9)
     keyed = d.select("doc_id", "source",
                      F.col("n_chars").alias("weight"),
@@ -291,9 +297,10 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_SAMPLE_ORACLE = f"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars AS weight,
-         round(-ln(
+         round(-ln(greatest(
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
-                  AS BIGINT) / {_U_DENOM!r})
+                  AS BIGINT) / {_U_DENOM!r},
+             {2.0 ** -52!r}))
            / n_chars, 9) AS es_key
   FROM documents
 )

@@ -183,7 +183,17 @@ def _with_bucket64_arrow(e: DataFrame) -> DataFrame:
     posexplode + 64-codegen-aggregate build (`_bucket64_exploded`)
     on the query path; the exploded form remains the documented
     write-time backfill shape. Same integer-derived planes, same
-    round-6-before-sign contract (pytest asserts equality)."""
+    round-6-before-sign contract (pytest asserts equality).
+
+    Determinism caveat: the round-6-before-sign test relies on numpy's
+    pairwise/SIMD summation landing in the same ROUNDED value as the
+    sequential JVM/DuckDB folds. That equality is corpus-verified
+    (pytest bit-equality + hash-matched oracles at sf0.01–sf1), not
+    structural — a projection within float noise of a ±5e-7 boundary
+    could flip a signature bit in one engine only. If an oracle
+    mismatch appears at a NEW scale on a bucketized query, suspect
+    this boundary first (compare `_bucket64_exploded` output before
+    anything else)."""
     import numpy as np
     import pandas as pd
 

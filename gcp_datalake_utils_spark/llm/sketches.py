@@ -185,6 +185,47 @@ FROM est e JOIN exact x USING (col_name)
 """
 
 
+def hll_distinct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] the Spark-native sketch twin of ``hll_distinct``: per FK
+    column, ``approx_count_distinct`` (HLL++ over 64-bit xxhash — the
+    JVM-side, constant-aggregation-state path a Spark-only deployment
+    should run; ~5x the md5 register build, whose only job is
+    cross-engine register portability).
+
+    The estimate itself is engine-specific (DuckDB's approx sketch
+    differs), so the ORACLED columns are the exact distinct count and
+    a Spark-side accuracy audit flag: within_5pct must be true for
+    every column (rsd is set to 2%, so a 5% miss means the sketch
+    path is broken, and the driver's hash gate goes red). One scan,
+    both aggregates partial — at 100 TB this is the production-shape
+    profile query: constant state per column, no register grid, no
+    distinct shuffle beyond the exact-audit branch."""
+    vals = _hll_value_frame(spark, sf_dir)
+    # dedupe FIRST, then count + sketch the distinct stream: a
+    # same-Aggregate (approx, count_distinct) pair plans an Expand
+    # that doubles every input row and measured SUPER-additive
+    # (2.0 s vs 0.69 + 0.9 s separately at sf0.1). The HLL estimate
+    # is insertion-count-invariant, so sketching the distinct values
+    # is the identical estimate with no Expand and one pipeline.
+    dist = vals.select("col_name", "v").distinct()
+    per_col = (dist.groupBy("col_name")
+               .agg(F.approx_count_distinct("v", 0.02).alias("approx"),
+                    F.count("*").alias("exact_distinct")))
+    return per_col.select(
+        "col_name", "exact_distinct",
+        (F.abs(F.col("approx").cast("double")
+               / F.col("exact_distinct") - 1.0) <= 0.05)
+        .alias("within_5pct"))
+
+
+HLL_DISTINCT_NATIVE_ORACLE = f"""
+WITH vals AS ({_hll_values_sql()})
+SELECT col_name, count(DISTINCT v) AS exact_distinct,
+       TRUE AS within_5pct
+FROM vals GROUP BY col_name
+"""
+
+
 # --- Count-Min ------------------------------------------------------------
 
 CMS_DEPTH = 4

@@ -115,3 +115,96 @@ PROFILE_ORDERS_ORACLE = _profile_oracle()
 # scan; the 100 TB variant either drops them, bounds them to binary
 # prefixes, or accepts the sort — splitting into per-analyzer scans
 # would trade one sorted pass for N scans of the table and lose.
+# ``profile_orders_fast`` below IS the bounded-prefix variant.
+
+
+# order-preserving 7-byte prefix surrogate: the first 7 UTF-8 bytes
+# as a big-endian integer (56 bits — always positive in a BIGINT).
+# min/max over it are MUTABLE long aggregates, so the whole battery
+# stays HashAggregate. Byte order == lexicographic order on the
+# prefix, so the surrogate extremes bound the true string extremes.
+_PFX_BYTES = 7
+
+
+def _pfx_long(c: str):
+    return F.conv(
+        F.rpad(F.hex(F.substring(F.col(c), 1, _PFX_BYTES)),
+               2 * _PFX_BYTES, "0"), 16, 10).cast("long")
+
+
+def profile_orders_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] the hash-agg profile: same battery as ``profile_orders``
+    but string extremes bounded to an order-preserving 7-byte-prefix
+    BIGINT surrogate (min_pfx/max_pfx) instead of exact VARCHAR
+    min/max. Every aggregate buffer is then fixed-width, the plan is
+    HashAggregate end-to-end (guarded in tests/test_plans.py), and
+    the scan stays single-pass — the shape to run at 100 TB when the
+    profile is a drift monitor input rather than a display string."""
+    t = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n")]
+    for c, kind in PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"c_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"d_{c}"))
+        if kind == "num":
+            num = F.col(c).cast("double")
+        elif kind == "ts":
+            num = F.unix_micros(F.col(c).cast("timestamp")) \
+                .cast("double")
+        else:
+            num = None
+        if num is not None:
+            aggs.append(F.min(num).alias(f"mn_{c}"))
+            aggs.append(F.max(num).alias(f"mx_{c}"))
+        else:
+            aggs.append(F.min(_pfx_long(c)).alias(f"mnp_{c}"))
+            aggs.append(F.max(_pfx_long(c)).alias(f"mxp_{c}"))
+    a = t.agg(*aggs)
+    rows = []
+    for c, kind in PROFILE_COLS:
+        is_str = kind == "str"
+        rows.append(F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n").alias("n_rows"),
+            (F.col("n") - F.col(f"c_{c}")).alias("n_nulls"),
+            F.col(f"d_{c}").alias("n_distinct"),
+            (F.lit(None).cast("double") if is_str
+             else F.col(f"mn_{c}")).alias("min_num"),
+            (F.lit(None).cast("double") if is_str
+             else F.col(f"mx_{c}")).alias("max_num"),
+            (F.col(f"mnp_{c}") if is_str
+             else F.lit(None).cast("long")).alias("min_pfx"),
+            (F.col(f"mxp_{c}") if is_str
+             else F.lit(None).cast("long")).alias("max_pfx")))
+    return (a.select(F.explode(F.array(*rows)).alias("p"))
+            .select("p.*"))
+
+
+def _profile_fast_oracle() -> str:
+    parts = []
+    pfx = ("('0x' || rpad(hex(substr({c}, 1, %d)), %d, '0'))::BIGINT"
+           % (_PFX_BYTES, 2 * _PFX_BYTES))
+    for c, kind in PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(min({c}) AS DOUBLE)", \
+                f"CAST(max({c}) AS DOUBLE)"
+            mnp = mxp = "CAST(NULL AS BIGINT)"
+        elif kind == "ts":
+            mn = f"CAST(epoch_us(min({c})) AS DOUBLE)"
+            mx = f"CAST(epoch_us(max({c})) AS DOUBLE)"
+            mnp = mxp = "CAST(NULL AS BIGINT)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            mnp = f"min({pfx.format(c=c)})"
+            mxp = f"max({pfx.format(c=c)})"
+        parts.append(f"""
+  SELECT '{c}' AS column_name,
+         count(*) AS n_rows,
+         count(*) - count({c}) AS n_nulls,
+         count(DISTINCT {c}) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         {mnp} AS min_pfx, {mxp} AS max_pfx
+  FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+PROFILE_ORDERS_FAST_ORACLE = _profile_fast_oracle()

@@ -63,12 +63,15 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 
 # ---------------------------------------------------------------------------
 # REGISTRATION ORDER IS A CORRECTNESS SIGNAL: the driver's per-round
-# CORRECTNESS window covers the FIRST 50 register() calls only.  Round 4
-# front-loads (A) brand-new operators, (B) every query whose plan, output
-# presentation, or oracle changed this round, then (C) fills the window by
-# refreshing the queries whose newest driver green is oldest (r1/r2).
-# Rotated-out entries keep their prior driver greens; tools/check.py always
-# runs ALL entries.
+# CORRECTNESS window covers the FIRST 50 register() calls only.  Round 5
+# front-loads (A) the three NEW r5 operators, (B) the queries whose plan
+# or expression changed this round (lm family: arrays_zip bigrams +
+# ctx-from-bgc derivation; weighted_sample: u clamp), then (C) the 36
+# queries whose newest driver green was r1/r2 — the SURVEY Sec.2
+# detection/classification core among them — per the r4 verdict's lead
+# item, and (D) eight r3-green S-family refreshes to fill the window.
+# Rotated-out entries keep their prior driver greens; tools/check.py
+# always runs ALL entries.
 # ---------------------------------------------------------------------------
 
 from gcp_datalake_utils_spark.functions import bloom  # noqa: E402
@@ -83,115 +86,23 @@ from gcp_datalake_utils_spark.sources import evolution  # noqa: E402
 from gcp_datalake_utils_spark.sources import zorder  # noqa: E402
 from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
 
-# --- block A: NEW in round 4 (15 operators) ------------------------------
-register("simhash64", dedup.simhash64, dedup.SIMHASH64_ORACLE)
-register("simhash64_near_pairs", dedup.simhash64_near_pairs,
-         dedup.SIMHASH64_NEAR_PAIRS_ORACLE)
-register("batch_ann64_topk", similarity.batch_ann64_topk,
-         similarity.BATCH_ANN64_TOPK_ORACLE)
-register("order_lines_nested", nested.order_lines_nested,
-         nested.ORDER_LINES_NESTED_ORACLE)
-register("hll_distinct", sketches.hll_distinct,
-         sketches.HLL_DISTINCT_ORACLE)
-register("cms_heavy_hitters", sketches.cms_heavy_hitters,
-         sketches.CMS_HEAVY_HITTERS_ORACLE)
-register("bloom_prefilter_audit", bloom.bloom_prefilter_audit,
-         bloom.BLOOM_PREFILTER_AUDIT_ORACLE)
-register("prefix_filter_pairs", dedup.prefix_filter_pairs,
-         dedup.PREFIX_FILTER_PAIRS_ORACLE)
-register("funnel_conversion", funnel.funnel_conversion,
-         funnel.FUNNEL_CONVERSION_ORACLE)
-register("robust_outliers", payload.robust_outliers,
-         payload.ROBUST_OUTLIERS_ORACLE)
-register("funnel_completions_stream",
-         stream_stateful.funnel_completions_stream_q,
-         stream_stateful.FUNNEL_COMPLETIONS_ORACLE)
-register("hll_grouped", sketches.hll_grouped,
-         sketches.HLL_GROUPED_ORACLE)
-register("value_drift_psi", drift.value_drift_psi,
-         drift.VALUE_DRIFT_PSI_ORACLE)
-register("pmi_collocations", collocations.pmi_collocations,
-         collocations.PMI_COLLOCATIONS_ORACLE)
-register("corpus_mixture_temp", sampling.corpus_mixture_temp,
-         sampling.CORPUS_MIXTURE_TEMP_ORACLE)
+# --- block A: NEW in round 5 ----------------------------------------------
+register("drawio_erd_lines",
+         lambda s, d: diagrams.drawio_lines(s),
+         fmt_oracles.drawio_lines_oracle())
+register("hll_distinct_native", sketches.hll_distinct_native,
+         sketches.HLL_DISTINCT_NATIVE_ORACLE)
+register("profile_orders_fast", profile.profile_orders_fast,
+         profile.PROFILE_ORDERS_FAST_ORACLE)
 
-# --- block B: plan / presentation / oracle CHANGED in round 4 ------------
-register("pricing_summary", payload.pricing_summary,
-         payload.PRICING_SUMMARY_ORACLE)
-register("revenue_by_nation", payload.revenue_by_nation,
-         payload.REVENUE_BY_NATION_ORACLE)
-register("revenue_by_nation_salted", scale_demos.revenue_by_nation_salted,
-         payload.REVENUE_BY_NATION_ORACLE)
-register("events_by_type_two_phase", scale_demos.events_by_type_two_phase,
-         scale_demos.EVENTS_BY_TYPE_ORACLE)
-register("revenue_by_nation_bucketed",
-         scale_demos.revenue_by_nation_bucketed,
-         payload.REVENUE_BY_NATION_ORACLE)
-register("inverted_index", index.inverted_index,
-         index.INVERTED_INDEX_ORACLE)
-register("embedding_quantize", similarity.embedding_quantize,
-         similarity.EMBEDDING_QUANTIZE_ORACLE)
-register("tfidf_top_terms", tfidf.tfidf_top_terms,
-         tfidf.TFIDF_TOP_TERMS_ORACLE)
-register("corpus_vocabulary", tfidf.corpus_vocabulary,
-         tfidf.CORPUS_VOCABULARY_ORACLE)
-register("label_centroids", similarity.label_centroids,
-         similarity.LABEL_CENTROIDS_ORACLE)
-register("kmeans_iterate", similarity.kmeans_iterate,
-         similarity.KMEANS_ITERATE_ORACLE)
-register("corpus_mixture", sampling.corpus_mixture,
-         sampling.CORPUS_MIXTURE_ORACLE)
-register("events_in_type_windows", rangejoin.events_in_type_windows,
-         rangejoin.EVENTS_IN_TYPE_WINDOWS_ORACLE)
-register("pagerank_tables", graph.pagerank_query,
-         graph.pagerank_oracle())
-register("stratified_sample", sampling.stratified_sample,
-         sampling.STRATIFIED_SAMPLE_ORACLE)
-register("snapshot_diff", snap.snapshot_diff_query,
-         snap.SNAPSHOT_DIFF_ORACLE)
-register("restore_summary", snap.restore_summary_query,
-         snap.RESTORE_SUMMARY_ORACLE)
-
-# --- block A2: NEW in the round-4 continuation session ------------------
-register("paragraph_dedup", paradedup.paragraph_dedup,
-         paradedup.PARAGRAPH_DEDUP_ORACLE)
+# --- block B: plan / expression CHANGED in round 5 ------------------------
 register("lm_doc_scores", lm.lm_doc_scores, lm.LM_DOC_SCORES_ORACLE)
-register("weighted_sample", sampling.weighted_sample,
-         sampling.WEIGHTED_SAMPLE_ORACLE)
-register("ann_recall_audit", similarity.ann_recall_audit,
-         similarity.ANN_RECALL_AUDIT_ORACLE)
-register("cosine_topk_arrow", similarity_arrow.cosine_topk_arrow,
-         similarity.COSINE_TOPK_ORACLE)
-register("ann_rerank", similarity_arrow.ann_rerank,
-         similarity_arrow.ANN_RERANK_ORACLE)
 register("lm_quality_bins", lm.lm_quality_bins,
          lm.LM_QUALITY_BINS_ORACLE)
-register("embedding_near_dups64", similarity.embedding_near_dups64,
-         similarity.EMBEDDING_NEAR_DUP64_ORACLE)
-register("profile_orders", profile.profile_orders,
-         profile.PROFILE_ORDERS_ORACLE)
-register("evolving_read", evolution.evolving_read,
-         evolution.EVOLVING_READ_ORACLE)
-register("events_pivot", pivot.events_pivot,
-         pivot.EVENTS_PIVOT_ORACLE)
-register("events_rolling", pivot.events_rolling,
-         pivot.EVENTS_ROLLING_ORACLE)
-register("events_gapfill", pivot.events_gapfill,
-         pivot.EVENTS_GAPFILL_ORACLE)
-register("zorder_layout", zorder.zorder_layout,
-         zorder.ZORDER_LAYOUT_ORACLE)
-# plan changed this session (Arrow bucketizer) -> back into the window
-register("similarity_embedding_near_dups", similarity.embedding_near_dups,
-         similarity.EMBEDDING_NEAR_DUP_ORACLE)
-register("batch_ann_topk", similarity.batch_ann_topk,
-         similarity.BATCH_ANN_TOPK_ORACLE)
-register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
-         similarity.RP_LSH_TOPK_ORACLE)
+register("weighted_sample", sampling.weighted_sample,
+         sampling.WEIGHTED_SAMPLE_ORACLE)
 
-# --- block C: window filler — refresh the oldest driver greens (r1/r2) ---
-register("detect_foreign_key",
-         lambda s, d: detection.detect_foreign_keys(s),
-         do.strategy_oracle("j1"))
+# --- block C: the 36 r1/r2-stale driver greens (r4 verdict lead item) -----
 register("detect_naming_convention",
          lambda s, d: detection.detect_naming_conventions(s),
          do.strategy_oracle("j4"))
@@ -253,8 +164,134 @@ register("dedup_exact_groups", dedup.exact_dup_groups,
          dedup.EXACT_DUP_ORACLE)
 register("sequence_packing", packing.sequence_packing,
          packing.SEQUENCE_PACKING_ORACLE)
+register("text_language_id", text.language_id, text.LANGUAGE_ID_ORACLE)
+register("dedup_minhash_signatures", dedup.minhash_signatures,
+         dedup.MINHASH_ORACLE)
+register("dedup_lsh_buckets", dedup.lsh_bucket_stats,
+         dedup.LSH_BUCKETS_ORACLE)
+register("dedup_keep_best", dedup.dedup_keep_best,
+         dedup._keep_best_oracle())
+register("corpus_rollup", rollup.corpus_rollup,
+         rollup.CORPUS_ROLLUP_ORACLE)
+register("similarity_cosine_topk", similarity.cosine_topk,
+         similarity.COSINE_TOPK_ORACLE)
+register("similarity_ivf_topk", similarity.ivf_topk,
+         similarity.IVF_TOPK_ORACLE)
+register("similarity_rp_lsh_buckets", similarity.rp_lsh_buckets,
+         similarity.RP_LSH_BUCKETS_ORACLE)
 
-# --- rotated out of the window (driver greens held from r1-r3) -----------
+# --- block D: r3-green S-family refreshes (window filler to 50) -----------
+register("catalog_tables", payload.catalog_tables,
+         payload.catalog_tables_oracle())
+register("sample_scan", payload.sample_scan, payload.SAMPLE_SCAN_ORACLE)
+register("table_batching_rank", payload.table_batching_rank,
+         payload.table_batching_oracle())
+register("events_props_json", payload.events_props_json,
+         payload.EVENTS_PROPS_JSON_ORACLE)
+register("relationships_per_table", state.relationships_per_table,
+         state.relationships_per_table_oracle())
+register("state_upsert", state.state_upsert, state.state_upsert_oracle())
+register("cache_lookup", state.cache_lookup, state.cache_lookup_oracle())
+register("metadata_richness", payload.metadata_richness,
+         payload.metadata_richness_oracle())
+
+# --- rotated out of the window (driver greens held from r3/r4) ------------
+register("simhash64", dedup.simhash64, dedup.SIMHASH64_ORACLE)
+register("simhash64_near_pairs", dedup.simhash64_near_pairs,
+         dedup.SIMHASH64_NEAR_PAIRS_ORACLE)
+register("batch_ann64_topk", similarity.batch_ann64_topk,
+         similarity.BATCH_ANN64_TOPK_ORACLE)
+register("order_lines_nested", nested.order_lines_nested,
+         nested.ORDER_LINES_NESTED_ORACLE)
+register("hll_distinct", sketches.hll_distinct,
+         sketches.HLL_DISTINCT_ORACLE)
+register("cms_heavy_hitters", sketches.cms_heavy_hitters,
+         sketches.CMS_HEAVY_HITTERS_ORACLE)
+register("bloom_prefilter_audit", bloom.bloom_prefilter_audit,
+         bloom.BLOOM_PREFILTER_AUDIT_ORACLE)
+register("prefix_filter_pairs", dedup.prefix_filter_pairs,
+         dedup.PREFIX_FILTER_PAIRS_ORACLE)
+register("funnel_conversion", funnel.funnel_conversion,
+         funnel.FUNNEL_CONVERSION_ORACLE)
+register("robust_outliers", payload.robust_outliers,
+         payload.ROBUST_OUTLIERS_ORACLE)
+register("funnel_completions_stream",
+         stream_stateful.funnel_completions_stream_q,
+         stream_stateful.FUNNEL_COMPLETIONS_ORACLE)
+register("hll_grouped", sketches.hll_grouped,
+         sketches.HLL_GROUPED_ORACLE)
+register("value_drift_psi", drift.value_drift_psi,
+         drift.VALUE_DRIFT_PSI_ORACLE)
+register("pmi_collocations", collocations.pmi_collocations,
+         collocations.PMI_COLLOCATIONS_ORACLE)
+register("corpus_mixture_temp", sampling.corpus_mixture_temp,
+         sampling.CORPUS_MIXTURE_TEMP_ORACLE)
+register("pricing_summary", payload.pricing_summary,
+         payload.PRICING_SUMMARY_ORACLE)
+register("revenue_by_nation", payload.revenue_by_nation,
+         payload.REVENUE_BY_NATION_ORACLE)
+register("revenue_by_nation_salted", scale_demos.revenue_by_nation_salted,
+         payload.REVENUE_BY_NATION_ORACLE)
+register("events_by_type_two_phase", scale_demos.events_by_type_two_phase,
+         scale_demos.EVENTS_BY_TYPE_ORACLE)
+register("revenue_by_nation_bucketed",
+         scale_demos.revenue_by_nation_bucketed,
+         payload.REVENUE_BY_NATION_ORACLE)
+register("inverted_index", index.inverted_index,
+         index.INVERTED_INDEX_ORACLE)
+register("embedding_quantize", similarity.embedding_quantize,
+         similarity.EMBEDDING_QUANTIZE_ORACLE)
+register("tfidf_top_terms", tfidf.tfidf_top_terms,
+         tfidf.TFIDF_TOP_TERMS_ORACLE)
+register("corpus_vocabulary", tfidf.corpus_vocabulary,
+         tfidf.CORPUS_VOCABULARY_ORACLE)
+register("label_centroids", similarity.label_centroids,
+         similarity.LABEL_CENTROIDS_ORACLE)
+register("kmeans_iterate", similarity.kmeans_iterate,
+         similarity.KMEANS_ITERATE_ORACLE)
+register("corpus_mixture", sampling.corpus_mixture,
+         sampling.CORPUS_MIXTURE_ORACLE)
+register("events_in_type_windows", rangejoin.events_in_type_windows,
+         rangejoin.EVENTS_IN_TYPE_WINDOWS_ORACLE)
+register("pagerank_tables", graph.pagerank_query,
+         graph.pagerank_oracle())
+register("stratified_sample", sampling.stratified_sample,
+         sampling.STRATIFIED_SAMPLE_ORACLE)
+register("snapshot_diff", snap.snapshot_diff_query,
+         snap.SNAPSHOT_DIFF_ORACLE)
+register("restore_summary", snap.restore_summary_query,
+         snap.RESTORE_SUMMARY_ORACLE)
+register("paragraph_dedup", paradedup.paragraph_dedup,
+         paradedup.PARAGRAPH_DEDUP_ORACLE)
+register("ann_recall_audit", similarity.ann_recall_audit,
+         similarity.ANN_RECALL_AUDIT_ORACLE)
+register("cosine_topk_arrow", similarity_arrow.cosine_topk_arrow,
+         similarity.COSINE_TOPK_ORACLE)
+register("ann_rerank", similarity_arrow.ann_rerank,
+         similarity_arrow.ANN_RERANK_ORACLE)
+register("embedding_near_dups64", similarity.embedding_near_dups64,
+         similarity.EMBEDDING_NEAR_DUP64_ORACLE)
+register("profile_orders", profile.profile_orders,
+         profile.PROFILE_ORDERS_ORACLE)
+register("evolving_read", evolution.evolving_read,
+         evolution.EVOLVING_READ_ORACLE)
+register("events_pivot", pivot.events_pivot,
+         pivot.EVENTS_PIVOT_ORACLE)
+register("events_rolling", pivot.events_rolling,
+         pivot.EVENTS_ROLLING_ORACLE)
+register("events_gapfill", pivot.events_gapfill,
+         pivot.EVENTS_GAPFILL_ORACLE)
+register("zorder_layout", zorder.zorder_layout,
+         zorder.ZORDER_LAYOUT_ORACLE)
+register("similarity_embedding_near_dups", similarity.embedding_near_dups,
+         similarity.EMBEDDING_NEAR_DUP_ORACLE)
+register("batch_ann_topk", similarity.batch_ann_topk,
+         similarity.BATCH_ANN_TOPK_ORACLE)
+register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
+         similarity.RP_LSH_TOPK_ORACLE)
+register("detect_foreign_key",
+         lambda s, d: detection.detect_foreign_keys(s),
+         do.strategy_oracle("j1"))
 register("similarity_kmeans_assign", similarity.kmeans_assign,
          similarity.KMEANS_ASSIGN_ORACLE)
 register("corpus_curation", curation.curate, curation.CURATE_ORACLE)
@@ -282,21 +319,8 @@ register("sliding_counts_stream", stream_windows.sliding_counts_stream_q,
 register("closed_sessions_stream",
          stream_stateful.closed_sessions_stream_q,
          stream_stateful.CLOSED_SESSIONS_ORACLE)
-register("state_upsert", state.state_upsert, state.state_upsert_oracle())
-register("cache_lookup", state.cache_lookup, state.cache_lookup_oracle())
-register("catalog_tables", payload.catalog_tables,
-         payload.catalog_tables_oracle())
-register("sample_scan", payload.sample_scan, payload.SAMPLE_SCAN_ORACLE)
-register("table_batching_rank", payload.table_batching_rank,
-         payload.table_batching_oracle())
-register("events_props_json", payload.events_props_json,
-         payload.EVENTS_PROPS_JSON_ORACLE)
-register("relationships_per_table", state.relationships_per_table,
-         state.relationships_per_table_oracle())
 register("repetition_flags", text.repetition_flags,
          text.REPETITION_FLAGS_ORACLE)
-register("metadata_richness", payload.metadata_richness,
-         payload.metadata_richness_oracle())
 register("enriched_segment_stream", stream_windows.enriched_segment_stream_q,
          stream_windows.ENRICHED_SEGMENT_STREAM_ORACLE)
 register("simhash_near_pairs", dedup.simhash_near_pairs,
@@ -315,21 +339,6 @@ register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
 register("decontamination", decontam.decontamination,
          decontam.DECONTAMINATION_ORACLE)
 register("doc_chunks", chunks.doc_chunks, chunks.DOC_CHUNKS_ORACLE)
-register("text_language_id", text.language_id, text.LANGUAGE_ID_ORACLE)
-register("dedup_minhash_signatures", dedup.minhash_signatures,
-         dedup.MINHASH_ORACLE)
-register("dedup_lsh_buckets", dedup.lsh_bucket_stats,
-         dedup.LSH_BUCKETS_ORACLE)
-register("dedup_keep_best", dedup.dedup_keep_best,
-         dedup._keep_best_oracle())
-register("corpus_rollup", rollup.corpus_rollup,
-         rollup.CORPUS_ROLLUP_ORACLE)
-register("similarity_cosine_topk", similarity.cosine_topk,
-         similarity.COSINE_TOPK_ORACLE)
-register("similarity_ivf_topk", similarity.ivf_topk,
-         similarity.IVF_TOPK_ORACLE)
-register("similarity_rp_lsh_buckets", similarity.rp_lsh_buckets,
-         similarity.RP_LSH_BUCKETS_ORACLE)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,23 +26,18 @@ the same trick the snapshot queries use.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_datalake_utils_spark.sources.registry import load_table
+from gcp_datalake_utils_spark.sources.scratch import pid_scratch
 
 
 def _scratch(sf_dir: str) -> str:
-    d = os.path.join(
-        "/tmp", "spark_graft_evolution",
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}-{os.getpid()}")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    return d
+    # pid-scoped + atexit-removed + dead-pid-orphan-swept (scratch.py)
+    return pid_scratch("/tmp/spark_graft_evolution", sf_dir)
 
 
 def evolving_read(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,63 @@
+"""Pid-scoped /tmp scratch directories for the [Q] queries that
+materialize a store (snapshots, schema evolution, bucketed layouts).
+
+Contract (review-hardened):
+
+- the path carries the pid, so concurrent processes (the driver's
+  correctness gate next to a local bench/pytest over the same sf_dir)
+  can never rmtree each other's store mid-read;
+- cleanup is registered ONCE per directory via atexit, so a process
+  exit leaves nothing behind;
+- before creating, sibling directories whose owning pid is dead are
+  swept — orphans from a crashed/killed process (where atexit never
+  ran) do not accumulate across runs.
+"""
+
+from __future__ import annotations
+
+import atexit
+import hashlib
+import os
+import shutil
+
+_REGISTERED: set[str] = set()
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # alive, owned by another user
+    return True
+
+
+def _sweep_orphans(parent: str) -> None:
+    """Remove sibling scratch dirs whose `-<pid>` suffix names a dead
+    process (their atexit hook never ran)."""
+    try:
+        names = os.listdir(parent)
+    except FileNotFoundError:
+        return
+    for name in names:
+        pid_s = name.rsplit("-", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        if not _pid_alive(int(pid_s)):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
+def pid_scratch(root: str, key: str) -> str:
+    """Fresh per-(key, pid) scratch dir under ``root``: wiped on every
+    call (repeat runs within a process are reproducible), removed at
+    process exit, dead-pid siblings swept."""
+    d = os.path.join(
+        root, f"{hashlib.md5(key.encode()).hexdigest()[:12]}-{os.getpid()}")
+    _sweep_orphans(root)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    if d not in _REGISTERED:
+        _REGISTERED.add(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

@@ -132,15 +132,11 @@ def _tmp_base(sf_dir: str, kind: str) -> str:
     every call so repeated runs within a process are reproducible. The
     path carries the pid: a path shared across processes (the driver's
     correctness run next to a local bench/pytest) races — one process
-    rmtree's the store while the other's Spark job is mid-read."""
-    import hashlib
-    import shutil
-    d = os.path.join(
-        "/tmp", "spark_graft_snapshots", kind,
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}-{os.getpid()}")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    return d
+    rmtree's the store while the other's Spark job is mid-read.
+    Removed at process exit; dead-pid orphans swept (scratch.py)."""
+    from gcp_datalake_utils_spark.sources.scratch import pid_scratch
+    return pid_scratch(os.path.join("/tmp", "spark_graft_snapshots", kind),
+                       sf_dir)
 
 
 def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -345,3 +345,46 @@ def test_cosine_topk_arrow_shape(spark, sf_dir):
     read_schema = [ln for ln in plan.splitlines()
                    if "ReadSchema" in ln][0]
     assert "embedding" in read_schema
+
+
+def test_profile_fast_is_hash_aggregate_only(spark, sf_dir):
+    """The bounded-prefix profile must keep every aggregate buffer
+    mutable: zero SortAggregate (exact string MIN/MAX would force
+    one), one scan."""
+    from gcp_datalake_utils_spark.operators import profile
+    plan = _formatted_plan(profile.profile_orders_fast(spark, sf_dir))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+    import re
+    # one scan node: it appears once in the tree and once as the
+    # numbered detail header
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_lm_bigrams_are_codegen_not_lambda(spark, sf_dir):
+    """The bigram build must be the arrays_zip shape — zip_with /
+    transform lambdas run outside whole-stage codegen and measured
+    5.6x slower at sf1."""
+    from gcp_datalake_utils_spark.llm import lm
+    plan = _formatted_plan(lm._bigram_rows(spark, sf_dir))
+    assert "zip_with" not in plan.lower()
+    assert "lambdafunction" not in plan.lower()
+
+
+def test_bucketed_revenue_fact_join_has_no_exchange(spark, sf_dir):
+    """The headline 100 TB layout story: lineitem-orders bucketed by
+    orderkey joins with NO Exchange on either fact side (the
+    unbucketed twin ships a two-sided orderkey shuffle)."""
+    from gcp_datalake_utils_spark.functions import scale_demos
+    df = scale_demos.revenue_by_nation_bucketed(spark, sf_dir)
+    plan = _formatted_plan(df)
+    # the unbucketed twin plans `Exchange hashpartitioning(l_orderkey
+    # ...)` + `(o_orderkey ...)` around the fact join; the bucketed
+    # layout must plan it shuffle-free (at test scale the tiny orders
+    # side even broadcasts — also exchange-free on the fact stream)
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # the only non-broadcast exchange is the final 25-group rollup
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(c in ("r_name", "n_name") for c in shuffles), shuffles
