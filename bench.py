@@ -149,6 +149,12 @@ def main() -> None:
         # count picks the execution mode for the timed runs
         warm, n_rows = _warm_up(fn, spark)
         small = n_rows <= COLLECT_CAP
+        if small:
+            # the warm-up ran through the noop sink; collect() has its
+            # own physical path (driver transfer, result serialization)
+            # — warm it once, discarded, so the first timed run carries
+            # no one-time cost the median would absorb unevenly
+            _run_once(fn, spark, small)
         times = [_run_once(fn, spark, small) for _ in range(3)]
         per_query[name] = round(statistics.median(times), 3)
         print(f"  {name}: warm {warm:.2f}s median {per_query[name]}s",

@@ -207,7 +207,14 @@ def hll_distinct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (2.0 s vs 0.69 + 0.9 s separately at sf0.1). The HLL estimate
     # is insertion-count-invariant, so sketching the distinct values
     # is the identical estimate with no Expand and one pipeline.
-    dist = vals.select("col_name", "v").distinct()
+    # NULLs are excluded BEFORE the distinct so the count("*") over the
+    # distinct stream matches both approx_count_distinct (null-skipping)
+    # and the DuckDB oracle's count(DISTINCT v); without this, a nullable
+    # audited column would inflate exact_distinct by its NULL row and the
+    # within_5pct audit would compare a null-excluded approx against a
+    # null-inflated exact.
+    dist = (vals.where(F.col("v").isNotNull())
+            .select("col_name", "v").distinct())
     per_col = (dist.groupBy("col_name")
                .agg(F.approx_count_distinct("v", 0.02).alias("approx"),
                     F.count("*").alias("exact_distinct")))

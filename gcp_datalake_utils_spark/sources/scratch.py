@@ -19,6 +19,7 @@ import atexit
 import hashlib
 import os
 import shutil
+import time
 
 _REGISTERED: set[str] = set()
 
@@ -33,19 +34,37 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+# Minimum age before an apparently-dead sibling is swept. os.kill(pid, 0)
+# checks liveness in THIS process's PID namespace: with /tmp shared across
+# namespaces (containerized bench next to a host driver), a live foreign
+# process can look dead, and PID reuse can make a true orphan look alive.
+# The age floor bounds the damage: a dir is only removed when its owner
+# looks dead AND nothing has touched it for an hour — a mid-read rmtree of
+# a live foreign store would require that store to sit untouched for the
+# whole window first.
+_SWEEP_MIN_AGE_S = 3600.0
+
+
 def _sweep_orphans(parent: str) -> None:
     """Remove sibling scratch dirs whose `-<pid>` suffix names a dead
-    process (their atexit hook never ran)."""
+    process (their atexit hook never ran) AND whose mtime is older than
+    ``_SWEEP_MIN_AGE_S`` (cross-PID-namespace / PID-reuse guard)."""
     try:
         names = os.listdir(parent)
     except FileNotFoundError:
         return
+    now = time.time()
     for name in names:
         pid_s = name.rsplit("-", 1)[-1]
         if not pid_s.isdigit() or int(pid_s) == os.getpid():
             continue
-        if not _pid_alive(int(pid_s)):
-            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        path = os.path.join(parent, name)
+        try:
+            age = now - os.stat(path).st_mtime
+        except OSError:
+            continue
+        if age >= _SWEEP_MIN_AGE_S and not _pid_alive(int(pid_s)):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def pid_scratch(root: str, key: str) -> str:

@@ -24,15 +24,25 @@ def test_pid_scratch_wipes_registers_and_sweeps(tmp_path):
     assert d2 == d and not os.listdir(d)
     # atexit cleanup registered exactly once per path
     assert d in scratch._REGISTERED
-    # a dead-pid sibling is swept on the next call (pid 1 is alive —
-    # kept; an impossible pid is removed)
-    dead = os.path.join(root, "abcdef123456-99999999")
-    os.makedirs(dead)
-    alive = os.path.join(root, "abcdef123456-1")
-    os.makedirs(alive)
+    # a dead-pid sibling is swept on the next call ONLY once it has
+    # aged past _SWEEP_MIN_AGE_S (cross-PID-namespace guard: a live
+    # foreign process can look dead from here). pid 1 is alive — kept
+    # even when old; a fresh dead dir is kept; an OLD dead dir goes.
+    old = scratch._SWEEP_MIN_AGE_S + 60
+    dead_old = os.path.join(root, "abcdef123456-99999999")
+    os.makedirs(dead_old)
+    os.utime(dead_old, (os.stat(dead_old).st_atime,
+                        os.stat(dead_old).st_mtime - old))
+    dead_fresh = os.path.join(root, "abcdef123457-99999998")
+    os.makedirs(dead_fresh)
+    alive_old = os.path.join(root, "abcdef123456-1")
+    os.makedirs(alive_old)
+    os.utime(alive_old, (os.stat(alive_old).st_atime,
+                         os.stat(alive_old).st_mtime - old))
     scratch.pid_scratch(root, "/some/sf_dir")
-    assert not os.path.exists(dead)
-    assert os.path.exists(alive)
+    assert not os.path.exists(dead_old)
+    assert os.path.exists(dead_fresh)
+    assert os.path.exists(alive_old)
 
 
 # --- native HLL twin ---------------------------------------------------------
