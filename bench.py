@@ -3,10 +3,13 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Protocol (BASELINE.md): one discarded warm-up run per query, then the
-median of 3 timed runs; value = sum of per-query medians. Each timed run
-executes the full plan to completion exactly ONCE — collect for small
-results, the noop sink for large ones (the warm-up run determines
+Protocol (BASELINE.md): one discarded noop-sink warm-up run per query
+— plus, for small-result queries that will be timed through collect(),
+one further discarded collect-path warm-up (round 6 change: the collect
+path JIT/Arrow setup otherwise lands in the first timed run) — then the
+median of 3 timed runs; value = sum of per-query medians. Each timed
+run executes the full plan to completion exactly ONCE — collect for
+small results, the noop sink for large ones (the warm-up run determines
 which; count() would let Catalyst eliminate row-preserving work) — the
 same single-execution protocol as the DuckDB baseline.
 """
@@ -97,6 +100,12 @@ HEADLINE = [
     "revenue_by_nation_bucketed",
     "hll_distinct_native",
     "profile_orders_fast",
+    # round-7 additions: the Arrow repetition twin benched NEXT TO the
+    # JVM-fold plan, and the no-Expand approx-distinct profile
+    # (force_layout_coords / rule_compiler_truth excluded: metadata-
+    # scale, constant-time)
+    "repetition_flags_arrow",
+    "profile_orders_approx",
 ]
 
 # results larger than this row count are executed via the noop sink
@@ -142,8 +151,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry.queries()
+    # optional CLI filter: `python bench.py q1 q2 ...` times just those
+    # registry queries (targeted sf1/sf10 evidence runs); no args = the
+    # full headline set
+    only = sys.argv[1:]
+    names = only or HEADLINE
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
         # discarded warm-up (noop-sink-shaped); its observed row
         # count picks the execution mode for the timed runs

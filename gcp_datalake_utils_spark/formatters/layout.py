@@ -118,3 +118,115 @@ def force_positions(spark: SparkSession,
             x, y = pos[t]
             pos[t] = (x + fx_ * STEP, y + fy_ * STEP)
     return pos
+
+
+# ---------------------------------------------------------------------------
+# G4 as a driver-checkable [Q] row (r6 verdict ask #9): the force
+# simulation is deterministic, so its coordinate table is oracle-able.
+# The Spark side runs the physics loop above (diagram-scale by design —
+# the reference caps at 1000 tables) and returns a DataFrame; the
+# DuckDB oracle re-derives the SAME coordinates independently from the
+# fixtures by unrolling the 10 iterations as chained CTEs (pairwise
+# self-join for inverse-square repulsion, edge join for linear
+# attraction — the identical expression structure, so float drift stays
+# ~1e-12 and the 3-decimal rounding is stable).  Edges come from the
+# full detection pipeline in BOTH engines (detect_all vs the
+# detection_oracle preamble's ``validated`` CTE).
+# ---------------------------------------------------------------------------
+
+
+def force_layout_coords(spark: SparkSession) -> DataFrame:
+    """[Q] G4: deterministic force-directed coordinates, one row per
+    table (table_id, x, y) rounded to 3 decimals."""
+    pos = force_positions(spark)
+    rows = [(t, round(x, 3), round(y, 3))
+            for t, (x, y) in sorted(pos.items())]
+    return spark.createDataFrame(rows, "table_id string, x double, y double")
+
+
+def _force_layout_oracle() -> str:
+    from gcp_datalake_utils_spark.operators import detection_oracle as do
+
+    # one physics step: s{k} -> s{k+1}; expression structure mirrors
+    # force_positions exactly (dist = sqrt(dx*dx + dy*dy); repulsion
+    # f = 1000/(dist*dist), component -f*dx/dist; attraction
+    # f = dist*0.1, component f*dx/dist; then pos += force*0.1)
+    def step(k: int) -> str:
+        return f"""
+s{k + 1} AS MATERIALIZED (
+  SELECT p.table_id, p.ord,
+         p.x + {STEP} * (coalesce(r.fx, 0) + coalesce(a.fx, 0)) AS x,
+         p.y + {STEP} * (coalesce(r.fy, 0) + coalesce(a.fy, 0)) AS y
+  FROM s{k} p
+  LEFT JOIN (
+    SELECT a.table_id,
+           sum(CASE WHEN sqrt((b.x - a.x) * (b.x - a.x)
+                             + (b.y - a.y) * (b.y - a.y)) > 0 THEN
+             -({REPULSION} / (sqrt((b.x - a.x) * (b.x - a.x)
+                                   + (b.y - a.y) * (b.y - a.y))
+                              * sqrt((b.x - a.x) * (b.x - a.x)
+                                     + (b.y - a.y) * (b.y - a.y))))
+             * (b.x - a.x)
+             / sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))
+           ELSE 0 END) AS fx,
+           sum(CASE WHEN sqrt((b.x - a.x) * (b.x - a.x)
+                             + (b.y - a.y) * (b.y - a.y)) > 0 THEN
+             -({REPULSION} / (sqrt((b.x - a.x) * (b.x - a.x)
+                                   + (b.y - a.y) * (b.y - a.y))
+                              * sqrt((b.x - a.x) * (b.x - a.x)
+                                     + (b.y - a.y) * (b.y - a.y))))
+             * (b.y - a.y)
+             / sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))
+           ELSE 0 END) AS fy
+    FROM s{k} a JOIN s{k} b ON a.table_id <> b.table_id
+    GROUP BY a.table_id) r USING (table_id)
+  LEFT JOIN (
+    SELECT t AS table_id, sum(fx) AS fx, sum(fy) AS fy FROM (
+      SELECT e.source_table AS t,
+             CASE WHEN dist > 0
+               THEN dist * {ATTRACTION} * (d.x - s.x) / dist ELSE 0 END
+               AS fx,
+             CASE WHEN dist > 0
+               THEN dist * {ATTRACTION} * (d.y - s.y) / dist ELSE 0 END
+               AS fy
+      FROM edges e
+      JOIN s{k} s ON s.table_id = e.source_table
+      JOIN s{k} d ON d.table_id = e.target_table
+      CROSS JOIN LATERAL (SELECT sqrt((d.x - s.x) * (d.x - s.x)
+                                      + (d.y - s.y) * (d.y - s.y))
+                            AS dist) _l
+      UNION ALL
+      SELECT e.target_table AS t,
+             CASE WHEN dist > 0
+               THEN -(dist * {ATTRACTION} * (d.x - s.x) / dist) ELSE 0 END,
+             CASE WHEN dist > 0
+               THEN -(dist * {ATTRACTION} * (d.y - s.y) / dist) ELSE 0 END
+      FROM edges e
+      JOIN s{k} s ON s.table_id = e.source_table
+      JOIN s{k} d ON d.table_id = e.target_table
+      CROSS JOIN LATERAL (SELECT sqrt((d.x - s.x) * (d.x - s.x)
+                                      + (d.y - s.y) * (d.y - s.y))
+                            AS dist) _l
+    ) GROUP BY t) a USING (table_id)
+)"""
+
+    steps = ",".join(step(k) for k in range(FORCE_ITERATIONS))
+    return do._preamble() + f"""
+, edges AS MATERIALIZED (SELECT source_table, target_table FROM validated),
+nodes AS (
+  SELECT t.table_id,
+         CAST(row_number() OVER (ORDER BY table_ord) - 1 AS DOUBLE)
+           AS ord,
+         CAST(count(*) OVER () AS DOUBLE) AS n
+  FROM tabs t),
+s0 AS (
+  SELECT table_id, ord,
+         {INIT_RADIUS} * cos(2 * pi() * ord / n) AS x,
+         {INIT_RADIUS} * sin(2 * pi() * ord / n) AS y
+  FROM nodes),{steps}
+SELECT table_id, round(x, 3) AS x, round(y, 3) AS y
+FROM s{FORCE_ITERATIONS}
+"""
+
+
+FORCE_LAYOUT_COORDS_ORACLE = _force_layout_oracle()

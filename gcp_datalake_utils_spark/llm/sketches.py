@@ -225,11 +225,15 @@ def hll_distinct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("within_5pct"))
 
 
+# WHERE v IS NOT NULL mirrors the Spark side's null exclusion BEFORE
+# the group: an all-NULL audited column then produces no output row in
+# EITHER engine (without the filter DuckDB would still emit
+# (col_name, 0, TRUE) for it while Spark's group disappears).
 HLL_DISTINCT_NATIVE_ORACLE = f"""
 WITH vals AS ({_hll_values_sql()})
 SELECT col_name, count(DISTINCT v) AS exact_distinct,
        TRUE AS within_5pct
-FROM vals GROUP BY col_name
+FROM vals WHERE v IS NOT NULL GROUP BY col_name
 """
 
 

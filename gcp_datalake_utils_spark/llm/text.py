@@ -417,3 +417,85 @@ SELECT doc_id, n_tokens, n_types,
          AS word_entropy
 FROM ord
 """
+
+
+# ---------------------------------------------------------------------------
+# Arrow twin of repetition_flags (r6 verdict ask #4): the JVM plan above
+# is narrow and shuffle-free but its per-row mode counts are interpreted
+# higher-order-function folds (array_sort + aggregate lambda), measured
+# 4.5x DuckDB at sf1. This twin computes the identical statistics in an
+# Arrow ``mapInPandas`` kernel — C-backed dict counting per document,
+# one pass, still zero Exchange (mapInPandas preserves partitioning), so
+# the 100 TB story is unchanged: embarrassingly parallel per-row work.
+# Bit-compatibility: tokenization replicates Spark's
+# split(trim(text), '\\s+') exactly (trim strips ' ' only; Java \\s is
+# the ASCII class [ \\t\\n\\x0b\\f\\r]; limit=-1 keeps leading/trailing
+# empty tokens), and rounding replicates Spark's round() HALF_UP over
+# the shortest-decimal representation (Double.toString == repr(float)).
+# Guarded bit-identical against the JVM twin in tests/test_text.py.
+# ---------------------------------------------------------------------------
+
+_JAVA_WS = None  # compiled lazily inside the kernel (executor-side)
+
+_REP_ARROW_SCHEMA = ("doc_id bigint, n_words bigint, frac_unique double, "
+                     "top_word_frac double, top_bigram_frac double, "
+                     "dup_3gram_frac double, flag_repetitive boolean")
+
+
+def _rep_stats_batches(batches):
+    """Arrow kernel: per-document repetition stats over pandas batches."""
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    ws_rx = re.compile(r"[ \t\n\x0b\f\r]+")
+    q6 = Decimal("0.000001")
+
+    def r6(x: float) -> float:
+        # Spark round(double, 6): BigDecimal.valueOf(x) (shortest
+        # decimal repr) quantized HALF_UP — repr(float) is the same
+        # shortest representation, so this is bit-identical.
+        return float(Decimal(repr(x)).quantize(q6, ROUND_HALF_UP))
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "n_words", "frac_unique",
+                               "top_word_frac", "top_bigram_frac",
+                               "dup_3gram_frac", "flag_repetitive")}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = ws_rx.split(text.strip(" "))
+            n = len(toks)
+            wc = Counter(toks)
+            frac_unique = r6(len(wc) / n)
+            top_word = r6(max(wc.values()) / n)
+            if n >= 2:
+                bc = Counter(zip(toks, toks[1:]))
+                top_bigram = r6(max(bc.values()) / (n - 1))
+            else:
+                top_bigram = 0.0
+            n_tri = n - 2
+            if n_tri > 0:
+                uniq_tri = len(set(zip(toks, toks[1:], toks[2:])))
+                dup_tri = r6(1 - uniq_tri / n_tri)
+            else:
+                dup_tri = 0.0
+            out["doc_id"].append(doc_id)
+            out["n_words"].append(n)
+            out["frac_unique"].append(frac_unique)
+            out["top_word_frac"].append(top_word)
+            out["top_bigram_frac"].append(top_bigram)
+            out["dup_3gram_frac"].append(dup_tri)
+            out["flag_repetitive"].append(
+                frac_unique < MIN_FRAC_UNIQUE
+                or top_word > MAX_TOP_WORD_FRAC
+                or dup_tri > MAX_DUP_3GRAM_FRAC)
+        yield pd.DataFrame(out)
+
+
+def repetition_flags_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] Arrow-kernel twin of :func:`repetition_flags` — identical
+    output (same oracle), per-doc Counter mode counts instead of
+    interpreted HOF folds. Zero Exchange; scales as a narrow map."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_rep_stats_batches, schema=_REP_ARROW_SCHEMA)

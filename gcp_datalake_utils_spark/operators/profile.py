@@ -208,3 +208,53 @@ def _profile_fast_oracle() -> str:
 
 
 PROFILE_ORDERS_FAST_ORACLE = _profile_fast_oracle()
+
+
+def profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q, rows-only] the drift-monitor profile: same single-scan
+    battery but ``approx_count_distinct`` (HLL++, rsd 0.01) instead of
+    exact distinct. This removes the count-distinct Expand entirely —
+    no row multiplication, one partial-aggregated HashAggregate pass —
+    which is the 100 TB default for monitoring, where a ±1% distinct
+    estimate is indistinguishable from exact. No DuckDB oracle: HLL
+    estimates are implementation-defined (DuckDB's approx_count_distinct
+    uses a different sketch), so the driver records the rows-only
+    check; the exact twins above stay the value-hash anchors."""
+    t = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n")]
+    for c, kind in PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"c_{c}"))
+        aggs.append(F.approx_count_distinct(c, rsd=0.01)
+                    .alias(f"d_{c}"))
+        if kind == "num":
+            num = F.col(c).cast("double")
+        elif kind == "ts":
+            num = F.unix_micros(F.col(c).cast("timestamp")) \
+                .cast("double")
+        else:
+            num = None
+        if num is not None:
+            aggs.append(F.min(num).alias(f"mn_{c}"))
+            aggs.append(F.max(num).alias(f"mx_{c}"))
+        else:
+            aggs.append(F.min(_pfx_long(c)).alias(f"mnp_{c}"))
+            aggs.append(F.max(_pfx_long(c)).alias(f"mxp_{c}"))
+    a = t.agg(*aggs)
+    rows = []
+    for c, kind in PROFILE_COLS:
+        is_str = kind == "str"
+        rows.append(F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n").alias("n_rows"),
+            (F.col("n") - F.col(f"c_{c}")).alias("n_nulls"),
+            F.col(f"d_{c}").alias("n_distinct_approx"),
+            (F.lit(None).cast("double") if is_str
+             else F.col(f"mn_{c}")).alias("min_num"),
+            (F.lit(None).cast("double") if is_str
+             else F.col(f"mx_{c}")).alias("max_num"),
+            (F.col(f"mnp_{c}") if is_str
+             else F.lit(None).cast("long")).alias("min_pfx"),
+            (F.col(f"mxp_{c}") if is_str
+             else F.lit(None).cast("long")).alias("max_pfx")))
+    return (a.select(F.explode(F.array(*rows)).alias("p"))
+            .select("p.*"))

@@ -63,15 +63,25 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 
 # ---------------------------------------------------------------------------
 # REGISTRATION ORDER IS A CORRECTNESS SIGNAL: the driver's per-round
-# CORRECTNESS window covers the FIRST 50 register() calls only.  Round 5
-# front-loads (A) the three NEW r5 operators, (B) the queries whose plan
-# or expression changed this round (lm family: arrays_zip bigrams +
-# ctx-from-bgc derivation; weighted_sample: u clamp), then (C) the 36
-# queries whose newest driver green was r1/r2 — the SURVEY Sec.2
-# detection/classification core among them — per the r4 verdict's lead
-# item, and (D) eight r3-green S-family refreshes to fill the window.
-# Rotated-out entries keep their prior driver greens; tools/check.py
-# always runs ALL entries.
+# CORRECTNESS window covers the FIRST 50 register() calls only.  Round 7
+# rotation (r6 verdict ask #1): front-load
+#   (A) queries NEW or plan-changed in round 7, then
+#   (B) the 26 queries whose newest driver green was round 3 — the full
+#       streaming family (user_sessions, windowed/sliding/dedup/
+#       closed_sessions/enriched_segment/click_attribution streams), the
+#       heavy dedup/text family (dedup_near_pairs, dedup_groups,
+#       dedup_simhash, simhash_near_pairs, decontamination,
+#       text_token_stats, text_fingerprints, repetition_flags,
+#       vocab_entropy, doc_chunks), asof_last_order, scd2_history,
+#       corpus_curation, train_val_split, pii_redaction,
+#       boilerplate_flags, multimodal_features, similarity_kmeans_assign,
+#       value_percentiles — three rounds stale on the hard signal, then
+#   (C) r4-green refreshes to fill the window to 50 (perf-sensitive rows
+#       first: the revenue_by_nation family incl. the bucketed twin,
+#       profile_orders, paragraph_dedup, kmeans_iterate, the funnel
+#       pair, sketches).
+# Rotated-out entries keep their prior driver greens (r4 or r6);
+# tools/check.py always runs ALL entries.
 # ---------------------------------------------------------------------------
 
 from gcp_datalake_utils_spark.functions import bloom  # noqa: E402
@@ -86,7 +96,123 @@ from gcp_datalake_utils_spark.sources import evolution  # noqa: E402
 from gcp_datalake_utils_spark.sources import zorder  # noqa: E402
 from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
 
-# --- block A: NEW in round 5 ----------------------------------------------
+from gcp_datalake_utils_spark.formatters import layout as fmt_layout  # noqa: E402
+from gcp_datalake_utils_spark.rules import compiler as rules_compiler  # noqa: E402
+
+# --- block A: NEW / plan-changed in round 7 -------------------------------
+register("repetition_flags_arrow", text.repetition_flags_arrow,
+         text.REPETITION_FLAGS_ORACLE)
+register("force_layout_coords",
+         lambda s, d: fmt_layout.force_layout_coords(s),
+         fmt_layout.FORCE_LAYOUT_COORDS_ORACLE)
+register("rule_compiler_truth",
+         lambda s, d: rules_compiler.rule_compiler_truth(s),
+         rules_compiler.RULE_COMPILER_TRUTH_ORACLE)
+register("profile_orders_approx", profile.profile_orders_approx,
+         None)
+
+# --- block B: the 26 r3-stale driver greens (r6 verdict ask #1) -----------
+register("user_sessions", stream_windows.user_sessions,
+         stream_windows.USER_SESSIONS_ORACLE)
+register("windowed_counts_stream", stream_windows.windowed_counts_stream_q,
+         stream_windows.WINDOWED_COUNTS_STREAM_ORACLE)
+register("dedup_stream", stream_windows.dedup_stream_q,
+         stream_windows.DEDUP_STREAM_ORACLE)
+register("sliding_counts_stream", stream_windows.sliding_counts_stream_q,
+         stream_windows.SLIDING_COUNTS_STREAM_ORACLE)
+register("closed_sessions_stream",
+         stream_stateful.closed_sessions_stream_q,
+         stream_stateful.CLOSED_SESSIONS_ORACLE)
+register("enriched_segment_stream", stream_windows.enriched_segment_stream_q,
+         stream_windows.ENRICHED_SEGMENT_STREAM_ORACLE)
+register("click_attribution_stream",
+         stream_windows.click_attribution_stream_q,
+         stream_windows.CLICK_ATTRIBUTION_STREAM_ORACLE)
+register("dedup_near_pairs", dedup.near_dup_pairs, dedup.NEAR_DUP_ORACLE)
+register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
+register("dedup_simhash", dedup.simhash, dedup.SIMHASH_ORACLE)
+register("simhash_near_pairs", dedup.simhash_near_pairs,
+         dedup.SIMHASH_NEAR_PAIRS_ORACLE)
+register("decontamination", decontam.decontamination,
+         decontam.DECONTAMINATION_ORACLE)
+register("text_token_stats", text.token_stats, text.TOKEN_STATS_ORACLE)
+register("text_fingerprints", text.fingerprints,
+         text.FINGERPRINTS_ORACLE)
+register("repetition_flags", text.repetition_flags,
+         text.REPETITION_FLAGS_ORACLE)
+register("vocab_entropy", text.vocab_entropy,
+         text.VOCAB_ENTROPY_ORACLE)
+register("doc_chunks", chunks.doc_chunks, chunks.DOC_CHUNKS_ORACLE)
+register("asof_last_order", asof.asof_last_order,
+         asof.ASOF_LAST_ORDER_ORACLE)
+register("scd2_history", scd2.scd2_history, scd2.SCD2_HISTORY_ORACLE)
+register("corpus_curation", curation.curate, curation.CURATE_ORACLE)
+register("train_val_split", curation.train_val_split,
+         curation.TRAIN_VAL_SPLIT_ORACLE)
+register("pii_redaction", redact.pii_redaction,
+         redact.PII_REDACTION_ORACLE)
+register("boilerplate_flags", boilerplate.boilerplate_flags,
+         boilerplate.BOILERPLATE_FLAGS_ORACLE)
+register("multimodal_features", multimodal.media_features,
+         multimodal.MEDIA_FEATURES_ORACLE)
+register("similarity_kmeans_assign", similarity.kmeans_assign,
+         similarity.KMEANS_ASSIGN_ORACLE)
+register("value_percentiles", payload.value_percentiles,
+         payload.VALUE_PERCENTILES_ORACLE)
+
+# --- block C: r4-green refreshes (window filler to 50) --------------------
+register("revenue_by_nation", payload.revenue_by_nation,
+         payload.REVENUE_BY_NATION_ORACLE)
+register("revenue_by_nation_bucketed",
+         scale_demos.revenue_by_nation_bucketed,
+         payload.REVENUE_BY_NATION_ORACLE)
+register("revenue_by_nation_salted", scale_demos.revenue_by_nation_salted,
+         payload.REVENUE_BY_NATION_ORACLE)
+register("profile_orders", profile.profile_orders,
+         profile.PROFILE_ORDERS_ORACLE)
+register("paragraph_dedup", paradedup.paragraph_dedup,
+         paradedup.PARAGRAPH_DEDUP_ORACLE)
+register("kmeans_iterate", similarity.kmeans_iterate,
+         similarity.KMEANS_ITERATE_ORACLE)
+register("funnel_conversion", funnel.funnel_conversion,
+         funnel.FUNNEL_CONVERSION_ORACLE)
+register("funnel_completions_stream",
+         stream_stateful.funnel_completions_stream_q,
+         stream_stateful.FUNNEL_COMPLETIONS_ORACLE)
+register("hll_distinct", sketches.hll_distinct,
+         sketches.HLL_DISTINCT_ORACLE)
+register("hll_grouped", sketches.hll_grouped,
+         sketches.HLL_GROUPED_ORACLE)
+register("cms_heavy_hitters", sketches.cms_heavy_hitters,
+         sketches.CMS_HEAVY_HITTERS_ORACLE)
+register("bloom_prefilter_audit", bloom.bloom_prefilter_audit,
+         bloom.BLOOM_PREFILTER_AUDIT_ORACLE)
+register("snapshot_diff", snap.snapshot_diff_query,
+         snap.SNAPSHOT_DIFF_ORACLE)
+register("restore_summary", snap.restore_summary_query,
+         snap.RESTORE_SUMMARY_ORACLE)
+register("detect_foreign_key",
+         lambda s, d: detection.detect_foreign_keys(s),
+         do.strategy_oracle("j1"))
+register("pagerank_tables", graph.pagerank_query,
+         graph.pagerank_oracle())
+register("stratified_sample", sampling.stratified_sample,
+         sampling.STRATIFIED_SAMPLE_ORACLE)
+register("events_by_type_two_phase", scale_demos.events_by_type_two_phase,
+         scale_demos.EVENTS_BY_TYPE_ORACLE)
+register("prefix_filter_pairs", dedup.prefix_filter_pairs,
+         dedup.PREFIX_FILTER_PAIRS_ORACLE)
+register("simhash64", dedup.simhash64, dedup.SIMHASH64_ORACLE)
+
+# --- rotated out of the window (driver greens held from r4/r6) ------------
+register("simhash64_near_pairs", dedup.simhash64_near_pairs,
+         dedup.SIMHASH64_NEAR_PAIRS_ORACLE)
+register("pmi_collocations", collocations.pmi_collocations,
+         collocations.PMI_COLLOCATIONS_ORACLE)
+register("value_drift_psi", drift.value_drift_psi,
+         drift.VALUE_DRIFT_PSI_ORACLE)
+register("corpus_mixture", sampling.corpus_mixture,
+         sampling.CORPUS_MIXTURE_ORACLE)
 register("drawio_erd_lines",
          lambda s, d: diagrams.drawio_lines(s),
          fmt_oracles.drawio_lines_oracle())
@@ -94,15 +220,11 @@ register("hll_distinct_native", sketches.hll_distinct_native,
          sketches.HLL_DISTINCT_NATIVE_ORACLE)
 register("profile_orders_fast", profile.profile_orders_fast,
          profile.PROFILE_ORDERS_FAST_ORACLE)
-
-# --- block B: plan / expression CHANGED in round 5 ------------------------
 register("lm_doc_scores", lm.lm_doc_scores, lm.LM_DOC_SCORES_ORACLE)
 register("lm_quality_bins", lm.lm_quality_bins,
          lm.LM_QUALITY_BINS_ORACLE)
 register("weighted_sample", sampling.weighted_sample,
          sampling.WEIGHTED_SAMPLE_ORACLE)
-
-# --- block C: the 36 r1/r2-stale driver greens (r4 verdict lead item) -----
 register("detect_naming_convention",
          lambda s, d: detection.detect_naming_conventions(s),
          do.strategy_oracle("j4"))
@@ -179,8 +301,6 @@ register("similarity_ivf_topk", similarity.ivf_topk,
          similarity.IVF_TOPK_ORACLE)
 register("similarity_rp_lsh_buckets", similarity.rp_lsh_buckets,
          similarity.RP_LSH_BUCKETS_ORACLE)
-
-# --- block D: r3-green S-family refreshes (window filler to 50) -----------
 register("catalog_tables", payload.catalog_tables,
          payload.catalog_tables_oracle())
 register("sample_scan", payload.sample_scan, payload.SAMPLE_SCAN_ORACLE)
@@ -194,49 +314,16 @@ register("state_upsert", state.state_upsert, state.state_upsert_oracle())
 register("cache_lookup", state.cache_lookup, state.cache_lookup_oracle())
 register("metadata_richness", payload.metadata_richness,
          payload.metadata_richness_oracle())
-
-# --- rotated out of the window (driver greens held from r3/r4) ------------
-register("simhash64", dedup.simhash64, dedup.SIMHASH64_ORACLE)
-register("simhash64_near_pairs", dedup.simhash64_near_pairs,
-         dedup.SIMHASH64_NEAR_PAIRS_ORACLE)
 register("batch_ann64_topk", similarity.batch_ann64_topk,
          similarity.BATCH_ANN64_TOPK_ORACLE)
 register("order_lines_nested", nested.order_lines_nested,
          nested.ORDER_LINES_NESTED_ORACLE)
-register("hll_distinct", sketches.hll_distinct,
-         sketches.HLL_DISTINCT_ORACLE)
-register("cms_heavy_hitters", sketches.cms_heavy_hitters,
-         sketches.CMS_HEAVY_HITTERS_ORACLE)
-register("bloom_prefilter_audit", bloom.bloom_prefilter_audit,
-         bloom.BLOOM_PREFILTER_AUDIT_ORACLE)
-register("prefix_filter_pairs", dedup.prefix_filter_pairs,
-         dedup.PREFIX_FILTER_PAIRS_ORACLE)
-register("funnel_conversion", funnel.funnel_conversion,
-         funnel.FUNNEL_CONVERSION_ORACLE)
 register("robust_outliers", payload.robust_outliers,
          payload.ROBUST_OUTLIERS_ORACLE)
-register("funnel_completions_stream",
-         stream_stateful.funnel_completions_stream_q,
-         stream_stateful.FUNNEL_COMPLETIONS_ORACLE)
-register("hll_grouped", sketches.hll_grouped,
-         sketches.HLL_GROUPED_ORACLE)
-register("value_drift_psi", drift.value_drift_psi,
-         drift.VALUE_DRIFT_PSI_ORACLE)
-register("pmi_collocations", collocations.pmi_collocations,
-         collocations.PMI_COLLOCATIONS_ORACLE)
 register("corpus_mixture_temp", sampling.corpus_mixture_temp,
          sampling.CORPUS_MIXTURE_TEMP_ORACLE)
 register("pricing_summary", payload.pricing_summary,
          payload.PRICING_SUMMARY_ORACLE)
-register("revenue_by_nation", payload.revenue_by_nation,
-         payload.REVENUE_BY_NATION_ORACLE)
-register("revenue_by_nation_salted", scale_demos.revenue_by_nation_salted,
-         payload.REVENUE_BY_NATION_ORACLE)
-register("events_by_type_two_phase", scale_demos.events_by_type_two_phase,
-         scale_demos.EVENTS_BY_TYPE_ORACLE)
-register("revenue_by_nation_bucketed",
-         scale_demos.revenue_by_nation_bucketed,
-         payload.REVENUE_BY_NATION_ORACLE)
 register("inverted_index", index.inverted_index,
          index.INVERTED_INDEX_ORACLE)
 register("embedding_quantize", similarity.embedding_quantize,
@@ -247,22 +334,8 @@ register("corpus_vocabulary", tfidf.corpus_vocabulary,
          tfidf.CORPUS_VOCABULARY_ORACLE)
 register("label_centroids", similarity.label_centroids,
          similarity.LABEL_CENTROIDS_ORACLE)
-register("kmeans_iterate", similarity.kmeans_iterate,
-         similarity.KMEANS_ITERATE_ORACLE)
-register("corpus_mixture", sampling.corpus_mixture,
-         sampling.CORPUS_MIXTURE_ORACLE)
 register("events_in_type_windows", rangejoin.events_in_type_windows,
          rangejoin.EVENTS_IN_TYPE_WINDOWS_ORACLE)
-register("pagerank_tables", graph.pagerank_query,
-         graph.pagerank_oracle())
-register("stratified_sample", sampling.stratified_sample,
-         sampling.STRATIFIED_SAMPLE_ORACLE)
-register("snapshot_diff", snap.snapshot_diff_query,
-         snap.SNAPSHOT_DIFF_ORACLE)
-register("restore_summary", snap.restore_summary_query,
-         snap.RESTORE_SUMMARY_ORACLE)
-register("paragraph_dedup", paradedup.paragraph_dedup,
-         paradedup.PARAGRAPH_DEDUP_ORACLE)
 register("ann_recall_audit", similarity.ann_recall_audit,
          similarity.ANN_RECALL_AUDIT_ORACLE)
 register("cosine_topk_arrow", similarity_arrow.cosine_topk_arrow,
@@ -271,8 +344,6 @@ register("ann_rerank", similarity_arrow.ann_rerank,
          similarity_arrow.ANN_RERANK_ORACLE)
 register("embedding_near_dups64", similarity.embedding_near_dups64,
          similarity.EMBEDDING_NEAR_DUP64_ORACLE)
-register("profile_orders", profile.profile_orders,
-         profile.PROFILE_ORDERS_ORACLE)
 register("evolving_read", evolution.evolving_read,
          evolution.EVOLVING_READ_ORACLE)
 register("events_pivot", pivot.events_pivot,
@@ -289,56 +360,6 @@ register("batch_ann_topk", similarity.batch_ann_topk,
          similarity.BATCH_ANN_TOPK_ORACLE)
 register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
          similarity.RP_LSH_TOPK_ORACLE)
-register("detect_foreign_key",
-         lambda s, d: detection.detect_foreign_keys(s),
-         do.strategy_oracle("j1"))
-register("similarity_kmeans_assign", similarity.kmeans_assign,
-         similarity.KMEANS_ASSIGN_ORACLE)
-register("corpus_curation", curation.curate, curation.CURATE_ORACLE)
-register("train_val_split", curation.train_val_split,
-         curation.TRAIN_VAL_SPLIT_ORACLE)
-register("value_percentiles", payload.value_percentiles,
-         payload.VALUE_PERCENTILES_ORACLE)
-register("asof_last_order", asof.asof_last_order,
-         asof.ASOF_LAST_ORDER_ORACLE)
-register("scd2_history", scd2.scd2_history, scd2.SCD2_HISTORY_ORACLE)
-register("pii_redaction", redact.pii_redaction,
-         redact.PII_REDACTION_ORACLE)
-register("boilerplate_flags", boilerplate.boilerplate_flags,
-         boilerplate.BOILERPLATE_FLAGS_ORACLE)
-register("multimodal_features", multimodal.media_features,
-         multimodal.MEDIA_FEATURES_ORACLE)
-register("user_sessions", stream_windows.user_sessions,
-         stream_windows.USER_SESSIONS_ORACLE)
-register("windowed_counts_stream", stream_windows.windowed_counts_stream_q,
-         stream_windows.WINDOWED_COUNTS_STREAM_ORACLE)
-register("dedup_stream", stream_windows.dedup_stream_q,
-         stream_windows.DEDUP_STREAM_ORACLE)
-register("sliding_counts_stream", stream_windows.sliding_counts_stream_q,
-         stream_windows.SLIDING_COUNTS_STREAM_ORACLE)
-register("closed_sessions_stream",
-         stream_stateful.closed_sessions_stream_q,
-         stream_stateful.CLOSED_SESSIONS_ORACLE)
-register("repetition_flags", text.repetition_flags,
-         text.REPETITION_FLAGS_ORACLE)
-register("enriched_segment_stream", stream_windows.enriched_segment_stream_q,
-         stream_windows.ENRICHED_SEGMENT_STREAM_ORACLE)
-register("simhash_near_pairs", dedup.simhash_near_pairs,
-         dedup.SIMHASH_NEAR_PAIRS_ORACLE)
-register("click_attribution_stream",
-         stream_windows.click_attribution_stream_q,
-         stream_windows.CLICK_ATTRIBUTION_STREAM_ORACLE)
-register("vocab_entropy", text.vocab_entropy,
-         text.VOCAB_ENTROPY_ORACLE)
-register("text_token_stats", text.token_stats, text.TOKEN_STATS_ORACLE)
-register("text_fingerprints", text.fingerprints,
-         text.FINGERPRINTS_ORACLE)
-register("dedup_near_pairs", dedup.near_dup_pairs, dedup.NEAR_DUP_ORACLE)
-register("dedup_simhash", dedup.simhash, dedup.SIMHASH_ORACLE)
-register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
-register("decontamination", decontam.decontamination,
-         decontam.DECONTAMINATION_ORACLE)
-register("doc_chunks", chunks.doc_chunks, chunks.DOC_CHUNKS_ORACLE)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -244,3 +244,98 @@ def best_pk_order_sql() -> str:
     dialects as an ORDER BY fragment over (is_pk, name, ordinal)."""
     return ("is_pk DESC, (CASE WHEN is_pk THEN 0 "
             "WHEN lower(name) = 'id' THEN 0 ELSE 1 END), ordinal")
+
+
+# ---------------------------------------------------------------------------
+# S11 + P6 as a driver-checkable [Q] row (r6 verdict ask #9): a
+# truth table over the metadata fixtures exercising every compiled-
+# predicate branch — the rules-FILE loader path (a reference-format
+# dict through PatternConfig.from_dict, as config.py:67-87 loads
+# custom_rules.json in the reference) and every pattern_pred wildcard
+# branch (exact IN-fold, '*suffix' ends, 'prefix*' starts, mid and
+# multi wildcards through the anchored-regex fallback,
+# pattern_config.py:321-336). Both dialects compile from the same rule
+# data, so the oracle checks the DIALECT CORRECTNESS of the compiler
+# (regexp_like vs regexp_matches, endswith vs ends_with, ...), which
+# is exactly where a compiled predicate can silently diverge.
+# ---------------------------------------------------------------------------
+
+# reference-format rules file content (the shape config.py:67-87 loads)
+TRUTH_RULES_FILE: dict = {
+    "column_patterns": {
+        "primary_key_indicators": ["id", "key", "pk"],
+        "foreign_key_indicators": ["*_id", "*_fk", "hub_key"],
+    },
+    "table_patterns": {
+        "data_vault": {
+            "patterns": {
+                "hub": {"prefix": "h_",
+                        "primary_key_patterns": ["hash_key", "hk"],
+                        "foreign_key_patterns": []},
+                "link": {"prefix": "l_",
+                         "primary_key_patterns": ["link_key"],
+                         "foreign_key_patterns": ["*_hk", "*_hash_key"]},
+            }
+        },
+        "traditional_dw": {
+            "patterns": {
+                "dimension": {"prefix": "dim_",
+                              "primary_key_patterns": ["*_key", "sk"],
+                              "foreign_key_patterns": ["*_id"]},
+            }
+        },
+    },
+    "filtering_rules": {"max_relationships_per_table": 3,
+                        "min_confidence_threshold": 0.5},
+}
+
+# P6 wildcard battery: one pattern list per pattern_pred branch
+TRUTH_WILDCARDS: dict[str, tuple[str, ...]] = {
+    "w_exact": ("id", "key", "name"),
+    "w_suffix": ("*_id",),
+    "w_prefix": ("customer_*",),
+    "w_mid": ("c*key",),
+    "w_multi": ("*ust*",),
+    "w_mixed": ("id", "*_code", "ref_*", "h*key"),
+}
+
+
+def _truth_exprs(d: str) -> list[tuple[str, str]]:
+    from gcp_datalake_utils_spark.rules.config import PatternConfig
+    cfg = PatternConfig.from_dict(TRUTH_RULES_FILE)
+    exprs = [(alias, pattern_pred(C, pats, d))
+             for alias, pats in TRUTH_WILDCARDS.items()]
+    exprs += [
+        ("file_pk", pk_sql(d, cfg)),
+        ("file_fk", fk_sql(d, cfg)),
+        ("dw_pk", _dw_pk(d)),
+        ("dv_fk", _dv_fk(d)),
+        ("common_pk", common_pk_sql(d)),
+        ("base_name", strip_key_suffix_sql(C, d)),
+        ("type_group", type_compat_group_sql()),
+    ]
+    return exprs
+
+
+def rule_compiler_truth(spark):
+    """[Q] S11/P6: compiled-predicate truth table over meta_columns."""
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_utils_spark.catalog import fixtures as fx
+    cols = fx.meta_columns_df(spark)
+    sel = [F.col("table_id"), F.col("ordinal"), F.col("name")]
+    sel += [F.expr(e).alias(a) for a, e in _truth_exprs("spark")]
+    return cols.select(*sel)
+
+
+def _rule_compiler_truth_oracle() -> str:
+    from gcp_datalake_utils_spark.catalog import fixtures as fx
+    sel = ",\n       ".join(f"{e} AS {a}" for a, e in _truth_exprs("duck"))
+    return f"""
+SELECT table_id, ordinal, name,
+       {sel}
+FROM {fx.meta_columns_values('c')}
+"""
+
+
+RULE_COMPILER_TRUTH_ORACLE = _rule_compiler_truth_oracle()

@@ -38,10 +38,13 @@ def _pid_alive(pid: int) -> bool:
 # checks liveness in THIS process's PID namespace: with /tmp shared across
 # namespaces (containerized bench next to a host driver), a live foreign
 # process can look dead, and PID reuse can make a true orphan look alive.
-# The age floor bounds the damage: a dir is only removed when its owner
-# looks dead AND nothing has touched it for an hour — a mid-read rmtree of
-# a live foreign store would require that store to sit untouched for the
-# whole window first.
+# The age floor bounds but does not eliminate the risk: a dir's mtime only
+# changes when its direct children change (reads never bump it), so a
+# foreign owner that created its store >1h ago and is still reading it
+# could in principle still be swept. To keep live owners out of the
+# window, every pid_scratch() call refreshes the mtime of ALL scratch
+# dirs owned by this process (see the os.utime loop below) — an engine
+# process that is still making queries never ages past the floor.
 _SWEEP_MIN_AGE_S = 3600.0
 
 
@@ -79,4 +82,12 @@ def pid_scratch(root: str, key: str) -> str:
     if d not in _REGISTERED:
         _REGISTERED.add(d)
         atexit.register(shutil.rmtree, d, ignore_errors=True)
+    # keep this process's live stores outside the sweep age window:
+    # reads don't bump a dir's mtime, so refresh it explicitly on every
+    # scratch call (any query activity renews ALL of our stores)
+    for own in _REGISTERED:
+        try:
+            os.utime(own)
+        except OSError:
+            pass
     return d

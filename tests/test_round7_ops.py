@@ -1,0 +1,88 @@
+"""Round-7 additions: Arrow repetition twin, force-layout coordinates,
+rule-compiler truth table, approx profile."""
+
+from __future__ import annotations
+
+from gcp_datalake_utils_spark.formatters import layout
+from gcp_datalake_utils_spark.llm import text
+from gcp_datalake_utils_spark.operators import profile
+from gcp_datalake_utils_spark.rules import compiler as rc
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_repetition_arrow_bit_identical_to_jvm(spark, sf_dir):
+    jvm = _sorted_rows(text.repetition_flags(spark, sf_dir))
+    arrow = _sorted_rows(text.repetition_flags_arrow(spark, sf_dir))
+    assert len(jvm) == len(arrow) > 0
+    for a, b in zip(jvm, arrow):
+        # bit-identical, not approx: same tokenization, same HALF_UP
+        # rounding over the shortest-decimal representation
+        assert a == b
+
+
+def test_repetition_arrow_no_exchange(spark, sf_dir):
+    plan = text.repetition_flags_arrow(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_force_layout_matches_physics_dict(spark):
+    df = layout.force_layout_coords(spark)
+    rows = {r["table_id"]: (r["x"], r["y"]) for r in df.collect()}
+    pos = layout.force_positions(spark)
+    assert set(rows) == set(pos)
+    for t, (x, y) in pos.items():
+        assert rows[t] == (round(x, 3), round(y, 3))
+    # every table placed, no NaNs, non-degenerate spread
+    xs = [x for x, _ in rows.values()]
+    assert max(xs) - min(xs) > 1.0
+
+
+def test_rule_compiler_truth_branches_hit(spark):
+    df = rc.rule_compiler_truth(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    # every wildcard branch must actually fire somewhere in the
+    # fixtures, otherwise the truth table is not exercising P6
+    for flag in ["w_exact", "w_suffix", "w_prefix", "w_multi",
+                 "file_pk", "file_fk", "dw_pk", "dv_fk", "common_pk"]:
+        assert any(r[flag] for r in rows), f"no fixture hits {flag}"
+    # base_name strips key suffixes
+    stripped = {r["name"]: r["base_name"] for r in rows}
+    for name, base in stripped.items():
+        low = name.lower()
+        if low.endswith("_id"):
+            assert base == low[:-3]
+
+
+def test_rules_file_roundtrip_compiles_identically():
+    from gcp_datalake_utils_spark.rules.config import PatternConfig
+    cfg = PatternConfig.from_dict(rc.TRUTH_RULES_FILE)
+    assert cfg.pk_indicators == ("id", "key", "pk")
+    assert "l_" in cfg.table_patterns
+    assert cfg.table_patterns["dim_"]["pk"] == ("*_key", "sk")
+    # the compiled predicate is dialect-complete: spark + duck emit
+    # the same structure with dialect-specific function names
+    s = rc.pk_sql("spark", cfg)
+    d = rc.pk_sql("duck", cfg)
+    assert "startswith" in s and "starts_with" in d
+
+
+def test_profile_orders_approx_accuracy(spark, sf_dir):
+    exact = {r["column_name"]: r["n_distinct"]
+             for r in profile.profile_orders_fast(spark, sf_dir).collect()}
+    approx_rows = profile.profile_orders_approx(spark, sf_dir).collect()
+    assert len(approx_rows) == len(profile.PROFILE_COLS)
+    for r in approx_rows:
+        e = exact[r["column_name"]]
+        assert abs(r["n_distinct_approx"] - e) <= max(0.05 * e, 2)
+
+
+def test_profile_orders_approx_no_expand(spark, sf_dir):
+    plan = profile.profile_orders_approx(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "SortAggregate" not in plan

@@ -32,6 +32,8 @@ def main() -> None:
     only = sys.argv[1:]
     per_query = {}
     for name in (only or HEADLINE):
+        if name not in oracles:
+            continue  # rows-only queries (e.g. approx sketches)
         sql = oracles[name]
         con.execute(sql).fetchall()  # warm-up
         times = []

@@ -13,6 +13,15 @@ authoritative for correctness) — this produces timing-only corpora:
 - embeddings: fresh seeded 64-dim vectors over the same label space.
 
 Usage: python tools/gen_scale.py [K] [out_dir]   (default 10 tmp/sf1)
+
+--zipf mode (BASELINE.md skew section): same corpus, but lineitem's
+join key is Zipf-skewed — 30% of line rows are remapped onto 8 real hot
+orderkeys with a power-law weight (the hottest key carries ~15% of the
+whole table). FK validity is preserved (hot keys are existing orders).
+This is the corpus that makes a skew-blind shuffle join degrade to a
+straggler task, so the AQE-skew / salted claims are measured, not
+argued.  Usage: python tools/gen_scale.py --zipf [K] [out_dir]
+(default 10 tmp/sfskew)
 """
 
 from __future__ import annotations
@@ -31,10 +40,13 @@ VOCAB = ("batch part spark line column order small sort fast value scan "
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else \
+    args = [a for a in sys.argv[1:] if a != "--zipf"]
+    zipf = "--zipf" in sys.argv[1:]
+    k = int(args[0]) if args else 10
+    out = args[1] if len(args) > 1 else \
         os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "tmp", "sf1")
+            os.path.abspath(__file__))), "tmp",
+            "sfskew" if zipf else "sf1")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute("SELECT setseed(0.42)")
@@ -76,8 +88,22 @@ def main() -> None:
                      o_orderpriority
               FROM {src('orders')}, {rep})
         TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+    if zipf:
+        # 8 REAL orderkeys as hot targets (FK validity), power-law
+        # weighted: index ~ floor(8 * random^3) puts ~50% of remapped
+        # rows on hot_keys[1]
+        hot = [r[0] for r in con.execute(
+            f"SELECT o_orderkey FROM {src('orders')} "
+            f"ORDER BY o_orderkey LIMIT 8").fetchall()]
+        hot_sql = "[" + ", ".join(str(h) for h in hot) + "]"
+        key_expr = (
+            f"CASE WHEN random() < 0.3 THEN {hot_sql}["
+            f"1 + CAST(floor(power(random(), 3) * 8) AS INT)] "
+            f"ELSE l_orderkey + i * {n_ord} END")
+    else:
+        key_expr = f"l_orderkey + i * {n_ord}"
     con.execute(f"""
-        COPY (SELECT l_orderkey + i * {n_ord} AS l_orderkey,
+        COPY (SELECT {key_expr} AS l_orderkey,
                      l_partkey + i * {n_part} AS l_partkey,
                      l_suppkey + i * {n_supp} AS l_suppkey,
                      l_linenumber, l_quantity, l_extendedprice,
