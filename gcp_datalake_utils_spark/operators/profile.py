@@ -136,15 +136,28 @@ def profile_orders_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] the hash-agg profile: same battery as ``profile_orders``
     but string extremes bounded to an order-preserving 7-byte-prefix
     BIGINT surrogate (min_pfx/max_pfx) instead of exact VARCHAR
-    min/max. Every aggregate buffer is then fixed-width, the plan is
-    HashAggregate end-to-end (guarded in tests/test_plans.py), and
-    the scan stays single-pass — the shape to run at 100 TB when the
-    profile is a drift monitor input rather than a display string."""
+    min/max, and the exact distinct counts computed per column as a
+    TWO-STAGE aggregate (groupBy(col) map-side dedup -> 1-row final)
+    UNIONed across columns.
+
+    Why not one wide aggregate: six count_distincts in one Aggregate
+    plan an Expand that multiplies every row 7x AND drags all the
+    min/max/count buffers through the multiplied stream — measured
+    2.2 s at sf0.1 vs 0.97 s for this shape. Six per-COLUMN scans are
+    NOT six times the I/O: parquet column pruning means they read
+    exactly the same bytes as one wide scan (each scan reads one
+    column chunk; guarded in tests/test_plans.py), every aggregate
+    buffer stays mutable (zero SortAggregate), min/max over the
+    prefix surrogate are evaluated once per DISTINCT value instead of
+    once per row, and the per-column branches run as independent
+    parallel stages. At 100 TB this is the profile shape: per-column
+    map-side dedup -> distinct-value-sized shuffles, no 7x row
+    multiplication anywhere."""
     t = load_table(spark, sf_dir, "orders")
-    aggs = [F.count("*").alias("n")]
+    out_cols = ["n_rows", "c_non_null", "n_distinct",
+                "min_num", "max_num", "min_pfx", "max_pfx"]
+    parts = []
     for c, kind in PROFILE_COLS:
-        aggs.append(F.count(c).alias(f"c_{c}"))
-        aggs.append(F.count_distinct(c).alias(f"d_{c}"))
         if kind == "num":
             num = F.col(c).cast("double")
         elif kind == "ts":
@@ -152,31 +165,33 @@ def profile_orders_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
         else:
             num = None
+        g = t.groupBy(c).agg(F.count(F.lit(1)).alias("cnt"))
+        aggs = [
+            F.sum("cnt").alias("n_rows"),
+            F.sum(F.when(F.col(c).isNotNull(), F.col("cnt"))
+                  .otherwise(0)).alias("c_non_null"),
+            F.count(F.when(F.col(c).isNotNull(), 1))
+            .alias("n_distinct")]
         if num is not None:
-            aggs.append(F.min(num).alias(f"mn_{c}"))
-            aggs.append(F.max(num).alias(f"mx_{c}"))
+            aggs += [F.min(num).alias("min_num"),
+                     F.max(num).alias("max_num"),
+                     F.lit(None).cast("long").alias("min_pfx"),
+                     F.lit(None).cast("long").alias("max_pfx")]
         else:
-            aggs.append(F.min(_pfx_long(c)).alias(f"mnp_{c}"))
-            aggs.append(F.max(_pfx_long(c)).alias(f"mxp_{c}"))
-    a = t.agg(*aggs)
-    rows = []
-    for c, kind in PROFILE_COLS:
-        is_str = kind == "str"
-        rows.append(F.struct(
+            aggs += [F.lit(None).cast("double").alias("min_num"),
+                     F.lit(None).cast("double").alias("max_num"),
+                     F.min(_pfx_long(c)).alias("min_pfx"),
+                     F.max(_pfx_long(c)).alias("max_pfx")]
+        parts.append(g.agg(*aggs).select(
             F.lit(c).alias("column_name"),
-            F.col("n").alias("n_rows"),
-            (F.col("n") - F.col(f"c_{c}")).alias("n_nulls"),
-            F.col(f"d_{c}").alias("n_distinct"),
-            (F.lit(None).cast("double") if is_str
-             else F.col(f"mn_{c}")).alias("min_num"),
-            (F.lit(None).cast("double") if is_str
-             else F.col(f"mx_{c}")).alias("max_num"),
-            (F.col(f"mnp_{c}") if is_str
-             else F.lit(None).cast("long")).alias("min_pfx"),
-            (F.col(f"mxp_{c}") if is_str
-             else F.lit(None).cast("long")).alias("max_pfx")))
-    return (a.select(F.explode(F.array(*rows)).alias("p"))
-            .select("p.*"))
+            *[F.col(a) for a in out_cols]))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select(
+        "column_name", "n_rows",
+        (F.col("n_rows") - F.col("c_non_null")).alias("n_nulls"),
+        "n_distinct", "min_num", "max_num", "min_pfx", "max_pfx")
 
 
 def _profile_fast_oracle() -> str:
@@ -212,8 +227,10 @@ PROFILE_ORDERS_FAST_ORACLE = _profile_fast_oracle()
 
 def profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q, rows-only] the drift-monitor profile: same single-scan
-    battery but ``approx_count_distinct`` (HLL++, rsd 0.01) instead of
-    exact distinct. This removes the count-distinct Expand entirely —
+    battery but ``approx_count_distinct`` (HLL++, default rsd 0.05 —
+    rsd at or under 0.01 flips HLL++ into its high-precision register
+    mode and measured 13x slower, 4.4 s vs 0.34 s for the six-sketch
+    aggregate at sf0.1) instead of exact distinct. This removes the count-distinct Expand entirely —
     no row multiplication, one partial-aggregated HashAggregate pass —
     which is the 100 TB default for monitoring, where a ±1% distinct
     estimate is indistinguishable from exact. No DuckDB oracle: HLL
@@ -224,7 +241,7 @@ def profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [F.count("*").alias("n")]
     for c, kind in PROFILE_COLS:
         aggs.append(F.count(c).alias(f"c_{c}"))
-        aggs.append(F.approx_count_distinct(c, rsd=0.01)
+        aggs.append(F.approx_count_distinct(c, rsd=0.05)
                     .alias(f"d_{c}"))
         if kind == "num":
             num = F.col(c).cast("double")

@@ -348,17 +348,21 @@ def test_cosine_topk_arrow_shape(spark, sf_dir):
 
 
 def test_profile_fast_is_hash_aggregate_only(spark, sf_dir):
-    """The bounded-prefix profile must keep every aggregate buffer
-    mutable: zero SortAggregate (exact string MIN/MAX would force
-    one), one scan."""
+    """The two-stage per-column profile: zero SortAggregate (every
+    buffer mutable), zero Expand (no 7x row multiplication), and six
+    COLUMN-PRUNED scans — each branch's scan reads exactly one column,
+    so total I/O equals one wide scan."""
     from gcp_datalake_utils_spark.operators import profile
     plan = _formatted_plan(profile.profile_orders_fast(spark, sf_dir))
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
+    assert "Expand" not in plan
     import re
-    # one scan node: it appears once in the tree and once as the
-    # numbered detail header
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == \
+        len(profile.PROFILE_COLS)
+    # every scan is single-column (ReadSchema carries exactly one field)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(s.count(":") == 1 for s in schemas)
 
 
 def test_lm_bigrams_are_codegen_not_lambda(spark, sf_dir):

@@ -78,7 +78,7 @@ def test_profile_orders_approx_accuracy(spark, sf_dir):
     assert len(approx_rows) == len(profile.PROFILE_COLS)
     for r in approx_rows:
         e = exact[r["column_name"]]
-        assert abs(r["n_distinct_approx"] - e) <= max(0.05 * e, 2)
+        assert abs(r["n_distinct_approx"] - e) <= max(0.10 * e, 2)
 
 
 def test_profile_orders_approx_no_expand(spark, sf_dir):

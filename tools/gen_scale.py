@@ -15,8 +15,8 @@ authoritative for correctness) — this produces timing-only corpora:
 Usage: python tools/gen_scale.py [K] [out_dir]   (default 10 tmp/sf1)
 
 --zipf mode (BASELINE.md skew section): same corpus, but lineitem's
-join key is Zipf-skewed — 30% of line rows are remapped onto 8 real hot
-orderkeys with a power-law weight (the hottest key carries ~15% of the
+join key is Zipf-skewed — 50% of line rows are remapped onto 8 real hot
+orderkeys with a power-law weight (the hottest key carries ~38% of the
 whole table). FK validity is preserved (hot keys are existing orders).
 This is the corpus that makes a skew-blind shuffle join degrade to a
 straggler task, so the AQE-skew / salted claims are measured, not
@@ -90,15 +90,15 @@ def main() -> None:
         TO '{out}/orders.parquet' (FORMAT PARQUET)""")
     if zipf:
         # 8 REAL orderkeys as hot targets (FK validity), power-law
-        # weighted: index ~ floor(8 * random^3) puts ~50% of remapped
-        # rows on hot_keys[1]
+        # weighted: index ~ floor(8 * random^8) puts ~77% of remapped
+        # rows on hot_keys[1] (~38% of the whole table on one key)
         hot = [r[0] for r in con.execute(
             f"SELECT o_orderkey FROM {src('orders')} "
             f"ORDER BY o_orderkey LIMIT 8").fetchall()]
         hot_sql = "[" + ", ".join(str(h) for h in hot) + "]"
         key_expr = (
-            f"CASE WHEN random() < 0.3 THEN {hot_sql}["
-            f"1 + CAST(floor(power(random(), 3) * 8) AS INT)] "
+            f"CASE WHEN random() < 0.5 THEN {hot_sql}["
+            f"1 + CAST(floor(power(random(), 8) * 8) AS INT)] "
             f"ELSE l_orderkey + i * {n_ord} END")
     else:
         key_expr = f"l_orderkey + i * {n_ord}"
