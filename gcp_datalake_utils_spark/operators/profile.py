@@ -3,10 +3,12 @@
 The reference is a data-catalog tool: its detection pipeline consumes
 per-column statistics (null rates, distinct counts, ranges) fetched
 via driver-side queries (schema_analyzer sampling paths). This
-operator computes the full per-column profile of a table in ONE scan:
-every analyzer is a partial-aggregated expression in the same
-Aggregate node, so profiling a 100 TB table costs one pass and a
-1-row shuffle — never an analyzer-per-scan loop.
+operator family computes the full per-column profile of a table
+without ever multiplying rows: ``profile_orders`` is the one-wide-
+aggregate exact twin; ``profile_orders_fast`` unions per-COLUMN
+two-stage aggregates (column-pruned scans read the same total bytes
+as one wide scan — see its docstring for the Expand-cost measurement);
+``profile_orders_approx`` is the sketch-based monitoring variant.
 
 Output is long-form (one row per column): completeness, exact
 distinct cardinality, and type-appropriate min/max (numerics and

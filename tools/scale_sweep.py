@@ -30,22 +30,27 @@ def main() -> None:
     out = {}
     for name in names:
         fn = qr.QUERIES[name]
-        n_rows = fn(spark, sf_dir).count()  # warm-up; sizes the run
-        small = n_rows <= COLLECT_CAP
-        times = []
-        for _ in range(n):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            if small:
-                df.collect()
-            else:
-                # NOT count(): Catalyst eliminates row-preserving
-                # joins/projections under count, so count-mode would
-                # time a parquet row-count, not the operator. The noop
-                # sink forces every row and column to materialize.
-                df.write.format("noop").mode("overwrite").save()
-            times.append(time.time() - t0)
-        out[name] = round(statistics.median(times), 3)
+        try:
+            n_rows = fn(spark, sf_dir).count()  # warm-up; sizes the run
+            small = n_rows <= COLLECT_CAP
+            times = []
+            for _ in range(n):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                if small:
+                    df.collect()
+                else:
+                    # NOT count(): Catalyst eliminates row-preserving
+                    # joins/projections under count, so count-mode would
+                    # time a parquet row-count, not the operator. The
+                    # noop sink forces every row+column to materialize.
+                    df.write.format("noop").mode("overwrite").save()
+                times.append(time.time() - t0)
+            out[name] = round(statistics.median(times), 3)
+            print(f"  {name}: {out[name]}s", file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 — long sweeps must survive
+            out[name] = None
+            print(f"  {name}: FAILED {e}", file=sys.stderr, flush=True)
     print(json.dumps({"sf_dir": sf_dir, "runs": n, "spark": out,
                       "loadavg": list(os.getloadavg())}))
 
