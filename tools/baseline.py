@@ -63,6 +63,16 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{name}.parquet')")
+    # mirror the Spark loader's adaptive events-ts normalization
+    # (sources/registry.py event_ts_to_micros): tools/gen_scale.py
+    # corpora store ts as BIGINT nanos, which plain
+    # `CAST(ts AS TIMESTAMP)` oracles cannot cast in DuckDB.
+    ts_type = con.execute(
+        "SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+    if ts_type and ts_type[0] == "BIGINT":
+        con.execute("CREATE OR REPLACE VIEW events AS "
+                    "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM read_parquet('{SF_DIR}/events.parquet')")
     only = sys.argv[1:]
     per_query = {}
     for name in (only or HEADLINE):
