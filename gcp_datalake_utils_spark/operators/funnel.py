@@ -2,18 +2,23 @@
 matching over the event stream (view -> click -> purchase), the
 analytics op behind every conversion dashboard.
 
-Plan shape (the scalable funnel idiom — cascading conditional-min
-joins, NOT per-user event collection):
+Plan shape (round 7 rework — single-shuffle conditional-min window
+cascade, NOT per-user event collection and NOT per-step joins):
 
-    step k frame = events of type k, equi-joined to the step k-1 frame
-    on user_id, kept if ts lands in (t_{k-1}, t_{k-1} + horizon],
-    min(ts) per user.
+    one scan (event_type IN steps pushed to parquet) -> ONE Exchange
+    on user_id -> one local sort -> k chained Window nodes, each
+    computing t_k = min(ts WHERE type = step_k AND t_{k-1} < ts <=
+    t_{k-1} + horizon) over the user partition -> per-user dedup
+    (HashAggregate, no new Exchange: already user-partitioned) ->
+    one global 1-row count aggregate -> 3-row explode.
 
-Each step shuffles only that step's event subtype keyed by user_id
-(filter pushed to the scan), and per-user state is ONE timestamp —
-never a collected event array, which at 100 TB would make a power-user
-row arbitrarily wide. The final readout is three single-row aggregates
-plus a 3-row window — driver-free.
+The r4 shape joined each step's frame back to the previous stage
+(3 scans of events + 2 join shuffles + 3 aggregation branches); at
+sf10 that measured 8.5 s vs 0.27 s DuckDB. The cascade shuffles the
+event table ONCE, and each subsequent window reuses the partitioning
+and ordering (zero extra Exchange/Sort — plan-guarded). Per-user
+state is still k timestamps, never a collected event array, so a
+power user cannot make a row arbitrarily wide at 100 TB.
 
 Semantics: earliest qualifying chain (first view, then the first click
 within the horizon after it, then the first purchase within the
@@ -42,36 +47,40 @@ HORIZON_HOURS = 72
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] (step, step_name, n_users, conv_from_prev, conv_from_first)
     for the view->click->purchase funnel with a 72 h per-step horizon."""
-    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    e = (load_events(spark, sf_dir)
+         .select("user_id", "event_type", "ts")
+         .where(F.col("event_type").isin(FUNNEL_STEPS)))
     horizon = F.expr(f"INTERVAL {HORIZON_HOURS} HOURS")
-    prev = None
-    counts = []
+    w = Window.partitionBy("user_id")
+    df = e
     for i, step in enumerate(FUNNEL_STEPS):
-        cur = e.where(F.col("event_type") == step)
-        if prev is not None:
-            cur = (cur.join(prev, "user_id")
-                   .where((F.col("ts") > F.col("t_prev"))
-                          & (F.col("ts") <= F.col("t_prev") + horizon)))
-        stage = (cur.groupBy("user_id")
-                 .agg(F.min("ts").alias("t_prev")))
-        counts.append(stage.agg(
+        cond = F.col("event_type") == step
+        if i > 0:
+            t_prev = F.col(f"t{i}")
+            cond = (cond & (F.col("ts") > t_prev)
+                    & (F.col("ts") <= t_prev + horizon))
+        df = df.withColumn(
+            f"t{i + 1}", F.min(F.when(cond, F.col("ts"))).over(w))
+    # one row per user (HashAggregate on the existing user_id
+    # partitioning — no new Exchange), then ONE 1-row global count
+    per_user = df.groupBy("user_id").agg(
+        *[F.max(f"t{i + 1}").alias(f"t{i + 1}")
+          for i in range(len(FUNNEL_STEPS))])
+    counts = per_user.agg(
+        *[F.count(f"t{i + 1}").alias(f"n{i + 1}")
+          for i in range(len(FUNNEL_STEPS))])
+    rows = []
+    for i, step in enumerate(FUNNEL_STEPS):
+        n, prev_n, first_n = (F.col(f"n{i + 1}").cast("long"),
+                              F.col(f"n{max(i, 1)}"), F.col("n1"))
+        rows.append(F.struct(
             F.lit(i + 1).alias("step"),
             F.lit(step).alias("step_name"),
-            F.count("*").alias("n_users")))
-        prev = stage
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    first_n = F.first("n_users").over(
-        Window.orderBy("step").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing))
-    prev_n = F.coalesce(
-        F.lag("n_users").over(Window.orderBy("step")),
-        F.col("n_users"))
-    return out.select(
-        "step", "step_name", "n_users",
-        F.round(F.col("n_users") / prev_n, 6).alias("conv_from_prev"),
-        F.round(F.col("n_users") / first_n, 6).alias("conv_from_first"))
+            n.alias("n_users"),
+            F.round(n / prev_n, 6).alias("conv_from_prev"),
+            F.round(n / first_n, 6).alias("conv_from_first")))
+    return (counts.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.*"))
 
 
 def _steps_sql() -> str:

@@ -296,12 +296,21 @@ def test_prefix_filter_no_product_and_pruned(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_funnel_steps_filter_pushed(spark, sf_dir):
-    """Each funnel stage must push its event_type filter to the scan."""
+def test_funnel_single_shuffle_cascade(spark, sf_dir):
+    """The r7 funnel is a single-shuffle window cascade: ONE events
+    scan with the step-type IN filter pushed, ONE hash Exchange on
+    user_id feeding every Window node and the per-user dedup (the only
+    other Exchange is the 1-row SinglePartition count), and exactly
+    one Sort (each chained Window reuses the partitioning+ordering)."""
     from gcp_datalake_utils_spark.operators import funnel
     plan = _formatted_plan(funnel.funnel_conversion(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert plan.count("EqualTo(event_type") >= len(funnel.FUNNEL_STEPS)
+    assert "In(event_type" in plan
+    assert plan.count("ReadSchema:") == 1  # ONE parquet scan
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("Arguments: SinglePartition") == 1
+    assert plan.count("ASC NULLS FIRST], false, 0") == 1  # one Sort
+    assert plan.count("windowspecdefinition") == len(funnel.FUNNEL_STEPS)
 
 
 def test_paragraph_dedup_hash_keyed_window(spark, sf_dir):
