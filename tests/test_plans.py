@@ -401,3 +401,24 @@ def test_bucketed_revenue_fact_join_has_no_exchange(spark, sf_dir):
     import re
     shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert all(c in ("r_name", "n_name") for c in shuffles), shuffles
+
+
+def test_pmi_gram_kernel_shape(spark, sf_dir):
+    """The r7 PMI plan: vocab-filtered hits never self-join (no doc_id
+    exchange anywhere), pair counting goes through the Arrow Gram
+    kernel (MapInPandas), and the only hash exchanges carry term df
+    partials and the <=V*(V-1)/2 pair keys. At runtime the canonical
+    vocab_row broadcast is computed once (ReusedExchange)."""
+    from gcp_datalake_utils_spark.llm import collocations
+    df = collocations.pmi_collocations(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" not in plan  # r4 self-join shape
+    import re
+    shuffles = {m for m in re.findall(
+        r"Exchange hashpartitioning\((\w+)", plan)}
+    assert shuffles <= {"term", "i"}, shuffles
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final  # one vocab computation, not two
