@@ -257,3 +257,34 @@ def test_pmi_collocations_invariants(spark, sf_dir):
     for r in rows:
         assert r.term_a < r.term_b
         assert r.n_docs_both <= min(r.df_a, r.df_b)
+
+
+def test_pmi_gram_kernel_matches_bruteforce():
+    """The Arrow Gram kernel's pair counts must equal brute-force
+    within-doc pair enumeration for random index sets — including
+    multi-batch accumulation and empty batches."""
+    import itertools
+    import random
+    from collections import Counter
+
+    import pandas as pd
+
+    from gcp_datalake_utils_spark.llm import collocations as co
+
+    rng = random.Random(7)
+    docs = [sorted(rng.sample(range(co.COLLOC_VOCAB),
+                              rng.randint(2, co.COLLOC_VOCAB)))
+            for _ in range(200)]
+    expected = Counter()
+    for idx in docs:
+        for i, j in itertools.combinations(idx, 2):
+            expected[(i, j)] += 1
+    # split into uneven batches with one empty frame in the middle
+    batches = [pd.DataFrame({"idx": docs[:37]}),
+               pd.DataFrame({"idx": []}),
+               pd.DataFrame({"idx": docs[37:]})]
+    got = Counter()
+    for out in co._gram_counts(iter(batches)):
+        for r in out.itertuples(index=False):
+            got[(r.i, r.j)] += int(r.c)
+    assert got == expected
