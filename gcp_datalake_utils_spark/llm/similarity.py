@@ -145,10 +145,36 @@ N_DIMS = 64
 _PA, _PB, _PM = 73856093, 19349663, 97
 
 
-def _plane_sign_sql(j: int, d: str) -> str:
-    # +1 / -1 from integer hashing of (plane, dim) — engine-agnostic
-    return (f"CASE WHEN (({j * _PA} + CAST({d} AS BIGINT) * {_PB})"
+def _plane_sign_sql_expr(j_expr: str, d_expr: str) -> str:
+    # +1 / -1 from integer hashing of (plane, dim) — engine-agnostic.
+    # r7 fix: the original linear hash parity((j*PA + d*PB) % 97) had
+    # step PB % 97 = 6 (EVEN), so each plane's coefficients were runs
+    # of ~16 equal signs with 4 flips across 64 dims, and planes were
+    # shifts of one pattern — signatures collapsed onto a tiny key
+    # subspace (measured: 6885/20480 occupied band keys, max block
+    # 7003, 3.42e9 candidate pairs at sf10 on UNIFORM vectors; the
+    # ideal is ~78/block). The quadratic term k^2 (k = j*D + d) breaks
+    # the shift/step structure: occupied keys 688 -> 2048 (all), max
+    # block 6857 -> 233, candidate mass 46x smaller on a 20k-vector
+    # uniform control, while planted-pair recall at cosine 0.95 stays
+    # at the theoretical 98.8%. k <= 4095 so k*k*PA < 2^63 in BIGINT.
+    k = f"(CAST({j_expr} AS BIGINT) * {N_DIMS} + CAST({d_expr} AS BIGINT))"
+    return (f"CASE WHEN (({k} * {k} * {_PA} + {k} * {_PB})"
             f" % {_PM}) % 2 = 0 THEN 1.0 ELSE -1.0 END")
+
+
+def _plane_sign_sql(j: int, d: str) -> str:
+    return _plane_sign_sql_expr(str(j), d)
+
+
+def _plane_matrix(n_planes: int):
+    """The same ±1 plane matrix for the numpy (Arrow-kernel) twins —
+    bit-identical to the SQL hash above (pytest-asserted)."""
+    import numpy as np
+    j = np.arange(n_planes, dtype=np.int64)[:, None]
+    d = np.arange(N_DIMS, dtype=np.int64)[None, :]
+    k = j * N_DIMS + d
+    return np.where(((k * k * _PA + k * _PB) % _PM) % 2 == 0, 1.0, -1.0)
 
 
 def _bucket_spark(col: str):
@@ -160,9 +186,7 @@ CAST(aggregate(transform(sequence(0, {N_PLANES - 1}), j ->
   CASE WHEN round(aggregate(
       zip_with({col}, sequence(0, {N_DIMS - 1}),
         (x, d) -> CAST(x AS DOUBLE) *
-          (CASE WHEN (({_PA} * CAST(j AS BIGINT)
-                       + CAST(d AS BIGINT) * {_PB}) % {_PM}) % 2 = 0
-                THEN 1.0 ELSE -1.0 END)),
+          ({_plane_sign_sql_expr('j', 'd')})),
       CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6) >= 0
   THEN shiftleft(1, j) ELSE 0 END), 0, (acc, x) -> acc + x) AS INT)""")
 
@@ -197,9 +221,7 @@ def _with_bucket64_arrow(e: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    planes = np.array(
-        [[1.0 if ((_PA * j + d * _PB) % _PM) % 2 == 0 else -1.0
-          for d in range(N_DIMS)] for j in range(64)])
+    planes = _plane_matrix(64)
     w_lo = (1 << np.arange(32, dtype=np.int64))
     w_hi = (1 << np.arange(32, dtype=np.int64))
 
@@ -300,9 +322,7 @@ def _with_bucket16_arrow(e: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    planes = np.array(
-        [[1.0 if ((_PA * j + d * _PB) % _PM) % 2 == 0 else -1.0
-          for d in range(N_DIMS)] for j in range(N_PLANES)])
+    planes = _plane_matrix(N_PLANES)
     weights = (1 << np.arange(N_PLANES)).astype(np.int64)
 
     def bucketize(batches):
@@ -342,18 +362,32 @@ GROUP BY 1
 """
 
 
+RP_PROBE_BITS = 8  # ANN probe bucket = low 8 bits of the signature
+_RP_PROBE_MASK = (1 << RP_PROBE_BITS) - 1
+
+
 def rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[Q] multi-probe LSH ANN: candidates = rows whose bucket equals the
-    query's bucket OR any hamming-1 probe of it (17 probe keys exploded
-    from the broadcast query row -> equi-join on bucket, partition-
-    prunable at scale); exact cosine + TakeOrdered top-k over the
-    candidate set only. Signatures come from the Arrow bucketizer
-    (same buckets as the JVM fold, ~7x cheaper — see
-    ``_with_bucket16_arrow``)."""
-    e = _with_bucket16_arrow(load_table(spark, sf_dir, "embeddings"))
+    """[Q] multi-probe LSH ANN: candidates = rows whose PROBE bucket
+    (the low 8 bits of the 16-plane signature) equals the query's or
+    any hamming-1 probe of it (9 probe keys exploded from the
+    broadcast query row -> equi-join on bucket, partition-prunable at
+    scale); exact cosine + TakeOrdered top-k over the candidate set
+    only. Signatures come from the Arrow bucketizer (same buckets as
+    the JVM fold, ~7x cheaper — see ``_with_bucket16_arrow``).
+
+    Probe width is a density knob DECOUPLED from the signature width
+    (r7): with the fixed plane-hash (see ``_plane_sign_sql_expr``)
+    signatures actually fill the 16-bit space, so probing full
+    signatures returns nothing on corpora smaller than ~2^16 vectors;
+    8-bit probe buckets keep ~n/256 vectors per bucket at every test
+    SF, and at larger corpora the knob widens (more bits) rather than
+    the plan changing shape."""
+    e = (_with_bucket16_arrow(load_table(spark, sf_dir, "embeddings"))
+         .withColumn("bucket",
+                     F.col("bucket").bitwiseAND(F.lit(_RP_PROBE_MASK))))
     probes = [F.col("q_bucket")] + [
         F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
-        for j in range(N_PLANES)]
+        for j in range(RP_PROBE_BITS)]
     q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
          .select(F.col("embedding").alias("q_embedding"),
                  F.col("bucket").alias("q_bucket"))
@@ -368,12 +402,12 @@ def rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 RP_LSH_TOPK_ORACLE = f"""
 WITH sig AS (
   SELECT vec_id, label, embedding,
-         {_bucket_duck('embedding')} AS bucket
+         {_bucket_duck('embedding')} & {_RP_PROBE_MASK} AS bucket
   FROM embeddings
 ),
 q AS (
   SELECT embedding, unnest([bucket] || list_transform(
-           range({N_PLANES}), j -> xor(bucket, 1 << j))) AS bucket
+           range({RP_PROBE_BITS}), j -> xor(bucket, 1 << j))) AS bucket
   FROM sig WHERE vec_id = {QUERY_VEC_ID}
 ),
 scored AS (
@@ -766,13 +800,17 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe bucket keys; ONE equi-join on bucket matches all
     queries against the corpus simultaneously (no per-query scan — the
     classic batching win), then a per-query window keeps top-K. The
-    probe side is |queries| x 17 rows -> broadcast; the corpus side is
+    probe side is |queries| x 9 rows -> broadcast; the corpus side is
     scanned once regardless of batch size. Signatures come from the
-    Arrow bucketizer (identical buckets, ~7x cheaper)."""
-    e = _with_bucket16_arrow(load_table(spark, sf_dir, "embeddings"))
+    Arrow bucketizer (identical buckets, ~7x cheaper). Probes key on
+    the 8-bit density knob, not the raw signature — see
+    ``rp_lsh_topk``."""
+    e = (_with_bucket16_arrow(load_table(spark, sf_dir, "embeddings"))
+         .withColumn("bucket",
+                     F.col("bucket").bitwiseAND(F.lit(_RP_PROBE_MASK))))
     probes = [F.col("q_bucket")] + [
         F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
-        for j in range(N_PLANES)]
+        for j in range(RP_PROBE_BITS)]
     q = (e.where(F.col("vec_id") < N_BATCH_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_embedding"),
@@ -797,7 +835,7 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 BATCH_ANN_TOPK_ORACLE = f"""
 WITH sig AS (
   SELECT vec_id, label, embedding,
-         {_bucket_duck('embedding')} AS bucket
+         {_bucket_duck('embedding')} & {_RP_PROBE_MASK} AS bucket
   FROM embeddings
 ),
 q AS (
@@ -805,7 +843,7 @@ q AS (
   FROM (
     SELECT vec_id, embedding,
            unnest([bucket] || list_transform(
-             range({N_PLANES}), j -> xor(bucket, 1 << j))) AS probe
+             range({RP_PROBE_BITS}), j -> xor(bucket, 1 << j))) AS probe
     FROM sig WHERE vec_id < {N_BATCH_QUERIES}
   )
 ),
@@ -862,10 +900,8 @@ def _bucket64_exploded(e: DataFrame) -> DataFrame:
     base = e.select("vec_id", "label", "embedding",
                     F.posexplode("embedding").alias("d", "x"))
     projs = [F.expr(
-        f"sum(CAST(x AS DOUBLE) * (CASE WHEN "
-        f"(({j * _PA} + CAST(d AS BIGINT) * {_PB}) % {_PM}) % 2 = 0 "
-        f"THEN 1.0 ELSE -1.0 END))").alias(f"_p{j}")
-        for j in range(2 * 32)]
+        f"sum(CAST(x AS DOUBLE) * ({_plane_sign_sql(j, 'd')}))")
+        .alias(f"_p{j}") for j in range(2 * 32)]
     agg = base.groupBy("vec_id", "label", "embedding").agg(*projs)
 
     def _pack_sql(offset: int) -> str:

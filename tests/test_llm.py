@@ -90,18 +90,21 @@ def test_shingles_short_docs_empty(spark):
 
 
 def test_rp_lsh_candidates_within_probe_distance(spark, sf_dir):
-    """Every LSH ANN candidate must share the query bucket up to hamming
-    distance 1 (the multi-probe radius), and ranks must follow cosine."""
+    """Every LSH ANN candidate must share the query PROBE bucket (the
+    low RP_PROBE_BITS of the signature) up to hamming distance 1 (the
+    multi-probe radius), and ranks must follow cosine."""
     from pyspark.sql import functions as F
+    mask = similarity._RP_PROBE_MASK
     e = (similarity.load_table(spark, sf_dir, "embeddings")
          .withColumn("bucket", similarity._bucket_spark("embedding")))
     q_bucket = e.where(
         F.col("vec_id") == similarity.QUERY_VEC_ID).collect()[0].bucket
     buckets = {r.vec_id: r.bucket for r in e.collect()}
     rows = similarity.rp_lsh_topk(spark, sf_dir).collect()
-    assert rows, "query bucket should contain at least one neighbor"
+    assert rows, "query probe bucket should contain at least one neighbor"
     for r in rows:
-        ham = bin(buckets[r.vec_id] ^ q_bucket).count("1")
+        ham = bin((buckets[r.vec_id] & mask) ^ (q_bucket & mask)) \
+            .count("1")
         assert ham <= 1, f"vec {r.vec_id} at hamming {ham}"
     cosines = [r.cosine for r in rows]
     assert cosines == sorted(cosines, reverse=True)
