@@ -106,6 +106,7 @@ HEADLINE = [
     # scale, constant-time)
     "repetition_flags_arrow",
     "profile_orders_approx",
+    "kmeans_iterate_arrow",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -130,6 +130,84 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank").cast("int").alias("rank")))
 
 
+# --- Arrow-scored Lloyd's k-means (driver-coordinated iterations) ------
+
+
+def _assign_arrow(e: DataFrame, cent_rows) -> DataFrame:
+    """Assignment step as one numpy GEMM per Arrow batch against the
+    collected centroid matrix (K x D closure constant — the same
+    driver-coordinated shape MLlib's KMeans uses: the model state is
+    K*D floats, never a join). Cosine rounded to 6 before the argmax
+    (the repo-wide cross-engine float contract); centroid ids sorted
+    ascending so numpy's first-max argmax breaks ties to the lowest
+    cluster exactly like the JVM struct-max and the oracle's
+    ORDER BY cosine DESC, cluster."""
+    order = sorted(range(len(cent_rows)),
+                   key=lambda i: cent_rows[i]["cluster"])
+    ids = np.array([cent_rows[i]["cluster"] for i in order],
+                   dtype=np.int32)
+    cm = np.stack([np.asarray(cent_rows[i]["centroid"],
+                              dtype=np.float64) for i in order])
+    cn = np.sqrt((cm * cm).sum(axis=1))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cos = np.round(
+                (m @ cm.T)
+                / (np.sqrt((m * m).sum(axis=1))[:, None] * cn[None, :]),
+                6)
+            best = cos.argmax(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "cluster": ids[best],
+                "cosine": cos[np.arange(len(best)), best],
+            })
+
+    return (e.select("vec_id", "embedding")
+            .mapInPandas(assign, "vec_id long, cluster int, cosine double"))
+
+
+def kmeans_iterate_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] Lloyd's k-means, Arrow-assignment twin of
+    similarity.kmeans_iterate (same oracle — identical result by
+    construction).
+
+    Two structural changes, same math:
+    1. assignment scores via numpy GEMM instead of the interpreted
+       zip_with/aggregate folds (the documented 3-5x Arrow-kernel win
+       class) and emits the per-vector argmax IN-ROW — no K-row
+       fan-out, no groupBy shuffle;
+    2. each iteration's centroids are COLLECTED to the driver (K x D
+       floats — model state, not data) and re-enter as a closure
+       constant. The declarative chain instead re-executes every
+       prior iteration inside each broadcast build (no DataFrame-level
+       CSE), which multiplies the fold cost ~2-3x at KMEANS_ITERS=2
+       and grows with the iteration count.
+
+    The M-step stays JVM-side (`similarity._update_centroids`): its
+    DECIMAL(18,7) component sums are exact/order-independent, which
+    numpy cannot replicate bit-for-bit (HALF_EVEN vs HALF_UP on real
+    representable ties), and its shuffle is already partial-aggregated
+    to |clusters| x |dims| rows per partition."""
+    from gcp_datalake_utils_spark.llm.similarity import (
+        KMEANS_ITERS,
+        N_CLUSTERS,
+        _update_centroids,
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (e.orderBy("vec_id").limit(N_CLUSTERS)
+             .select(F.col("vec_id").cast("int").alias("cluster"),
+                     F.col("embedding").alias("centroid"))
+             .collect())
+    for _ in range(KMEANS_ITERS):
+        assign = _assign_arrow(e, cents)
+        cents = _update_centroids(e, assign).collect()
+    return _assign_arrow(e, cents)
+
+
 def _wjac_sql() -> str:
     pair = "list_zip(e.embedding, q.embedding)"
     sq1 = "CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE)"

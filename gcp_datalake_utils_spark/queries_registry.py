@@ -80,6 +80,8 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 #       first: the revenue_by_nation family incl. the bucketed twin,
 #       profile_orders, paragraph_dedup, kmeans_iterate, the funnel
 #       pair, sketches).
+# Late-r7 addition: kmeans_iterate_arrow joined block A, sliding
+# simhash64 (r4-green) just past the 50-slot window.
 # Rotated-out entries keep their prior driver greens (r4 or r6);
 # tools/check.py always runs ALL entries.
 # ---------------------------------------------------------------------------
@@ -100,6 +102,8 @@ from gcp_datalake_utils_spark.formatters import layout as fmt_layout  # noqa: E4
 from gcp_datalake_utils_spark.rules import compiler as rules_compiler  # noqa: E402
 
 # --- block A: NEW / plan-changed in round 7 -------------------------------
+register("kmeans_iterate_arrow", similarity_arrow.kmeans_iterate_arrow,
+         similarity.KMEANS_ITERATE_ORACLE)
 register("repetition_flags_arrow", text.repetition_flags_arrow,
          text.REPETITION_FLAGS_ORACLE)
 register("force_layout_coords",

@@ -86,3 +86,27 @@ def test_profile_orders_approx_no_expand(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
     assert "SortAggregate" not in plan
+
+
+def test_kmeans_arrow_bit_identical_to_jvm(spark, sf_dir):
+    """The Arrow-assignment k-means must return the identical
+    (vec_id, cluster, cosine) table as the declarative JVM chain —
+    same centroids at every iteration, same final argmax."""
+    from gcp_datalake_utils_spark.llm import similarity, similarity_arrow
+    jvm = _sorted_rows(similarity.kmeans_iterate(spark, sf_dir))
+    arrow = _sorted_rows(
+        similarity_arrow.kmeans_iterate_arrow(spark, sf_dir))
+    assert len(jvm) == len(arrow) > 0
+    assert jvm == arrow
+
+
+def test_kmeans_arrow_final_plan_shape(spark, sf_dir):
+    """The returned plan is ONE Arrow pass over the corpus: no
+    centroid crossJoin fan-out, no argmax groupBy exchange, no
+    broadcast chain (iterations already ran driver-coordinated)."""
+    from gcp_datalake_utils_spark.llm import similarity_arrow
+    plan = similarity_arrow.kmeans_iterate_arrow(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
