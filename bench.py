@@ -107,6 +107,7 @@ HEADLINE = [
     "repetition_flags_arrow",
     "profile_orders_approx",
     "kmeans_iterate_arrow",
+    "lm_doc_scores_arrow",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -138,6 +138,102 @@ FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Broadcast-model Arrow twin. lm_doc_scores above is the TRAIN-on-corpus
+# shape (spillable JVM partial aggregates — the right trainer when the
+# bigram table is ~1e8 rows at 100 TB). This twin is the SCORING shape
+# production actually runs: CCNet ships a pre-trained KenLM model file to
+# every worker and scores documents in one narrow pass. Here the "model"
+# (bigram -> round-9 logprob, vocabulary-sized) is trained in one Arrow
+# partial-count pass, assembled driver-side, and re-enters the scoring
+# kernel as a closure constant — two corpus scans, zero joins, zero
+# corpus-sized exchanges, vs the declarative chain's three explode passes
+# plus scoring joins. Bit-compatibility follows text.py's kernel
+# contract: tokenization replicates split(trim(text), ' ') exactly
+# (trim strips ' ' only; literal-space split keeps empty tokens), log
+# probs are rounded to 9 over the shortest-decimal representation
+# (HALF_UP, == Spark's BigDecimal.valueOf path) and summed as exact
+# int64 nano-units — the same order-independent sum as the JVM twin's
+# DECIMAL(28,9).
+# ---------------------------------------------------------------------------
+
+_LM_ARROW_SCHEMA = "doc_id long, n_bigrams long, avg_logprob double"
+
+
+def lm_doc_scores_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] broadcast-model twin of :func:`lm_doc_scores` — identical
+    output, same oracle; pytest asserts bit-identity to the JVM twin."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def partials(batches):
+        bgc: Counter = Counter()
+        words: set = set()
+        for pdf in batches:
+            for text in pdf["text"]:
+                toks = text.strip(" ").split(" ")
+                words.update(toks)
+                bgc.update(zip(toks, toks[1:]))
+        rows = ([(0, w1, w2, c) for (w1, w2), c in bgc.items()]
+                + [(1, w, "", 0) for w in words])
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["kind", "k1", "k2", "c"])
+
+    parts = (d.select("text")
+             .mapInPandas(partials,
+                          "kind long, k1 string, k2 string, c long")
+             .collect())
+    bgc, ctxc, vocab = Counter(), Counter(), set()
+    for r in parts:
+        if r["kind"] == 0:
+            bgc[(r["k1"], r["k2"])] += r["c"]
+            ctxc[r["k1"]] += r["c"]
+        else:
+            vocab.add(r["k1"])
+    v = len(vocab)
+    q9 = Decimal("0.000000001")
+    model = {
+        bg: int(Decimal(repr(math.log((c + 0.5)
+                                      / (ctxc[bg[0]] + 0.5 * v))))
+                .quantize(q9, ROUND_HALF_UP) * 1_000_000_000)
+        for bg, c in bgc.items()}
+
+    def score(batches):
+        q6 = Decimal("0.000001")
+        for pdf in batches:
+            ids, ns, avgs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.strip(" ").split(" ")
+                n = len(toks) - 1
+                if n <= 0:
+                    ids.append(doc_id)
+                    ns.append(0)
+                    avgs.append(None)
+                    continue
+                s = 0
+                for bg in zip(toks, toks[1:]):
+                    s += model[bg]
+                # int64 nano-sum -> double == the JVM's DECIMAL(28,9)
+                # -> double cast (both are the correctly-rounded true
+                # value while |s| << 2^53); round replicates Spark's
+                # shortest-repr HALF_UP.
+                x = (s / 1e9) / n
+                ids.append(doc_id)
+                ns.append(n)
+                avgs.append(float(Decimal(repr(x))
+                                  .quantize(q6, ROUND_HALF_UP)))
+            yield pd.DataFrame({"doc_id": ids, "n_bigrams": ns,
+                                "avg_logprob": avgs})
+
+    return d.mapInPandas(score, _LM_ARROW_SCHEMA)
+
+
 N_QUALITY_BINS = 5
 
 

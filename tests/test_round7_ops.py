@@ -110,3 +110,25 @@ def test_kmeans_arrow_final_plan_shape(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_arrow_bit_identical_to_jvm(spark, sf_dir):
+    """The broadcast-model scorer must return the identical
+    (doc_id, n_bigrams, avg_logprob) table as the join-shaped JVM
+    twin — same tokenization, same round-9 logprobs, same exact sum."""
+    from gcp_datalake_utils_spark.llm import lm
+    jvm = _sorted_rows(lm.lm_doc_scores(spark, sf_dir))
+    arrow = _sorted_rows(lm.lm_doc_scores_arrow(spark, sf_dir))
+    assert len(jvm) == len(arrow) > 0
+    assert jvm == arrow
+
+
+def test_lm_arrow_scoring_plan_is_narrow(spark, sf_dir):
+    """The returned scoring plan is one Arrow pass over documents:
+    no joins, no exchanges (the model already rode in as a closure
+    constant)."""
+    from gcp_datalake_utils_spark.llm import lm
+    plan = lm.lm_doc_scores_arrow(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan and "Join" not in plan
