@@ -108,6 +108,7 @@ HEADLINE = [
     "profile_orders_approx",
     "kmeans_iterate_arrow",
     "lm_doc_scores_arrow",
+    "lm_quality_bins_arrow",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -264,6 +264,28 @@ def lm_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bin"))
 
 
+def lm_quality_bins_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] broadcast-model twin of :func:`lm_quality_bins` — the same
+    ntile binning tail over :func:`lm_doc_scores_arrow`'s scores
+    (bit-identical scores by the twin contract, so identical bins;
+    shares LM_QUALITY_BINS_ORACLE). The corpus cost moves from three
+    explode passes + scoring joins to two narrow Arrow passes; the
+    ntile window is unchanged — one range-partitioned sort of slim
+    doc-level rows."""
+    scores = lm_doc_scores_arrow(spark, sf_dir).where(
+        F.col("avg_logprob").isNotNull())
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("avg_logprob"), "doc_id")
+    binned = scores.withColumn(
+        "bin", F.ntile(N_QUALITY_BINS).over(w).cast("int"))
+    return (binned.groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.round(F.max("avg_logprob"), 6).alias("best_lp"),
+                 F.round(F.min("avg_logprob"), 6).alias("worst_lp"),
+                 F.sum("n_bigrams").cast("long").alias("total_bigrams"))
+            .orderBy("bin"))
+
+
 LM_QUALITY_BINS_ORACLE = f"""
 WITH scores AS ({LM_DOC_SCORES_ORACLE}),
 binned AS (

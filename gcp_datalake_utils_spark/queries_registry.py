@@ -80,8 +80,9 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 #       first: the revenue_by_nation family incl. the bucketed twin,
 #       profile_orders, paragraph_dedup, kmeans_iterate, the funnel
 #       pair, sketches).
-# Late-r7 additions: kmeans_iterate_arrow and lm_doc_scores_arrow
-# joined block A, sliding prefix_filter_pairs and simhash64 (both
+# Late-r7 additions: kmeans_iterate_arrow, lm_doc_scores_arrow and
+# lm_quality_bins_arrow joined block A, sliding
+# events_by_type_two_phase, prefix_filter_pairs and simhash64 (all
 # r4-green) just past the 50-slot window.
 # Rotated-out entries keep their prior driver greens (r4 or r6);
 # tools/check.py always runs ALL entries.
@@ -107,6 +108,8 @@ register("kmeans_iterate_arrow", similarity_arrow.kmeans_iterate_arrow,
          similarity.KMEANS_ITERATE_ORACLE)
 register("lm_doc_scores_arrow", lm.lm_doc_scores_arrow,
          lm.LM_DOC_SCORES_ORACLE)
+register("lm_quality_bins_arrow", lm.lm_quality_bins_arrow,
+         lm.LM_QUALITY_BINS_ORACLE)
 register("repetition_flags_arrow", text.repetition_flags_arrow,
          text.REPETITION_FLAGS_ORACLE)
 register("force_layout_coords",

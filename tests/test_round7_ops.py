@@ -132,3 +132,11 @@ def test_lm_arrow_scoring_plan_is_narrow(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_lm_bins_arrow_bit_identical_to_jvm(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import lm
+    jvm = _sorted_rows(lm.lm_quality_bins(spark, sf_dir))
+    arrow = _sorted_rows(lm.lm_quality_bins_arrow(spark, sf_dir))
+    assert len(jvm) == len(arrow) > 0
+    assert jvm == arrow
