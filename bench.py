@@ -109,6 +109,7 @@ HEADLINE = [
     "kmeans_iterate_arrow",
     "lm_doc_scores_arrow",
     "lm_quality_bins_arrow",
+    "value_percentiles_approx",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -394,6 +394,29 @@ GROUP BY event_type
 """
 
 
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] sketch twin of :func:`value_percentiles` — the monitoring
+    configuration at 100 TB. Exact ``percentile`` buffers every
+    group's values in the aggregation state (unbounded — a hot
+    event_type at corpus scale holds its whole value column in one
+    task); ``approx_percentile`` keeps a Greenwald-Khanna summary:
+    bounded state, mergeable map-side, error <= 1/accuracy of rank.
+    Rows-only driver check (the sketch is engine-specific — DuckDB's
+    approx_quantile is a different t-digest); pytest bounds the twin
+    against the exact anchor instead, the same contract as
+    profile_orders_approx."""
+    e = load_events(spark, sf_dir)
+    acc = F.lit(10_000)
+    return e.groupBy("event_type").agg(
+        F.round(F.approx_percentile("value", F.lit(0.5), acc), 6)
+        .alias("p50"),
+        F.round(F.approx_percentile("value", F.lit(0.95), acc), 6)
+        .alias("p95"),
+        F.round(F.approx_percentile("value", F.lit(0.99), acc), 6)
+        .alias("p99"),
+        F.count("*").alias("n"))
+
+
 def audit_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] S9/U3: the restore script's ±1-day audit-log discovery
     (``restore_dataset.sh:94-135``) over events: who acted in the window

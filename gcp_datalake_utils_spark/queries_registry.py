@@ -110,6 +110,8 @@ register("lm_doc_scores_arrow", lm.lm_doc_scores_arrow,
          lm.LM_DOC_SCORES_ORACLE)
 register("lm_quality_bins_arrow", lm.lm_quality_bins_arrow,
          lm.LM_QUALITY_BINS_ORACLE)
+register("value_percentiles_approx", payload.value_percentiles_approx,
+         None)
 register("repetition_flags_arrow", text.repetition_flags_arrow,
          text.REPETITION_FLAGS_ORACLE)
 register("force_layout_coords",

@@ -140,3 +140,30 @@ def test_lm_bins_arrow_bit_identical_to_jvm(spark, sf_dir):
     arrow = _sorted_rows(lm.lm_quality_bins_arrow(spark, sf_dir))
     assert len(jvm) == len(arrow) > 0
     assert jvm == arrow
+
+
+def test_value_percentiles_approx_rank_bracket(spark, sf_dir):
+    """The GK sketch's contract is RANK error, not value error (it
+    returns an actual data value; the exact anchor interpolates, so
+    value-space gaps on sparse tails are expected). Assert each
+    approx percentile lies between the exact interpolated percentiles
+    at p +/- 0.02 rank — far wider than the sketch's 1e-4 bound but
+    tight enough to catch a wrong quantile."""
+    from pyspark.sql import functions as F
+    from gcp_datalake_utils_spark.operators import payload
+    from gcp_datalake_utils_spark.sources import load_events
+    e = load_events(spark, sf_dir)
+    brackets = {r["event_type"]: r for r in e.groupBy("event_type").agg(
+        *[F.percentile("value", F.lit(p)).alias(f"q{int(p*10000)}")
+          for p in (0.48, 0.52, 0.93, 0.97, 0.975)],
+        F.max("value").alias("qmax")).collect()}
+    rows = payload.value_percentiles_approx(spark, sf_dir).collect()
+    exact_n = {r["event_type"]: r["n"]
+               for r in payload.value_percentiles(spark, sf_dir).collect()}
+    assert len(rows) == len(brackets) > 0
+    for r in rows:
+        b = brackets[r["event_type"]]
+        assert r["n"] == exact_n[r["event_type"]]
+        assert b["q4800"] - 1e-9 <= r["p50"] <= b["q5200"] + 1e-9
+        assert b["q9300"] - 1e-9 <= r["p95"] <= b["q9700"] + 1e-9
+        assert b["q9750"] - 1e-9 <= r["p99"] <= b["qmax"] + 1e-9
