@@ -110,6 +110,7 @@ HEADLINE = [
     "lm_doc_scores_arrow",
     "lm_quality_bins_arrow",
     "value_percentiles_approx",
+    "embedding_quantize_arrow",
 ]
 
 # results larger than this row count are executed via the noop sink

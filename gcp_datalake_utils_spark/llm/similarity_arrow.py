@@ -208,6 +208,74 @@ def kmeans_iterate_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _assign_arrow(e, cents)
 
 
+# --- Arrow int8 quantizer (twin of similarity.embedding_quantize) ------
+
+_QUANT_SCHEMA = ("vec_id long, label int, scale double, q8 string, "
+                 "recon_err double")
+
+
+def embedding_quantize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] Arrow twin of :func:`similarity.embedding_quantize` —
+    identical grid, same oracle. The JVM plan is narrow and
+    shuffle-free but spends its time in interpreted transform/zip_with
+    lambdas (3 per row over 64 elements); this kernel vectorizes the
+    whole batch in numpy while replicating the JVM semantics exactly:
+
+    - q = round(x / scale) is HALF_UP over the value's decimal
+      representation; numpy's rint is HALF_EVEN, so exact .5 ties
+      (they exist: any element at absmax/2 lands on one) are detected
+      with ``y - floor(y) == 0.5`` and re-rounded away from zero;
+    - the reconstruction sum accumulates column-by-column in the same
+      sequential order as the JVM ``aggregate`` fold (numpy's pairwise
+      axis-sum would differ in final ulps);
+    - scale / recon_err round to 6 via the shortest-decimal HALF_UP
+      contract (Decimal(repr(x))).
+    Bit-identity to the JVM twin is pytest-guarded."""
+    import numpy as np  # noqa: F401 (module-level import reused)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q6 = Decimal("0.000001")
+
+    def r6s(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q6, ROUND_HALF_UP))
+
+    def quant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            scale = np.abs(m).max(axis=1) / 127.0
+            live = scale > 1e-30
+            safe = np.where(live, scale, 1.0)
+            y = m / safe[:, None]
+            q = np.rint(y)
+            ties = (y - np.floor(y)) == 0.5
+            if ties.any():
+                q = np.where(ties, np.where(y > 0, np.floor(y) + 1.0,
+                                            np.floor(y)), q)
+            q = np.clip(q, -127.0, 127.0)
+            q[~live, :] = 0.0
+            qi = q.astype(np.int64)
+            r = m - q * scale[:, None]
+            sq = r * r
+            acc = np.zeros(len(m), dtype=np.float64)
+            for j in range(sq.shape[1]):  # JVM fold order, exactly
+                acc = acc + sq[:, j]
+            err = np.sqrt(acc)
+            import pandas as pd
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf["label"].astype("int32"),
+                "scale": [r6s(float(s)) for s in scale],
+                "q8": [",".join(map(str, row)) for row in qi],
+                "recon_err": [r6s(float(v)) for v in err],
+            })
+
+    return (e.select("vec_id", "label", "embedding")
+            .mapInPandas(quant, _QUANT_SCHEMA))
+
+
 def _wjac_sql() -> str:
     pair = "list_zip(e.embedding, q.embedding)"
     sq1 = "CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE)"

@@ -112,6 +112,9 @@ register("lm_quality_bins_arrow", lm.lm_quality_bins_arrow,
          lm.LM_QUALITY_BINS_ORACLE)
 register("value_percentiles_approx", payload.value_percentiles_approx,
          None)
+register("embedding_quantize_arrow",
+         similarity_arrow.embedding_quantize_arrow,
+         similarity.EMBEDDING_QUANTIZE_ORACLE)
 register("repetition_flags_arrow", text.repetition_flags_arrow,
          text.REPETITION_FLAGS_ORACLE)
 register("force_layout_coords",

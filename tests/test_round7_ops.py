@@ -167,3 +167,13 @@ def test_value_percentiles_approx_rank_bracket(spark, sf_dir):
         assert b["q4800"] - 1e-9 <= r["p50"] <= b["q5200"] + 1e-9
         assert b["q9300"] - 1e-9 <= r["p95"] <= b["q9700"] + 1e-9
         assert b["q9750"] - 1e-9 <= r["p99"] <= b["qmax"] + 1e-9
+
+
+def test_quantize_arrow_bit_identical_to_jvm(spark, sf_dir):
+    """Same int8 grid, same recon_err fold, same string form."""
+    from gcp_datalake_utils_spark.llm import similarity, similarity_arrow
+    jvm = _sorted_rows(similarity.embedding_quantize(spark, sf_dir))
+    arrow = _sorted_rows(
+        similarity_arrow.embedding_quantize_arrow(spark, sf_dir))
+    assert len(jvm) == len(arrow) > 0
+    assert jvm == arrow
