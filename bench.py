@@ -111,6 +111,7 @@ HEADLINE = [
     "lm_quality_bins_arrow",
     "value_percentiles_approx",
     "embedding_quantize_arrow",
+    "label_centroids_arrow",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -581,19 +581,26 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Components are rounded to 6 before the cosine so both engines fold
     identical doubles."""
     e = load_table(spark, sf_dir, "embeddings")
-    comp = (e.select("label", F.posexplode("embedding")
-                     .alias("dim", "v"))
-            .groupBy("label", "dim")
-            .agg(_davg6(F.col("v")).alias("c")))
-    cent = (comp.groupBy("label")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                lambda s: s["c"]).alias("centroid")))
+    cent = _label_centroid_table(e)
     cos = F.round(
         _dot(F.col("embedding"), F.col("centroid"))
         / (_norm(F.col("embedding")) * _norm(F.col("centroid"))), 6)
     return (e.join(F.broadcast(cent), "label")
             .select("vec_id", "label", cos.alias("cos_centroid")))
+
+
+def _label_centroid_table(e: DataFrame) -> DataFrame:
+    """(label, centroid): exact-decimal component means, re-assembled
+    with a dims-bounded collect_list. Shared by the JVM cosine pass
+    and the Arrow twin."""
+    comp = (e.select("label", F.posexplode("embedding")
+                     .alias("dim", "v"))
+            .groupBy("label", "dim")
+            .agg(_davg6(F.col("v")).alias("c")))
+    return (comp.groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"]).alias("centroid")))
 
 
 LABEL_CENTROIDS_ORACLE = f"""

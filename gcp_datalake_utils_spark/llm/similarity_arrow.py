@@ -187,15 +187,15 @@ def kmeans_iterate_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
        CSE), which multiplies the fold cost ~2-3x at KMEANS_ITERS=2
        and grows with the iteration count.
 
-    The M-step stays JVM-side (`similarity._update_centroids`): its
-    DECIMAL(18,7) component sums are exact/order-independent, which
-    numpy cannot replicate bit-for-bit (HALF_EVEN vs HALF_UP on real
-    representable ties), and its shuffle is already partial-aggregated
-    to |clusters| x |dims| rows per partition."""
+    The M-step runs through `_centroid_partials` — exact integer
+    component sums per partition, bit-identical to the JVM `_davg6`
+    decimal fold including HALF_UP on representable ties (the
+    suspect-band Decimal fix-up) — because the JVM posexplode +
+    per-element decimal path measured 10-15 s solo at sf10 and
+    dominated this twin's residual cost."""
     from gcp_datalake_utils_spark.llm.similarity import (
         KMEANS_ITERS,
         N_CLUSTERS,
-        _update_centroids,
     )
     e = load_table(spark, sf_dir, "embeddings")
     cents = (e.orderBy("vec_id").limit(N_CLUSTERS)
@@ -204,8 +204,131 @@ def kmeans_iterate_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
              .collect())
     for _ in range(KMEANS_ITERS):
         assign = _assign_arrow(e, cents)
-        cents = _update_centroids(e, assign).collect()
+        # M-step via the Arrow partial-sum kernel (bit-identical to
+        # similarity._update_centroids — see _centroid_partials)
+        joined = e.select("vec_id", "embedding").join(
+            assign.select("vec_id", "cluster"), "vec_id")
+        cents = _centroid_table_arrow(joined, "cluster").collect()
     return _assign_arrow(e, cents)
+
+
+# --- Arrow centroid partial sums (shared by the centroid-family twins) -
+
+
+def _centroid_partials(df: DataFrame, key_col: str) -> DataFrame:
+    """Per-partition component sums for exact-decimal centroids:
+    (key, dim, s, cnt) where s = sum over the partition's vectors of
+    round(v, 7) x 10^7 as an exact integer — the same quantity the
+    JVM `_davg6` accumulates as DECIMAL(18,7), so the downstream mean
+    is bit-identical.
+
+    Exact HALF_UP-at-7 without per-element Python: rint(v * 1e7) is
+    the true rounding whenever v*1e7 is not near a .5 boundary; the
+    float multiply's error (<= 1 ulp ~ 1e-9 at this magnitude) can
+    only flip a result inside a |frac - 0.5| < 1e-4 suspect band,
+    and those rare elements are re-rounded through the exact
+    shortest-decimal path (Decimal(repr(v))). Integer-valued float64
+    accumulation stays exact far beyond these row counts (< 2^53).
+
+    Why this exists: the JVM posexplode + per-element decimal
+    round/cast M-step measured 10-15 s solo at sf10 (12.8M exploded
+    rows); this kernel's shuffle payload is |keys| x dims rows per
+    partition and the arithmetic is three vectorized ops."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q7 = Decimal("0.0000001")
+
+    def partials(batches):
+        sums: dict = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(key_col):
+                m = np.stack(grp["embedding"].to_numpy()) \
+                    .astype(np.float64)
+                r = m * 1e7
+                base = np.rint(r)
+                sus = np.abs((r - np.floor(r)) - 0.5) < 1e-4
+                if sus.any():
+                    for i, j in np.argwhere(sus):
+                        # exact integer via Decimal arithmetic — a
+                        # float(quantized) * 1e7 round-trip would
+                        # reintroduce representation error
+                        base[i, j] = float(int(
+                            Decimal(repr(float(m[i, j])))
+                            .quantize(q7, ROUND_HALF_UP) * (10 ** 7)))
+                k = int(key)
+                if k in sums:
+                    sums[k][0] += base.sum(axis=0)
+                    sums[k][1] += len(grp)
+                else:
+                    sums[k] = [base.sum(axis=0), len(grp)]
+        rows = [(k, d, int(s[d]), c)
+                for k, (s, c) in sums.items() for d in range(len(s))]
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[key_col, "dim", "s", "cnt"])
+
+    return (df.select(key_col, "embedding")
+            .mapInPandas(partials,
+                         f"{key_col} int, dim int, s long, cnt long"))
+
+
+def _centroid_table_arrow(df: DataFrame, key_col: str) -> DataFrame:
+    """(key, centroid) from Arrow partials, final math JVM-side and
+    bit-identical to `similarity._davg6`: the exact integer sum S
+    converts to double as S / 1e7 (1e7 is exactly representable, so
+    the correctly-rounded division equals DECIMAL(18,7) -> double),
+    then mean + round-6 exactly as the anchor."""
+    parts = _centroid_partials(df, key_col)
+    comp = (parts.groupBy(key_col, "dim")
+            .agg(F.sum("s").alias("S"), F.sum("cnt").alias("n"))
+            .select(key_col, "dim",
+                    F.round((F.col("S").cast("double")
+                             / F.lit(10_000_000.0)) / F.col("n"), 6)
+                    .alias("c")))
+    return (comp.groupBy(key_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"]).alias("centroid")))
+
+
+# --- Arrow label-centroid coherence (twin of similarity.label_centroids)
+
+
+def label_centroids_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] Arrow twin of :func:`similarity.label_centroids` — identical
+    output, same oracle. The centroid table stays JVM-side (its
+    DECIMAL(18,7) component means are the exactness anchor) and is
+    COLLECTED — |labels| x dims floats, model state — so the cosine
+    pass runs as one numpy batch kernel with no broadcast join and no
+    interpreted folds. Round-6 before emit, the repo-wide float
+    contract; bit-identity to the JVM twin pytest-guarded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = _centroid_table_arrow(e, "label").collect()
+    labels = np.array(sorted(r["label"] for r in rows), dtype=np.int64)
+    by_label = {r["label"]: r["centroid"] for r in rows}
+    cm = np.stack([np.asarray(by_label[l], dtype=np.float64)
+                   for l in labels])
+    cn = np.sqrt((cm * cm).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            idx = np.searchsorted(labels,
+                                  pdf["label"].to_numpy().astype(np.int64))
+            c = cm[idx]
+            cos = (m * c).sum(axis=1) / (np.sqrt((m * m).sum(axis=1))
+                                         * cn[idx])
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf["label"].astype("int32"),
+                "cos_centroid": np.round(cos, 6),
+            })
+
+    return (e.select("vec_id", "label", "embedding")
+            .mapInPandas(score,
+                         "vec_id long, label int, cos_centroid double"))
 
 
 # --- Arrow int8 quantizer (twin of similarity.embedding_quantize) ------

@@ -80,10 +80,12 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 #       first: the revenue_by_nation family incl. the bucketed twin,
 #       profile_orders, paragraph_dedup, kmeans_iterate, the funnel
 #       pair, sketches).
-# Late-r7 additions: kmeans_iterate_arrow, lm_doc_scores_arrow and
-# lm_quality_bins_arrow joined block A, sliding
-# events_by_type_two_phase, prefix_filter_pairs and simhash64 (all
-# r4-green) just past the 50-slot window.
+# Late-r7 additions: five new twins joined block A
+# (kmeans_iterate_arrow, lm_doc_scores_arrow, lm_quality_bins_arrow,
+# value_percentiles_approx, embedding_quantize_arrow), so block A is
+# 9 entries and the 50-slot window now ends at detect_foreign_key;
+# pagerank_tables, stratified_sample, events_by_type_two_phase,
+# prefix_filter_pairs and simhash64 (all r4-green) slid just past it.
 # Rotated-out entries keep their prior driver greens (r4 or r6);
 # tools/check.py always runs ALL entries.
 # ---------------------------------------------------------------------------
@@ -115,6 +117,8 @@ register("value_percentiles_approx", payload.value_percentiles_approx,
 register("embedding_quantize_arrow",
          similarity_arrow.embedding_quantize_arrow,
          similarity.EMBEDDING_QUANTIZE_ORACLE)
+register("label_centroids_arrow", similarity_arrow.label_centroids_arrow,
+         similarity.LABEL_CENTROIDS_ORACLE)
 register("repetition_flags_arrow", text.repetition_flags_arrow,
          text.REPETITION_FLAGS_ORACLE)
 register("force_layout_coords",

@@ -177,3 +177,12 @@ def test_quantize_arrow_bit_identical_to_jvm(spark, sf_dir):
         similarity_arrow.embedding_quantize_arrow(spark, sf_dir))
     assert len(jvm) == len(arrow) > 0
     assert jvm == arrow
+
+
+def test_label_centroids_arrow_bit_identical_to_jvm(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import similarity, similarity_arrow
+    jvm = _sorted_rows(similarity.label_centroids(spark, sf_dir))
+    arrow = _sorted_rows(
+        similarity_arrow.label_centroids_arrow(spark, sf_dir))
+    assert len(jvm) == len(arrow) > 0
+    assert jvm == arrow
