@@ -112,6 +112,11 @@ HEADLINE = [
     "value_percentiles_approx",
     "embedding_quantize_arrow",
     "label_centroids_arrow",
+    # late-r7 additions: substring-level dedup statistic and the
+    # single-scan source-vocabulary overlap matrix
+    "dup_ngram_fraction",
+    "dup_ngram_stats",
+    "source_vocab_overlap",
 ]
 
 # results larger than this row count are executed via the noop sink

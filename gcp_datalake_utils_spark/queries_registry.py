@@ -40,6 +40,8 @@ from gcp_datalake_utils_spark.llm import (
     rollup,
     dedup,
     multimodal,
+    ngramdup,
+    overlap,
     sampling,
     similarity,
     similarity_arrow,
@@ -82,10 +84,13 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 #       pair, sketches).
 # Late-r7 additions: five new twins joined block A
 # (kmeans_iterate_arrow, lm_doc_scores_arrow, lm_quality_bins_arrow,
-# value_percentiles_approx, embedding_quantize_arrow), so block A is
-# 9 entries and the 50-slot window now ends at detect_foreign_key;
-# pagerank_tables, stratified_sample, events_by_type_two_phase,
-# prefix_filter_pairs and simhash64 (all r4-green) slid just past it.
+# value_percentiles_approx, embedding_quantize_arrow), then three new
+# operators (dup_ngram_fraction, dup_ngram_stats, source_vocab_overlap),
+# so block A is 13 entries and the 50-slot window now ends at
+# hll_grouped; cms_heavy_hitters, bloom_prefilter_audit, snapshot_diff,
+# restore_summary, detect_foreign_key, pagerank_tables,
+# stratified_sample, events_by_type_two_phase, prefix_filter_pairs and
+# simhash64 (all r4-green) sit just past it.
 # Rotated-out entries keep their prior driver greens (r4 or r6);
 # tools/check.py always runs ALL entries.
 # ---------------------------------------------------------------------------
@@ -129,6 +134,12 @@ register("rule_compiler_truth",
          rules_compiler.RULE_COMPILER_TRUTH_ORACLE)
 register("profile_orders_approx", profile.profile_orders_approx,
          None)
+register("dup_ngram_fraction", ngramdup.dup_ngram_fraction,
+         ngramdup.DUP_NGRAM_FRACTION_ORACLE)
+register("dup_ngram_stats", ngramdup.dup_ngram_stats,
+         ngramdup.DUP_NGRAM_STATS_ORACLE)
+register("source_vocab_overlap", overlap.source_vocab_overlap,
+         overlap.SOURCE_VOCAB_OVERLAP_ORACLE)
 
 # --- block B: the 26 r3-stale driver greens (r6 verdict ask #1) -----------
 register("user_sessions", stream_windows.user_sessions,

@@ -1,0 +1,95 @@
+"""Round-7 late additions: duplicated-n-gram fraction (substring-level
+dedup statistic) and pairwise source-vocabulary overlap."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from gcp_datalake_utils_spark.llm import ngramdup, overlap
+
+
+def _final_plan(df):
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-adaptive plan after the final one
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_dup_ngram_fraction_matches_brute_force(spark, sf_dir):
+    rows = {r["doc_id"]: r
+            for r in ngramdup.dup_ngram_fraction(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    gcount: Counter = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for d in docs:
+        ws = re.split(r"\s+", d["text"].strip())
+        grams = [" ".join(ws[i:i + 5]) for i in range(len(ws) - 4)]
+        per_doc[d["doc_id"]] = grams
+        gcount.update(grams)
+    checked = 0
+    for doc_id, grams in per_doc.items():
+        if not grams:
+            assert doc_id not in rows
+            continue
+        r = rows[doc_id]
+        dup = sum(1 for g in grams if gcount[g] > 1)
+        assert r["n_grams"] == len(grams)
+        assert r["dup_grams"] == dup
+        assert r["dup_fraction"] == round(dup / len(grams), 6)
+        assert r["dup_heavy"] == (dup / len(grams) > ngramdup.DUP_HEAVY)
+        checked += 1
+    assert checked == len(rows) > 0
+
+
+def test_dup_ngram_fraction_two_exchanges_only(spark, sf_dir):
+    plan = _final_plan(ngramdup.dup_ngram_fraction(spark, sf_dir))
+    # one local fan-out of the raw docs, one gram-hash exchange for
+    # the corpus-wide window count, one doc-keyed exchange for the
+    # rollup — nothing else crosses the wire
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
+    assert "xxhash64" in plan  # hashes, not gram text, are shuffled
+
+
+def test_dup_ngram_stats_consistent_with_fraction(spark, sf_dir):
+    stats = ngramdup.dup_ngram_stats(spark, sf_dir).collect()[0]
+    per_doc = ngramdup.dup_ngram_fraction(spark, sf_dir).collect()
+    assert stats["total_grams"] == sum(r["n_grams"] for r in per_doc)
+    # occurrence-weighted duplicated total also agrees across shapes
+    dup_total = sum(r["dup_grams"] for r in per_doc)
+    assert stats["dup_occurrence_rate"] == round(
+        dup_total / stats["total_grams"], 6)
+    assert 0 < stats["dup_distinct_grams"] <= stats["distinct_grams"]
+
+
+def test_source_overlap_matches_brute_force(spark, sf_dir):
+    got = {(r["src_a"], r["src_b"]): r
+           for r in overlap.source_vocab_overlap(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("source", "text").collect()
+    vocab: dict[str, set[str]] = {}
+    for d in docs:
+        vocab.setdefault(d["source"], set()).update(
+            re.split(r"\s+", d["text"].strip()))
+    srcs = sorted(vocab)
+    expect = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            union = len(vocab[a] | vocab[b])
+            expect[(a, b)] = (inter, union, round(inter / union, 6))
+    assert set(got) == set(expect)
+    for k, (inter, union, jac) in expect.items():
+        r = got[k]
+        assert (r["inter"], r["union_sz"], r["jaccard"]) == \
+            (inter, union, jac)
+
+
+def test_source_overlap_single_document_scan(spark, sf_dir):
+    plan = _final_plan(overlap.source_vocab_overlap(spark, sf_dir))
+    # the diagonal self-pair trick: documents are scanned and
+    # term-shuffled once; everything downstream reuses that exchange
+    assert plan.count("FileScan parquet") == 1
+    assert "ReusedExchange" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
