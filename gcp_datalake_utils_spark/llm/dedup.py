@@ -349,6 +349,57 @@ FROM groups g JOIN stats s USING (doc_id)
 """
 
 
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] which sources duplicate each other: verified near-dup pairs
+    rolled up by unordered source pair. (src_a, src_b, n_pairs,
+    avg_jaccard) with src_a <= src_b — the corpus-composition view of
+    near-duplication (a high off-diagonal count means two 'different'
+    sources are rehosting the same content; a high diagonal count
+    means one source repeats itself).
+
+    Scale shape: the expensive work (LSH banding + candidate verify)
+    is the SAME plan as near_dup_pairs; after verification the pair
+    set is tiny relative to the corpus, so the two doc->source lookups
+    are equi-joins where AQE broadcasts the pair side against the
+    narrow (doc_id, source) projection, and the final rollup is an
+    S^2-bounded aggregate."""
+    pairs = near_dup_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("source").alias("source_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("source").alias("source_b"))
+    lo = F.least("source_a", "source_b")
+    hi = F.greatest("source_a", "source_b")
+    # average over exact ppm integers, not doubles: a float SUM is
+    # addition-order-dependent across engines/partitionings, while the
+    # already-round(6)ed jaccard is integral in millionths — long sums
+    # are exact and both engines divide the same two numbers
+    ppm = F.round(F.col("jaccard") * 1e6).cast("long")
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select(lo.alias("src_a"), hi.alias("src_b"),
+                    ppm.alias("ppm"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.sum("ppm")
+                         / (F.count("*") * F.lit(1e6)), 6)
+                 .alias("avg_jaccard")))
+
+
+CROSS_SOURCE_DUP_ORACLE = f"""
+WITH pairs AS MATERIALIZED ({NEAR_DUP_ORACLE})
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(SUM(CAST(round(p.jaccard * 1e6) AS BIGINT))
+             / (count(*) * 1e6), 6) AS avg_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] 16-bit SimHash per document: per-word md5 bits vote ±1, the
     sign vector packs into an int. Hamming-close docs bucket together

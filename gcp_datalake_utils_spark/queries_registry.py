@@ -85,12 +85,13 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 # Late-r7 additions: five new twins joined block A
 # (kmeans_iterate_arrow, lm_doc_scores_arrow, lm_quality_bins_arrow,
 # value_percentiles_approx, embedding_quantize_arrow), then three new
-# operators (dup_ngram_fraction, dup_ngram_stats, source_vocab_overlap),
-# so block A is 13 entries and the 50-slot window now ends at
-# hll_grouped; cms_heavy_hitters, bloom_prefilter_audit, snapshot_diff,
-# restore_summary, detect_foreign_key, pagerank_tables,
-# stratified_sample, events_by_type_two_phase, prefix_filter_pairs and
-# simhash64 (all r4-green) sit just past it.
+# operators (dup_ngram_fraction, dup_ngram_stats, source_vocab_overlap,
+# cross_source_dup_matrix), so block A is 14 entries and the 50-slot
+# window now ends at hll_distinct; hll_grouped, cms_heavy_hitters,
+# bloom_prefilter_audit, snapshot_diff, restore_summary,
+# detect_foreign_key, pagerank_tables, stratified_sample,
+# events_by_type_two_phase, prefix_filter_pairs and simhash64 (all
+# r4-green) sit just past it.
 # Rotated-out entries keep their prior driver greens (r4 or r6);
 # tools/check.py always runs ALL entries.
 # ---------------------------------------------------------------------------
@@ -140,6 +141,8 @@ register("dup_ngram_stats", ngramdup.dup_ngram_stats,
          ngramdup.DUP_NGRAM_STATS_ORACLE)
 register("source_vocab_overlap", overlap.source_vocab_overlap,
          overlap.SOURCE_VOCAB_OVERLAP_ORACLE)
+register("cross_source_dup_matrix", dedup.cross_source_dup_matrix,
+         dedup.CROSS_SOURCE_DUP_ORACLE)
 
 # --- block B: the 26 r3-stale driver greens (r6 verdict ask #1) -----------
 register("user_sessions", stream_windows.user_sessions,

@@ -93,3 +93,26 @@ def test_source_overlap_single_document_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "ReusedExchange" in plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_cross_source_matrix_consistent_with_pairs(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import dedup
+    mat = {(r["src_a"], r["src_b"]): r
+           for r in dedup.cross_source_dup_matrix(spark, sf_dir).collect()}
+    pairs = dedup.near_dup_pairs(spark, sf_dir).collect()
+    src = {r["doc_id"]: r["source"]
+           for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", "source").collect()}
+    expect: dict[tuple[str, str], list[float]] = {}
+    for p in pairs:
+        a, b = sorted((src[p["doc_a"]], src[p["doc_b"]]))
+        expect.setdefault((a, b), []).append(p["jaccard"])
+    assert set(mat) == set(expect) != set()
+    from decimal import ROUND_HALF_UP, Decimal
+    for k, js in expect.items():
+        assert mat[k]["n_pairs"] == len(js)
+        ppm = sum(round(j * 1e6) for j in js)
+        # HALF_UP like Spark/DuckDB round(), not Python's banker's
+        want = float(Decimal(repr(ppm / (len(js) * 1e6)))
+                     .quantize(Decimal("0.000001"), ROUND_HALF_UP))
+        assert mat[k]["avg_jaccard"] == want
