@@ -400,6 +400,88 @@ GROUP BY 1, 2
 """
 
 
+BATCH_MOD = 10  # doc_id % BATCH_MOD == 0 plays the "incoming batch"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] incremental admission dedup: the production 100 TB shape.
+    A new BATCH (here the deterministic slice doc_id % 10 == 0) is
+    checked against the existing CORPUS — nobody re-dedups 100 TB
+    corpus x corpus on ingest; the corpus band keys are a precomputed
+    index and only batch x corpus candidates are generated. Per batch
+    document: is_dup verdict, best-matching corpus doc and its exact
+    Jaccard (nulls when no banded candidate verifies).
+
+    Scale shape: the band join is ASYMMETRIC — the batch side is
+    ingest-sized (<< corpus), so at scale it broadcasts (or, with the
+    corpus index bucketed by (band, band_hash) at write time, the join
+    is exchange-free on the corpus side); the verify join again runs
+    only over banded candidates; the best-match election is a window
+    over batch doc_id — ingest-sized, no skew."""
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
+    bk = _band_keys(spark, sf_dir).localCheckpoint()
+    cands = (bk.where(is_batch).alias("a")
+             .join(bk.where(~is_batch).alias("b"), ["band", "band_hash"])
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    sh = shingle_rows(spark, sf_dir).localCheckpoint()
+    verified = _verify_jaccard(cands, sh)
+    w = Window.partitionBy("doc_a").orderBy(
+        F.desc("jaccard"), F.asc("doc_b"))
+    best = (verified.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("match_doc"), "jaccard"))
+    batch = (load_table(spark, sf_dir, "documents")
+             .where(is_batch).select("doc_id"))
+    return (batch.join(best, "doc_id", "left")
+            .select("doc_id", F.col("match_doc").isNotNull().alias("is_dup"),
+                    "match_doc", "jaccard"))
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH sig AS ({MINHASH_ORACLE}),
+bk AS ({_band_keys_sql()}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id % {BATCH_MOD} = 0 AND b.doc_id % {BATCH_MOD} <> 0
+),
+sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE), 6)
+           AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+),
+best AS (
+  SELECT doc_a AS doc_id, doc_b AS match_doc, jaccard
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+                                     ORDER BY jaccard DESC, doc_b)
+               AS rn
+        FROM verified)
+  WHERE rn = 1
+)
+SELECT d.doc_id, best.match_doc IS NOT NULL AS is_dup,
+       best.match_doc, best.jaccard
+FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+WHERE d.doc_id % {BATCH_MOD} = 0
+"""
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] 16-bit SimHash per document: per-word md5 bits vote ±1, the
     sign vector packs into an int. Hamming-close docs bucket together

@@ -32,6 +32,7 @@ from gcp_datalake_utils_spark.llm import (
     collocations,
     curation,
     decontam,
+    forget,
     index,
     lm,
     paradedup,
@@ -86,12 +87,13 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 # (kmeans_iterate_arrow, lm_doc_scores_arrow, lm_quality_bins_arrow,
 # value_percentiles_approx, embedding_quantize_arrow), then three new
 # operators (dup_ngram_fraction, dup_ngram_stats, source_vocab_overlap,
-# cross_source_dup_matrix), so block A is 14 entries and the 50-slot
-# window now ends at hll_distinct; hll_grouped, cms_heavy_hitters,
-# bloom_prefilter_audit, snapshot_diff, restore_summary,
-# detect_foreign_key, pagerank_tables, stratified_sample,
-# events_by_type_two_phase, prefix_filter_pairs and simhash64 (all
-# r4-green) sit just past it.
+# cross_source_dup_matrix, dedup_incremental, forget_propagation), so
+# block A is 16 entries and the 50-slot window now ends at
+# funnel_completions_stream; hll_distinct, hll_grouped,
+# cms_heavy_hitters, bloom_prefilter_audit, snapshot_diff,
+# restore_summary, detect_foreign_key, pagerank_tables,
+# stratified_sample, events_by_type_two_phase, prefix_filter_pairs and
+# simhash64 (all r4/r6-green) sit just past it.
 # Rotated-out entries keep their prior driver greens (r4 or r6);
 # tools/check.py always runs ALL entries.
 # ---------------------------------------------------------------------------
@@ -143,6 +145,10 @@ register("source_vocab_overlap", overlap.source_vocab_overlap,
          overlap.SOURCE_VOCAB_OVERLAP_ORACLE)
 register("cross_source_dup_matrix", dedup.cross_source_dup_matrix,
          dedup.CROSS_SOURCE_DUP_ORACLE)
+register("dedup_incremental", dedup.dedup_incremental,
+         dedup.DEDUP_INCREMENTAL_ORACLE)
+register("forget_propagation", forget.forget_propagation,
+         forget.FORGET_PROPAGATION_ORACLE)
 
 # --- block B: the 26 r3-stale driver greens (r6 verdict ask #1) -----------
 register("user_sessions", stream_windows.user_sessions,

@@ -116,3 +116,46 @@ def test_cross_source_matrix_consistent_with_pairs(spark, sf_dir):
         want = float(Decimal(repr(ppm / (len(js) * 1e6)))
                      .quantize(Decimal("0.000001"), ROUND_HALF_UP))
         assert mat[k]["avg_jaccard"] == want
+
+
+def test_dedup_incremental_invariants(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import dedup
+    rows = dedup.dedup_incremental(spark, sf_dir).collect()
+    n_batch = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(f"doc_id % {dedup.BATCH_MOD} = 0").count()
+    assert len(rows) == n_batch > 0
+    dups = [r for r in rows if r["is_dup"]]
+    assert dups, "fixture corpus should contain batch-vs-corpus dups"
+    for r in rows:
+        assert r["doc_id"] % dedup.BATCH_MOD == 0
+        if r["is_dup"]:
+            # the match is a CORPUS doc above the verify threshold
+            assert r["match_doc"] % dedup.BATCH_MOD != 0
+            assert r["jaccard"] >= dedup.JACCARD_THRESHOLD
+        else:
+            assert r["match_doc"] is None and r["jaccard"] is None
+
+
+def test_forget_propagation_cascade(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import forget
+    rows = forget.forget_propagation(spark, sf_dir).collect()
+    ids = {r["doc_id"]
+           for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id").collect()
+           if r["doc_id"] % forget.FORGET_MOD == forget.FORGET_REMAINDER}
+    assert ids, "deletion slice must be non-empty"
+    by_table: dict[str, set] = {}
+    for r in rows:
+        by_table.setdefault(r["table_name"], set()).add(r["row_id"])
+    assert by_table["documents"] == ids
+    assert by_table["embeddings"] <= ids  # vec_id shares the id space
+
+
+def test_forget_propagation_plan_narrow_broadcast(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import forget
+    plan = _final_plan(forget.forget_propagation(spark, sf_dir))
+    # each table purges via ONE broadcast semi join; the manifest
+    # never reads text or embedding vectors (column pruning)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "LeftSemi" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:200]
