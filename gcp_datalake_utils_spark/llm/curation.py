@@ -130,3 +130,91 @@ FROM (
   FROM canon
 )
 """
+
+
+BUDGET_SHARE = 0.6  # token budget as a share of total corpus tokens
+
+
+def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] token-budget corpus selection: take documents in
+    (quality_score DESC, doc_id ASC) order while the running token
+    total stays within 60% of the corpus — the greedy quality prefix
+    every data-mixing recipe starts from. Output: selected docs with
+    their global running total (doc_id, quality_score, n_tokens,
+    cum_tokens).
+
+    A naive global cumulative-sum window moves EVERY row to one
+    partition — a non-starter at 100 TB. The scale-safe two-phase
+    shape used here:
+
+    1. histogram by EXACT score: quality_score is round(6)ed, so
+       round(score * 1e6) is an integer key with at most 1,000,001
+       distinct values REGARDLESS of corpus size — the per-score token
+       totals are a bounded driver-side table (<= ~16 MB);
+    2. the driver walks the histogram in score order and finds the
+       cutoff score: buckets above it are fully funded, at most ONE
+       bucket is partial (the running total is monotone, so exactly
+       one bucket straddles the budget), buckets below are dropped
+       before any window runs;
+    3. each surviving doc's global cum = broadcast prefix total of the
+       strictly-better scores + a within-score window cumsum ordered
+       by doc_id. The window partitions on the score key — the only
+       serial run is genuinely tied documents, which no correct
+       implementation can order in parallel.
+
+    The driver round-trip makes this operator eager (same pattern as
+    the driver-coordinated k-means); the oracle is the one-window SQL
+    prefix, so the two-phase plan is value-checked against the naive
+    semantics at every gate."""
+    from gcp_datalake_utils_spark.llm.text import token_stats
+    stats = (token_stats(spark, sf_dir)
+             .select("doc_id", "quality_score", "n_tokens")
+             .withColumn("ppm",
+                         F.round(F.col("quality_score") * 1e6)
+                         .cast("long")))
+    hist = {r["ppm"]: r["toks"]
+            for r in stats.groupBy("ppm")
+            .agg(F.sum("n_tokens").alias("toks")).collect()}
+    budget = BUDGET_SHARE * sum(hist.values())
+    prefix: dict[int, int] = {}
+    acc = 0
+    cutoff_ppm = None
+    for ppm in sorted(hist, reverse=True):
+        prefix[ppm] = acc
+        acc += hist[ppm]
+        if acc > budget:
+            cutoff_ppm = ppm
+            break
+    if cutoff_ppm is None:
+        cutoff_ppm = min(hist) if hist else 0
+    included = [(p, prefix[p]) for p in prefix]
+    pref_df = F.broadcast(spark.createDataFrame(
+        included, "ppm long, prior_acc long"))
+    w = (Window.partitionBy("ppm").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (stats.where(F.col("ppm") >= cutoff_ppm)
+            .join(pref_df, "ppm")
+            .withColumn("cum_tokens",
+                        F.col("prior_acc") + F.sum("n_tokens").over(w))
+            .where(F.col("cum_tokens") <= F.lit(budget))
+            .select("doc_id", "quality_score", "n_tokens", "cum_tokens"))
+
+
+def _budget_oracle() -> str:
+    from gcp_datalake_utils_spark.llm.text import TOKEN_STATS_ORACLE
+    return f"""
+WITH stats AS ({TOKEN_STATS_ORACLE}),
+tot AS (SELECT {BUDGET_SHARE} * SUM(n_tokens) AS budget FROM stats),
+ranked AS (
+  SELECT doc_id, quality_score, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+           AS cum
+  FROM stats
+)
+SELECT doc_id, quality_score, n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM ranked, tot WHERE cum <= budget
+"""
+
+
+CORPUS_BUDGET_ORACLE = _budget_oracle()

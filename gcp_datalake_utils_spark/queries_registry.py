@@ -87,9 +87,10 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 # (kmeans_iterate_arrow, lm_doc_scores_arrow, lm_quality_bins_arrow,
 # value_percentiles_approx, embedding_quantize_arrow), then three new
 # operators (dup_ngram_fraction, dup_ngram_stats, source_vocab_overlap,
-# cross_source_dup_matrix, dedup_incremental, forget_propagation), so
-# block A is 16 entries and the 50-slot window now ends at
-# funnel_completions_stream; hll_distinct, hll_grouped,
+# cross_source_dup_matrix, dedup_incremental, forget_propagation,
+# corpus_budget_selection), so block A is 17 entries and the 50-slot
+# window now ends at funnel_conversion; funnel_completions_stream,
+# hll_distinct, hll_grouped,
 # cms_heavy_hitters, bloom_prefilter_audit, snapshot_diff,
 # restore_summary, detect_foreign_key, pagerank_tables,
 # stratified_sample, events_by_type_two_phase, prefix_filter_pairs and
@@ -149,6 +150,8 @@ register("dedup_incremental", dedup.dedup_incremental,
          dedup.DEDUP_INCREMENTAL_ORACLE)
 register("forget_propagation", forget.forget_propagation,
          forget.FORGET_PROPAGATION_ORACLE)
+register("corpus_budget_selection", curation.corpus_budget_selection,
+         curation.CORPUS_BUDGET_ORACLE)
 
 # --- block B: the 26 r3-stale driver greens (r6 verdict ask #1) -----------
 register("user_sessions", stream_windows.user_sessions,

@@ -159,3 +159,25 @@ def test_forget_propagation_plan_narrow_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 2
     assert "LeftSemi" in plan
     assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_budget_selection_is_exact_greedy_prefix(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import curation, text
+    got = {r["doc_id"]: r for r in
+           curation.corpus_budget_selection(spark, sf_dir).collect()}
+    stats = text.token_stats(spark, sf_dir) \
+        .select("doc_id", "quality_score", "n_tokens").collect()
+    budget = curation.BUDGET_SHARE * sum(r["n_tokens"] for r in stats)
+    cum = 0
+    expect = {}
+    for r in sorted(stats, key=lambda r: (-r["quality_score"],
+                                          r["doc_id"])):
+        cum += r["n_tokens"]
+        if cum > budget:
+            break
+        expect[r["doc_id"]] = cum
+    assert set(got) == set(expect) != set()
+    # some docs must be EXCLUDED or the budget never bit
+    assert len(expect) < len(stats)
+    for doc_id, cum_tokens in expect.items():
+        assert got[doc_id]["cum_tokens"] == cum_tokens
