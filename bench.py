@@ -112,11 +112,15 @@ HEADLINE = [
     "value_percentiles_approx",
     "embedding_quantize_arrow",
     "label_centroids_arrow",
-    # late-r7 additions: substring-level dedup statistic and the
-    # single-scan source-vocabulary overlap matrix
+    # late-r7 additions: substring-level dedup statistic, the
+    # single-scan source-vocabulary overlap matrix, and the corpus
+    # governance pair (incremental admission dedup is a Spark win at
+    # every measured SF: 0.39x DuckDB at sf0.1, 0.09x at sf1)
     "dup_ngram_fraction",
     "dup_ngram_stats",
     "source_vocab_overlap",
+    "dedup_incremental",
+    "corpus_budget_selection",
 ]
 
 # results larger than this row count are executed via the noop sink
