@@ -168,10 +168,16 @@ def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics at every gate."""
     from gcp_datalake_utils_spark.llm.text import token_stats
     stats = (token_stats(spark, sf_dir)
-             .select("doc_id", "quality_score", "n_tokens")
-             .withColumn("ppm",
-                         F.round(F.col("quality_score") * 1e6)
-                         .cast("long")))
+             .select("doc_id", "quality_score", "n_tokens"))
+    return _budget_prefix(spark, stats)
+
+
+def _budget_prefix(spark: SparkSession, stats: DataFrame) -> DataFrame:
+    """Greedy (quality DESC, doc_id) token-budget prefix over a
+    (doc_id, quality_score, n_tokens) frame via the bounded
+    score-histogram two-phase plan (see corpus_budget_selection)."""
+    stats = stats.withColumn(
+        "ppm", F.round(F.col("quality_score") * 1e6).cast("long"))
     hist = {r["ppm"]: r["toks"]
             for r in stats.groupBy("ppm")
             .agg(F.sum("n_tokens").alias("toks")).collect()}
@@ -218,3 +224,51 @@ FROM ranked, tot WHERE cum <= budget
 
 
 CORPUS_BUDGET_ORACLE = _budget_oracle()
+
+
+def admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] the composed end-to-end admission run in ONE query: curate
+    (exact-dup canonicalization + quality gate + language allow-list)
+    -> token-budget selection over the SURVIVORS (60% of the KEPT
+    corpus's tokens, greedy quality prefix). Output: the admitted
+    documents with their running token totals — the set a training run
+    would actually read.
+
+    Composition cost at 100 TB: the curate verdict adds one
+    content-hash exchange (the exact-dedup window the pipeline needs
+    anyway) and a broadcast-able keep-list semi join; the budget phase
+    reuses the bounded-histogram prefix plan (see
+    corpus_budget_selection), so the whole admission run is three
+    data-scale exchanges end to end — no stage reads text twice."""
+    from gcp_datalake_utils_spark.llm.text import token_stats
+    kept = curate(spark, sf_dir).where("keep").select("doc_id")
+    stats = (token_stats(spark, sf_dir)
+             .select("doc_id", "quality_score", "n_tokens")
+             .join(kept, "doc_id", "left_semi"))
+    return _budget_prefix(spark, stats)
+
+
+def _admission_oracle() -> str:
+    from gcp_datalake_utils_spark.llm.text import TOKEN_STATS_ORACLE
+    return f"""
+WITH stats_all AS ({TOKEN_STATS_ORACLE}),
+stats AS (
+  SELECT s.doc_id, s.quality_score, s.n_tokens
+  FROM stats_all s
+  SEMI JOIN (SELECT doc_id FROM ({CURATE_ORACLE}) WHERE keep) k
+    ON s.doc_id = k.doc_id
+),
+tot AS (SELECT {BUDGET_SHARE} * SUM(n_tokens) AS budget FROM stats),
+ranked AS (
+  SELECT doc_id, quality_score, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+           AS cum
+  FROM stats
+)
+SELECT doc_id, quality_score, n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM ranked, tot WHERE cum <= budget
+"""
+
+
+ADMISSION_PIPELINE_ORACLE = _admission_oracle()

@@ -88,8 +88,9 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 # value_percentiles_approx, embedding_quantize_arrow), then three new
 # operators (dup_ngram_fraction, dup_ngram_stats, source_vocab_overlap,
 # cross_source_dup_matrix, dedup_incremental, forget_propagation,
-# corpus_budget_selection), so block A is 17 entries and the 50-slot
-# window now ends at funnel_conversion; funnel_completions_stream,
+# corpus_budget_selection, admission_pipeline), so block A is 18
+# entries and the 50-slot window now ends at kmeans_iterate;
+# funnel_conversion, funnel_completions_stream,
 # hll_distinct, hll_grouped,
 # cms_heavy_hitters, bloom_prefilter_audit, snapshot_diff,
 # restore_summary, detect_foreign_key, pagerank_tables,
@@ -152,6 +153,8 @@ register("forget_propagation", forget.forget_propagation,
          forget.FORGET_PROPAGATION_ORACLE)
 register("corpus_budget_selection", curation.corpus_budget_selection,
          curation.CORPUS_BUDGET_ORACLE)
+register("admission_pipeline", curation.admission_pipeline,
+         curation.ADMISSION_PIPELINE_ORACLE)
 
 # --- block B: the 26 r3-stale driver greens (r6 verdict ask #1) -----------
 register("user_sessions", stream_windows.user_sessions,

@@ -181,3 +181,28 @@ def test_budget_selection_is_exact_greedy_prefix(spark, sf_dir):
     assert len(expect) < len(stats)
     for doc_id, cum_tokens in expect.items():
         assert got[doc_id]["cum_tokens"] == cum_tokens
+
+
+def test_admission_pipeline_subset_of_budget_semantics(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import curation, text
+    got = {r["doc_id"]: r for r in
+           curation.admission_pipeline(spark, sf_dir).collect()}
+    kept = {r["doc_id"] for r in
+            curation.curate(spark, sf_dir).collect() if r["keep"]}
+    stats = {r["doc_id"]: r for r in
+             text.token_stats(spark, sf_dir)
+             .select("doc_id", "quality_score", "n_tokens").collect()}
+    # re-derive the greedy prefix over the KEPT subset only
+    budget = curation.BUDGET_SHARE * sum(
+        stats[d]["n_tokens"] for d in kept)
+    cum = 0
+    expect = {}
+    for d in sorted(kept, key=lambda d: (-stats[d]["quality_score"], d)):
+        cum += stats[d]["n_tokens"]
+        if cum > budget:
+            break
+        expect[d] = cum
+    assert set(got) == set(expect) != set()
+    assert set(got) < kept  # the budget must actually bite
+    for d, c in expect.items():
+        assert got[d]["cum_tokens"] == c
