@@ -139,7 +139,13 @@ MINHASH_ORACLE = "SELECT doc_id, " + ", ".join(
 
 
 def _band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
+    return _band_keys_from_sig(minhash_signatures(spark, sf_dir))
+
+
+def _band_keys_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) from any frame carrying mh_0..mh_{k-1}
+    columns — shared by the batch LSH family and the streaming ingest
+    screen (whose signatures are row-local HOF projections)."""
     r = K_MINHASH // BANDS
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),

@@ -50,6 +50,7 @@ from gcp_datalake_utils_spark.llm import (
     text,
     tfidf,
 )
+from gcp_datalake_utils_spark.streaming import ingest as stream_ingest
 from gcp_datalake_utils_spark.streaming import stateful as stream_stateful
 from gcp_datalake_utils_spark.streaming import windows as stream_windows
 
@@ -88,8 +89,9 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 # value_percentiles_approx, embedding_quantize_arrow), then three new
 # operators (dup_ngram_fraction, dup_ngram_stats, source_vocab_overlap,
 # cross_source_dup_matrix, dedup_incremental, forget_propagation,
-# corpus_budget_selection, admission_pipeline), so block A is 18
-# entries and the 50-slot window now ends at kmeans_iterate;
+# corpus_budget_selection, admission_pipeline, ingest_screen_stream),
+# so block A is 19 entries and the 50-slot window now ends at
+# paragraph_dedup; kmeans_iterate,
 # funnel_conversion, funnel_completions_stream,
 # hll_distinct, hll_grouped,
 # cms_heavy_hitters, bloom_prefilter_audit, snapshot_diff,
@@ -155,6 +157,8 @@ register("corpus_budget_selection", curation.corpus_budget_selection,
          curation.CORPUS_BUDGET_ORACLE)
 register("admission_pipeline", curation.admission_pipeline,
          curation.ADMISSION_PIPELINE_ORACLE)
+register("ingest_screen_stream", stream_ingest.ingest_screen_stream_q,
+         stream_ingest.INGEST_SCREEN_ORACLE)
 
 # --- block B: the 26 r3-stale driver greens (r6 verdict ask #1) -----------
 register("user_sessions", stream_windows.user_sessions,

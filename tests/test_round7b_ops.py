@@ -206,3 +206,21 @@ def test_admission_pipeline_subset_of_budget_semantics(spark, sf_dir):
     assert set(got) < kept  # the budget must actually bite
     for d, c in expect.items():
         assert got[d]["cum_tokens"] == c
+
+
+def test_ingest_screen_has_no_false_negatives(spark, sf_dir):
+    """Every batch doc the exact verifier confirms as a dup MUST have
+    been screened by the streaming stage (a verified pair requires a
+    band collision by construction)."""
+    from gcp_datalake_utils_spark.llm import dedup
+    from gcp_datalake_utils_spark.streaming import ingest
+    screened = {r["doc_id"]: r for r in
+                ingest.ingest_screen_stream_q(spark, sf_dir).collect()}
+    verified = dedup.dedup_incremental(spark, sf_dir).collect()
+    assert set(screened) == {r["doc_id"] for r in verified}
+    dup_ids = {r["doc_id"] for r in verified if r["is_dup"]}
+    assert dup_ids  # the fixture corpus must exercise the screen
+    for d in dup_ids:
+        assert screened[d]["screened"], f"verified dup {d} not screened"
+    # and the screen is not vacuously flagging everything
+    assert any(not r["screened"] for r in screened.values())
