@@ -364,17 +364,27 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     means one source repeats itself).
 
     Scale shape: the expensive work (LSH banding + candidate verify)
-    is the SAME plan as near_dup_pairs; after verification the pair
-    set is tiny relative to the corpus, so the two doc->source lookups
-    are equi-joins where AQE broadcasts the pair side against the
-    narrow (doc_id, source) projection, and the final rollup is an
-    S^2-bounded aggregate."""
-    pairs = near_dup_pairs(spark, sf_dir)
+    is the SAME plan as near_dup_pairs; the doc->source lookups are
+    hash equi-joins hinted SHUFFLE_HASH — at 100 TB BOTH sides are
+    data-scale (the docs projection is the corpus, and a dup-heavy
+    corpus makes the verified pair set large too), so neither side may
+    be broadcast. The hint also guards the local harness: Spark's
+    static estimate for the 54 MB sf10 parquet projection sat under
+    the 64 MB broadcast threshold and the resulting driver-side
+    HashedRelation build OOMed — measured, not hypothetical. The final
+    rollup is an S^2-bounded aggregate."""
+    # materialize the verified pairs before composing further joins:
+    # the checkpoint hands Catalyst TRUE statistics for the pair set
+    # (the raw composed DAG re-plans the verify subtree with static
+    # parquet estimates and picks a driver-OOM broadcast at sf10), and
+    # it mirrors production, where verified pairs are a persisted
+    # artifact downstream jobs consume
+    pairs = near_dup_pairs(spark, sf_dir).localCheckpoint()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = docs.select(F.col("doc_id").alias("doc_a"),
-                     F.col("source").alias("source_a"))
+                     F.col("source").alias("source_a")).hint("shuffle_hash")
     sb = docs.select(F.col("doc_id").alias("doc_b"),
-                     F.col("source").alias("source_b"))
+                     F.col("source").alias("source_b")).hint("shuffle_hash")
     lo = F.least("source_a", "source_b")
     hi = F.greatest("source_a", "source_b")
     # average over exact ppm integers, not doubles: a float SUM is

@@ -45,8 +45,16 @@ def get_spark(app_name: str = "gcp-datalake-utils-spark",
         # vectorized parquet reader rejects; read them as long (ns since
         # epoch) and convert at the operator boundary (sources.event_ts)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # 16g, not 8g: in local mode the driver heap also hosts every
+        # task's execution memory AND the AQE broadcast builds — a
+        # ~64 MB compressed query stage decompresses into a GB-scale
+        # HashedRelation, and at sf10 the dedup family's verify joins
+        # OOMed flakily against 8g (measured; 16g passes and the
+        # broadcast conversion then WINS: near_dup_pairs 141 -> 74 s).
+        # On a real cluster the driver hosts neither, so this is a
+        # local-harness knob, not a scale requirement.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
                                "/tmp/spark_graft_warehouse"))
