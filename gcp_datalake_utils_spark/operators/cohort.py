@@ -1,0 +1,95 @@
+"""Behavioral event analytics: retention cohorts and path transitions
+(north-star extension; generalizes the reference's audit-log window
+scans — SURVEY §2 S9/I5 — from "which tables changed when" to the
+user-behavior rollups every product analytics stack runs).
+
+Both operators are single-pass window + aggregate plans over the
+events table:
+
+- retention_cohorts: the classic cohort triangle. A user's cohort is
+  their first active day (min-over-user window); every (user, day)
+  activity becomes a (cohort_day, day_offset) cell counting distinct
+  users. At 100 TB the only wide ops are the user-keyed window and the
+  cell-keyed count-distinct — both partial-aggregated, no join (the
+  min-over-window replaces the groupBy-then-join-back shape, saving an
+  exchange and a join).
+- path_transitions: the event-type transition matrix. Per user, order
+  events by (ts, event_id) — event_id breaks timestamp ties so the
+  sequence (and therefore the oracle comparison) is deterministic —
+  and count consecutive (from_type, to_type) bigrams via ONE lead()
+  window. The classic self-join-on-rank formulation shuffles the
+  events table twice; lead() shuffles once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.sources import load_events
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] cohort triangle: (cohort_day, day_offset, n_users) — of the
+    users first seen on cohort_day, how many were active again
+    day_offset days later."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day"))
+    cohort = F.min("day").over(Window.partitionBy("user_id"))
+    cells = (e.withColumn("cohort_day", cohort)
+             .select("user_id", "cohort_day",
+                     F.datediff("day", "cohort_day").alias("day_offset"))
+             .distinct())
+    return (cells.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"))
+        .agg(F.count("*").alias("n_users")))
+
+
+RETENTION_COHORTS_ORACLE = """
+WITH peru AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+wc AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM peru
+),
+cells AS (
+  SELECT DISTINCT user_id, cohort_day,
+         date_diff('day', cohort_day, day) AS day_offset
+  FROM wc
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM cells GROUP BY 1, 2
+"""
+
+
+def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] event-type transition matrix: (from_type, to_type,
+    n_transitions) over each user's (ts, event_id)-ordered stream."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    return (e.select(F.col("event_type").alias("from_type"),
+                     nxt.alias("to_type"))
+            .where(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").alias("n_transitions")))
+
+
+PATH_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+"""

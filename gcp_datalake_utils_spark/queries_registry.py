@@ -89,9 +89,10 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 # value_percentiles_approx, embedding_quantize_arrow), then three new
 # operators (dup_ngram_fraction, dup_ngram_stats, source_vocab_overlap,
 # cross_source_dup_matrix, dedup_incremental, forget_propagation,
-# corpus_budget_selection, admission_pipeline, ingest_screen_stream),
-# so block A is 19 entries and the 50-slot window now ends at
-# paragraph_dedup; kmeans_iterate,
+# corpus_budget_selection, admission_pipeline, ingest_screen_stream,
+# retention_cohorts, path_transitions), so block A is 21 entries and
+# the 50-slot window now ends at revenue_by_nation_salted;
+# profile_orders, paragraph_dedup, kmeans_iterate,
 # funnel_conversion, funnel_completions_stream,
 # hll_distinct, hll_grouped,
 # cms_heavy_hitters, bloom_prefilter_audit, snapshot_diff,
@@ -104,6 +105,7 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 
 from gcp_datalake_utils_spark.functions import bloom  # noqa: E402
 from gcp_datalake_utils_spark.functions import scale_demos  # noqa: E402
+from gcp_datalake_utils_spark.operators import cohort  # noqa: E402
 from gcp_datalake_utils_spark.operators import drift  # noqa: E402
 from gcp_datalake_utils_spark.operators import funnel  # noqa: E402
 from gcp_datalake_utils_spark.operators import nested  # noqa: E402
@@ -159,6 +161,10 @@ register("admission_pipeline", curation.admission_pipeline,
          curation.ADMISSION_PIPELINE_ORACLE)
 register("ingest_screen_stream", stream_ingest.ingest_screen_stream_q,
          stream_ingest.INGEST_SCREEN_ORACLE)
+register("retention_cohorts", cohort.retention_cohorts,
+         cohort.RETENTION_COHORTS_ORACLE)
+register("path_transitions", cohort.path_transitions,
+         cohort.PATH_TRANSITIONS_ORACLE)
 
 # --- block B: the 26 r3-stale driver greens (r6 verdict ask #1) -----------
 register("user_sessions", stream_windows.user_sessions,

@@ -224,3 +224,31 @@ def test_ingest_screen_has_no_false_negatives(spark, sf_dir):
         assert screened[d]["screened"], f"verified dup {d} not screened"
     # and the screen is not vacuously flagging everything
     assert any(not r["screened"] for r in screened.values())
+
+
+def test_retention_cohort_triangle_invariants(spark, sf_dir):
+    from gcp_datalake_utils_spark.operators import cohort
+    rows = cohort.retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_day"], {})[r["day_offset"]] = \
+            r["n_users"]
+    for day, offsets in by_cohort.items():
+        # every user is active on their first day, so offset 0 exists
+        # and bounds every later offset's distinct-user count
+        assert 0 in offsets, f"cohort {day} missing offset 0"
+        assert all(n <= offsets[0] for n in offsets.values())
+        assert all(o >= 0 for o in offsets)
+
+
+def test_path_transitions_conserve_event_counts(spark, sf_dir):
+    from gcp_datalake_utils_spark.operators import cohort
+    from gcp_datalake_utils_spark.sources import load_events
+    rows = cohort.path_transitions(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_transitions"] for r in rows)
+    per_user = load_events(spark, sf_dir).groupBy("user_id").count() \
+        .collect()
+    # each user with n events contributes exactly n-1 transitions
+    assert total == sum(r["count"] - 1 for r in per_user)
