@@ -93,3 +93,56 @@ SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
 FROM seq WHERE to_type IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+def active_users_rolling7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] DAU / trailing-7-day WAU / stickiness per day. Exact sliding
+    DISTINCT counts do not decompose into partial aggregates, so the
+    scale shape is a bounded calendar FAN-OUT: each distinct
+    (user, active_day) row contributes to the 7 window-end days it
+    falls inside, then one distinct + count per window end. The fan-out
+    is a constant 7x on the deduplicated activity rows (NOT on raw
+    events), every stage is a partial-aggregated hash exchange, and no
+    window function orders the whole table. Days with no activity in
+    range simply have no row; window ends past the observed range are
+    clipped against the broadcast (min, max) day bounds."""
+    e = (load_events(spark, sf_dir)
+         .select("user_id", F.to_date("ts").alias("day")).distinct())
+    dau = e.groupBy("day").agg(F.count("*").alias("dau"))
+    bounds = F.broadcast(e.agg(F.max("day").alias("max_day")))
+    fan = (e.crossJoin(bounds)
+           .select("user_id",
+                   F.explode(F.sequence(
+                       "day", F.least(F.date_add("day", 6),
+                                      F.col("max_day"))))
+                   .alias("wend"))
+           .distinct())
+    wau = fan.groupBy("wend").agg(F.count("*").alias("wau"))
+    return (dau.join(wau, dau.day == wau.wend)
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "dau", "wau",
+                    F.round(F.col("dau") / F.col("wau"), 6)
+                    .alias("stickiness")))
+
+
+ACTIVE_USERS_ROLLING7_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM act GROUP BY day),
+bounds AS (SELECT max(day) AS max_day FROM act),
+fan AS (
+  SELECT DISTINCT user_id, wend
+  FROM act, bounds,
+       UNNEST(generate_series(day, least(day + 6, max_day),
+                              INTERVAL 1 DAY)) AS t(wend)
+),
+wau AS (SELECT CAST(wend AS DATE) AS wend, count(*) AS wau
+        FROM fan GROUP BY 1)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN wau w ON w.wend = d.day
+"""

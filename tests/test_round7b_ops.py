@@ -252,3 +252,26 @@ def test_path_transitions_conserve_event_counts(spark, sf_dir):
         .collect()
     # each user with n events contributes exactly n-1 transitions
     assert total == sum(r["count"] - 1 for r in per_user)
+
+
+def test_rolling7_wau_bounds_and_brute_force(spark, sf_dir):
+    from gcp_datalake_utils_spark.operators import cohort
+    from gcp_datalake_utils_spark.sources import load_events
+    got = {r["day"]: r for r in
+           cohort.active_users_rolling7(spark, sf_dir).collect()}
+    acts = load_events(spark, sf_dir) \
+        .selectExpr("user_id", "to_date(ts) AS day").distinct().collect()
+    import datetime as dt
+    by_day: dict[dt.date, set] = {}
+    for r in acts:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    max_day = max(by_day)
+    for day, users in by_day.items():
+        wau_users = set()
+        for back in range(7):
+            wau_users |= by_day.get(day - dt.timedelta(days=back), set())
+        r = got[day.strftime("%Y-%m-%d")]
+        assert r["dau"] == len(users)
+        assert r["wau"] == len(wau_users)
+        assert r["dau"] <= r["wau"]
+    assert set(got) == {d.strftime("%Y-%m-%d") for d in by_day}
