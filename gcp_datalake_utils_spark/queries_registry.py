@@ -90,9 +90,10 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 # operators (dup_ngram_fraction, dup_ngram_stats, source_vocab_overlap,
 # cross_source_dup_matrix, dedup_incremental, forget_propagation,
 # corpus_budget_selection, admission_pipeline, ingest_screen_stream,
-# retention_cohorts, path_transitions, active_users_rolling7), so
-# block A is 22 entries and the 50-slot window now ends at
-# revenue_by_nation_bucketed; revenue_by_nation_salted,
+# retention_cohorts, path_transitions, active_users_rolling7,
+# jsonl_roundtrip), so block A is 23 entries and the 50-slot window
+# now ends at revenue_by_nation;
+# revenue_by_nation_bucketed, revenue_by_nation_salted,
 # profile_orders, paragraph_dedup, kmeans_iterate,
 # funnel_conversion, funnel_completions_stream,
 # hll_distinct, hll_grouped,
@@ -114,6 +115,7 @@ from gcp_datalake_utils_spark.operators import pivot  # noqa: E402
 from gcp_datalake_utils_spark.operators import profile  # noqa: E402
 from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
 from gcp_datalake_utils_spark.sources import evolution  # noqa: E402
+from gcp_datalake_utils_spark.sources import interop  # noqa: E402
 from gcp_datalake_utils_spark.sources import zorder  # noqa: E402
 from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
 
@@ -168,6 +170,8 @@ register("path_transitions", cohort.path_transitions,
          cohort.PATH_TRANSITIONS_ORACLE)
 register("active_users_rolling7", cohort.active_users_rolling7,
          cohort.ACTIVE_USERS_ROLLING7_ORACLE)
+register("jsonl_roundtrip", interop.jsonl_roundtrip,
+         interop.JSONL_ROUNDTRIP_ORACLE)
 
 # --- block B: the 26 r3-stale driver greens (r6 verdict ask #1) -----------
 register("user_sessions", stream_windows.user_sessions,

@@ -275,3 +275,20 @@ def test_rolling7_wau_bounds_and_brute_force(spark, sf_dir):
         assert r["wau"] == len(wau_users)
         assert r["dau"] <= r["wau"]
     assert set(got) == {d.strftime("%Y-%m-%d") for d in by_day}
+
+
+def test_jsonl_roundtrip_matches_parquet_side(spark, sf_dir):
+    from gcp_datalake_utils_spark.sources import interop, load_table
+    got = {r["source"]: r for r in
+           interop.jsonl_roundtrip(spark, sf_dir).collect()}
+    # same aggregates straight from parquet (no roundtrip)
+    from pyspark.sql import functions as F
+    want = {r["source"]: r for r in
+            load_table(spark, sf_dir, "documents").groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.sum(interop._row_hash_col())
+                 .alias("content_checksum")).collect()}
+    assert set(got) == set(want) != set()
+    for s in want:
+        assert tuple(got[s]) == tuple(want[s])
