@@ -91,9 +91,12 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 # cross_source_dup_matrix, dedup_incremental, forget_propagation,
 # corpus_budget_selection, admission_pipeline, ingest_screen_stream,
 # retention_cohorts, path_transitions, active_users_rolling7,
-# jsonl_roundtrip), so block A is 23 entries and the 50-slot window
-# now ends at revenue_by_nation;
-# revenue_by_nation_bucketed, revenue_by_nation_salted,
+# jsonl_roundtrip, csv_roundtrip), so block A is 24 entries: the
+# 50-slot window is now exactly blocks A+B (ends at value_percentiles,
+# the last block-B row) — every new-in-r7 query AND every r3-stale
+# query is driver-checked, zero refresh slots left.
+# Just past the window: revenue_by_nation and its bucketed/salted
+# twins,
 # profile_orders, paragraph_dedup, kmeans_iterate,
 # funnel_conversion, funnel_completions_stream,
 # hll_distinct, hll_grouped,
@@ -172,6 +175,8 @@ register("active_users_rolling7", cohort.active_users_rolling7,
          cohort.ACTIVE_USERS_ROLLING7_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
+register("csv_roundtrip", interop.csv_roundtrip,
+         interop.CSV_ROUNDTRIP_ORACLE)
 
 # --- block B: the 26 r3-stale driver greens (r6 verdict ask #1) -----------
 register("user_sessions", stream_windows.user_sessions,

@@ -66,3 +66,26 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] same fidelity gate through the CSV sink/source — a different
+    failure surface than JSONL (quoting, embedded separators/newlines,
+    header handling, numeric re-parse). Schema-pinned read-back with
+    explicit quote/escape so free text survives; aggregates must match
+    the oracle's parquet-side truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = pid_scratch("/tmp/spark_graft_csv", sf_dir)
+    (docs.write.mode("overwrite")
+     .options(header=True, quoteAll=True, escape='"')
+     .csv(out))
+    back = (spark.read.schema(docs.schema)
+            .options(header=True, quote='"', escape='"')
+            .csv(out))
+    return (back.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.sum(_row_hash_col()).alias("content_checksum")))
+
+
+CSV_ROUNDTRIP_ORACLE = JSONL_ROUNDTRIP_ORACLE  # same parquet-side truth
