@@ -292,3 +292,13 @@ def test_jsonl_roundtrip_matches_parquet_side(spark, sf_dir):
     assert set(got) == set(want) != set()
     for s in want:
         assert tuple(got[s]) == tuple(want[s])
+
+
+def test_dedup_incremental_plan_no_cartesian(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import dedup
+    plan = _final_plan(dedup.dedup_incremental(spark, sf_dir))
+    # candidates come from the banded equi-join only
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the best-match election window partitions on the batch doc
+    assert "windowspecdefinition(doc_a" in plan
