@@ -91,10 +91,12 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
 # cross_source_dup_matrix, dedup_incremental, forget_propagation,
 # corpus_budget_selection, admission_pipeline, ingest_screen_stream,
 # retention_cohorts, path_transitions, active_users_rolling7,
-# jsonl_roundtrip, csv_roundtrip), so block A is 24 entries: the
-# 50-slot window is now exactly blocks A+B (ends at value_percentiles,
-# the last block-B row) — every new-in-r7 query AND every r3-stale
-# query is driver-checked, zero refresh slots left.
+# jsonl_roundtrip, csv_roundtrip), so block A is 24: the 50-slot
+# window is exactly blocks A+B (ends at value_percentiles, the last
+# block-B row) — every new-in-r7 query AND every r3-stale query is
+# driver-checked, zero refresh slots left. rules_file_source (S11,
+# the last pytest-only SURVEY row, now oracled) sits at position 51,
+# first past the window: metadata-scale, gate-checked locally.
 # Just past the window: revenue_by_nation and its bucketed/salted
 # twins,
 # profile_orders, paragraph_dedup, kmeans_iterate,
@@ -124,6 +126,7 @@ from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
 
 from gcp_datalake_utils_spark.formatters import layout as fmt_layout  # noqa: E402
 from gcp_datalake_utils_spark.rules import compiler as rules_compiler  # noqa: E402
+from gcp_datalake_utils_spark.rules import config as rules_config  # noqa: E402
 
 # --- block A: NEW / plan-changed in round 7 -------------------------------
 register("kmeans_iterate_arrow", similarity_arrow.kmeans_iterate_arrow,
@@ -226,6 +229,9 @@ register("similarity_kmeans_assign", similarity.kmeans_assign,
          similarity.KMEANS_ASSIGN_ORACLE)
 register("value_percentiles", payload.value_percentiles,
          payload.VALUE_PERCENTILES_ORACLE)
+register("rules_file_source",
+         lambda s, d: rules_config.rules_file_source(s),
+         rules_config.RULES_FILE_SOURCE_ORACLE)
 
 # --- block C: r4-green refreshes (window filler to 50) --------------------
 register("revenue_by_nation", payload.revenue_by_nation,

@@ -97,3 +97,79 @@ DEFAULT = PatternConfig(
     min_confidence_threshold=0.5,
     preferred_detection_methods=("enhanced_pk_fk", "data_vault_pattern"),
 )
+
+
+def to_reference_dict(cfg: PatternConfig) -> dict:
+    """Inverse of ``from_dict``: serialize a PatternConfig back to the
+    reference's ``relationship_patterns.json`` file format (one merged
+    methodology group; ``from_dict(to_reference_dict(c)) == c``)."""
+    return {
+        "column_patterns": {
+            "primary_key_indicators": list(cfg.pk_indicators),
+            "foreign_key_indicators": list(cfg.fk_indicators),
+        },
+        "table_patterns": {"merged": {"patterns": {
+            prefix: {
+                "prefix": prefix,
+                "primary_key_patterns": list(slot["pk"]),
+                "foreign_key_patterns": list(slot["fk"]),
+            } for prefix, slot in cfg.table_patterns.items()}}},
+        "filtering_rules": {
+            "max_relationships_per_table":
+                cfg.max_relationships_per_table,
+            "min_confidence_threshold": cfg.min_confidence_threshold,
+            "preferred_detection_methods": list(
+                cfg.preferred_detection_methods),
+        },
+    }
+
+
+def _rule_rows(cfg: PatternConfig) -> list[tuple[str, str, str]]:
+    rows = [("pk_indicator", "", p) for p in cfg.pk_indicators]
+    rows += [("fk_indicator", "", p) for p in cfg.fk_indicators]
+    for prefix, slot in cfg.table_patterns.items():
+        rows += [("table_pk", prefix, p) for p in slot["pk"]]
+        rows += [("table_fk", prefix, p) for p in slot["fk"]]
+    rows += [
+        ("filter", "max_relationships_per_table",
+         str(cfg.max_relationships_per_table)),
+        ("filter", "min_confidence_threshold",
+         str(cfg.min_confidence_threshold)),
+        ("filter", "preferred_detection_methods",
+         ",".join(cfg.preferred_detection_methods)),
+    ]
+    return rows
+
+
+def rules_file_source(spark) -> "object":
+    """[Q] S11 rules-file source, roundtrip-gated: DEFAULT is written
+    to a scratch file in the reference's own JSON format
+    (``to_reference_dict``), loaded back through the real file-source
+    path (``from_json``), and the PARSED rule set is emitted row-wise.
+    The oracle's VALUES come straight from the DEFAULT dataclass — any
+    serialization or parse defect anywhere on the file path turns the
+    value hash red. Metadata-scale by nature (same class as the
+    catalog fixtures, SURVEY §2 S2/S3)."""
+    import os
+
+    from gcp_datalake_utils_spark.sources.scratch import pid_scratch
+
+    d = pid_scratch("/tmp/spark_graft_rules", "default")
+    path = os.path.join(d, "relationship_patterns.json")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(to_reference_dict(DEFAULT), f)
+    parsed = PatternConfig.from_json(path)
+    return spark.createDataFrame(
+        _rule_rows(parsed), "rule_kind string, scope string, "
+                            "pattern string")
+
+
+def _rules_file_oracle() -> str:
+    vals = ",\n  ".join(
+        "({!r}, {!r}, {!r})".format(*r).replace('"', "'")
+        for r in _rule_rows(DEFAULT))
+    return (f"SELECT * FROM (VALUES\n  {vals}\n)"
+            f" AS t(rule_kind, scope, pattern)")
+
+
+RULES_FILE_SOURCE_ORACLE = _rules_file_oracle()

@@ -302,3 +302,9 @@ def test_dedup_incremental_plan_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the best-match election window partitions on the batch doc
     assert "windowspecdefinition(doc_a" in plan
+
+
+def test_rules_file_roundtrip_identity():
+    from gcp_datalake_utils_spark.rules import config as rc
+    assert rc.PatternConfig.from_dict(
+        rc.to_reference_dict(rc.DEFAULT)) == rc.DEFAULT
