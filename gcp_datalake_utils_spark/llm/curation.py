@@ -175,9 +175,17 @@ def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _budget_prefix(spark: SparkSession, stats: DataFrame) -> DataFrame:
     """Greedy (quality DESC, doc_id) token-budget prefix over a
     (doc_id, quality_score, n_tokens) frame via the bounded
-    score-histogram two-phase plan (see corpus_budget_selection)."""
+    score-histogram two-phase plan (see corpus_budget_selection).
+
+    The stats frame is localCheckpoint'ed first: both phases (the
+    histogram collect and the final selection plan) consume it, and
+    without the checkpoint each phase re-runs the full upstream
+    tokenize/score lineage — the checkpoint is a narrow 4-column
+    frame, so materializing it costs far less than a second corpus
+    scan (measured ~2x on the whole operator at sf3)."""
     stats = stats.withColumn(
-        "ppm", F.round(F.col("quality_score") * 1e6).cast("long"))
+        "ppm", F.round(F.col("quality_score") * 1e6).cast("long")) \
+        .localCheckpoint()
     hist = {r["ppm"]: r["toks"]
             for r in stats.groupBy("ppm")
             .agg(F.sum("n_tokens").alias("toks")).collect()}
