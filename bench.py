@@ -189,16 +189,28 @@ def main() -> None:
         print(f"  {name}: warm {warm:.2f}s median {per_query[name]}s",
               file=sys.stderr, flush=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    common = {
         "metric": "headline_median_total",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
-        "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # host load (1/5/15 min) so cross-round deltas can be told apart
         # from noisy-neighbor spikes on this shared box
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
+    # full per-query medians go to a sidecar file: the 72-query dict
+    # outgrew the driver's 2 KB tail capture in round 7 (BENCH_r07.json
+    # recorded parsed:null), losing the machine-readable record
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump({**common, "queries": per_query}, f)
+    # the FINAL stdout line stays compact (<1.5 KB): headline total +
+    # the slowest 15 queries, which carry the perf signal
+    slowest = dict(sorted(per_query.items(),
+                          key=lambda kv: kv[1], reverse=True)[:15])
+    out = {**common, "n_queries": len(per_query),
+           "queries": slowest, "detail": "bench_detail.json"}
     print(json.dumps(out))
 
 

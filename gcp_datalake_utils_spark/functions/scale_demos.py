@@ -74,6 +74,33 @@ GROUP BY event_type
 _BUCKETED: dict[tuple, bool] = {}
 
 
+def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
+    """Write the bucketed lineitem/orders layout once per session.
+
+    pid-scoped path: concurrent processes (driver gate + local bench)
+    must not overwrite each other's bucketed store; atexit-removed +
+    dead-pid orphans swept (sources/scratch.py). Bucketed AND sorted:
+    sorted buckets let a merge join read both sides in key order — no
+    per-query Sort under the SMJ (at 100 TB the sort, like the
+    shuffle, belongs in the write-time layout, not in every query)."""
+    key = (id(spark), sf_dir)
+    if key in _BUCKETED:
+        return
+    from gcp_datalake_utils_spark.sources.scratch import pid_scratch
+    loc = pid_scratch("/tmp/spark_graft_bucketed", sf_dir)
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "bk_lineitem", "l_orderkey", buckets=32,
+        sort_cols=["l_orderkey"], path=loc)
+    write_bucketed(
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey"),
+        "bk_orders", "o_orderkey", buckets=32,
+        sort_cols=["o_orderkey"], path=loc)
+    _BUCKETED[key] = True
+
+
 def revenue_by_nation_bucketed(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """[Q] revenue_by_nation over lineitem/orders persisted bucketed by
@@ -81,28 +108,7 @@ def revenue_by_nation_bucketed(spark: SparkSession,
     either side. The bucketed layout is written once per session
     (at scale it is the table's write-time layout, not a per-query
     cost)."""
-    key = (id(spark), sf_dir)
-    if key not in _BUCKETED:
-        # pid-scoped path: concurrent processes (driver gate + local
-        # bench) must not overwrite each other's bucketed store;
-        # atexit-removed + dead-pid orphans swept (sources/scratch.py)
-        from gcp_datalake_utils_spark.sources.scratch import pid_scratch
-        loc = pid_scratch("/tmp/spark_graft_bucketed", sf_dir)
-        # bucketed AND sorted: sorted buckets let the merge join read
-        # both sides in key order — no per-query Sort under the SMJ
-        # (at 100 TB the sort, like the shuffle, belongs in the
-        # write-time layout, not in every query)
-        write_bucketed(
-            load_table(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_extendedprice", "l_discount"),
-            "bk_lineitem", "l_orderkey", buckets=32,
-            sort_cols=["l_orderkey"], path=loc)
-        write_bucketed(
-            load_table(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_custkey"),
-            "bk_orders", "o_orderkey", buckets=32,
-            sort_cols=["o_orderkey"], path=loc)
-        _BUCKETED[key] = True
+    _ensure_bucketed(spark, sf_dir)
     li = spark.table("bk_lineitem")
     # SHUFFLE_HASH on the smaller bucketed side: with co-located
     # buckets there is no Exchange either way, but the per-bucket hash
@@ -120,3 +126,50 @@ def revenue_by_nation_bucketed(spark: SparkSession,
             .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
             .groupBy("r_name", "n_name")
             .agg(*payload.revenue_agg_exprs()))
+
+
+def revenue_by_nation_preagg(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """[Q] the bucketed revenue join with the exact-distinct residual
+    removed: revenue_by_nation_bucketed's remaining cost at sf10 was
+    the `count_distinct(o_orderkey)` two-stage exchange inside the
+    nation rollup (8.43 s vs DuckDB 2.11 s, r7 verdict weak row).
+    Because o_orderkey is the orders PK, pre-aggregating lineitem PER
+    ORDERKEY first turns the distinct into a plain `count(*)`:
+
+    1. groupBy(l_orderkey) over the bucketed, sorted lineitem store is
+       BUCKET-LOCAL — the scan's HashPartitioning(l_orderkey, 32)
+       already satisfies the agg's clustering, zero Exchange;
+    2. the per-order rollup joins bk_orders co-located (zero Exchange,
+       SHUFFLE_HASH per-bucket build as in the bucketed twin);
+    3. the nation rollup then sums order-level partials — one
+       map-side-combined exchange of order-count rows, NO Expand, no
+       distinct re-exchange: count(*) IS n_orders because each
+       orderkey occurs exactly once after step 1.
+
+    Exact decimal arithmetic is associative, so the regrouped sums
+    hash-match the same oracle at every scale and partitioning
+    (REVENUE_BY_NATION_ORACLE, shared with the other three twins).
+    Plan-guarded in tests/test_plans.py: no Expand, and zero Exchange
+    at or below the orders join."""
+    _ensure_bucketed(spark, sf_dir)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_order = (spark.table("bk_lineitem")
+                 .groupBy("l_orderkey")
+                 .agg(F.sum(F.round(disc, 4).cast("decimal(18,4)"))
+                      .alias("rev"),
+                      F.count("*").alias("items")))
+    o = spark.table("bk_orders").hint("SHUFFLE_HASH")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (per_order
+            .join(o, per_order["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name", "n_name")
+            .agg(F.sum("rev").cast("decimal(38,6)").cast("string")
+                 .alias("revenue"),
+                 F.sum("items").cast("long").alias("n_items"),
+                 F.count("*").alias("n_orders")))

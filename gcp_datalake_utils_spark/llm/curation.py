@@ -133,6 +133,13 @@ FROM (
 
 
 BUDGET_SHARE = 0.6  # token budget as a share of total corpus tokens
+# exact-integer form of the 60% budget test: `den*cum <= num*total` in
+# int64 on BOTH engines. A float `0.6 * total` budget literal differs
+# between Python float and DuckDB's exact DECIMAL arithmetic when the
+# running total lands exactly on the boundary (total a multiple of 5),
+# flipping boundary docs data-dependently (round-7 advice).
+BUDGET_NUM = 6
+BUDGET_DEN = 10
 
 
 def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,14 +196,16 @@ def _budget_prefix(spark: SparkSession, stats: DataFrame) -> DataFrame:
     hist = {r["ppm"]: r["toks"]
             for r in stats.groupBy("ppm")
             .agg(F.sum("n_tokens").alias("toks")).collect()}
-    budget = BUDGET_SHARE * sum(hist.values())
+    total = sum(hist.values())
     prefix: dict[int, int] = {}
     acc = 0
     cutoff_ppm = None
     for ppm in sorted(hist, reverse=True):
         prefix[ppm] = acc
         acc += hist[ppm]
-        if acc > budget:
+        # exact-integer budget test (den*acc > num*total), never a
+        # float literal — see BUDGET_NUM comment
+        if acc * BUDGET_DEN > total * BUDGET_NUM:
             cutoff_ppm = ppm
             break
     if cutoff_ppm is None:
@@ -210,7 +219,8 @@ def _budget_prefix(spark: SparkSession, stats: DataFrame) -> DataFrame:
             .join(pref_df, "ppm")
             .withColumn("cum_tokens",
                         F.col("prior_acc") + F.sum("n_tokens").over(w))
-            .where(F.col("cum_tokens") <= F.lit(budget))
+            .where(F.col("cum_tokens") * F.lit(BUDGET_DEN)
+                   <= F.lit(total) * F.lit(BUDGET_NUM))
             .select("doc_id", "quality_score", "n_tokens", "cum_tokens"))
 
 
@@ -218,7 +228,7 @@ def _budget_oracle() -> str:
     from gcp_datalake_utils_spark.llm.text import TOKEN_STATS_ORACLE
     return f"""
 WITH stats AS ({TOKEN_STATS_ORACLE}),
-tot AS (SELECT {BUDGET_SHARE} * SUM(n_tokens) AS budget FROM stats),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM stats),
 ranked AS (
   SELECT doc_id, quality_score, n_tokens,
          SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
@@ -227,7 +237,8 @@ ranked AS (
 )
 SELECT doc_id, quality_score, n_tokens,
        CAST(cum AS BIGINT) AS cum_tokens
-FROM ranked, tot WHERE cum <= budget
+FROM ranked, tot
+WHERE {BUDGET_DEN} * CAST(cum AS BIGINT) <= {BUDGET_NUM} * total
 """
 
 
@@ -266,7 +277,7 @@ stats AS (
   SEMI JOIN (SELECT doc_id FROM ({CURATE_ORACLE}) WHERE keep) k
     ON s.doc_id = k.doc_id
 ),
-tot AS (SELECT {BUDGET_SHARE} * SUM(n_tokens) AS budget FROM stats),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM stats),
 ranked AS (
   SELECT doc_id, quality_score, n_tokens,
          SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
@@ -275,7 +286,8 @@ ranked AS (
 )
 SELECT doc_id, quality_score, n_tokens,
        CAST(cum AS BIGINT) AS cum_tokens
-FROM ranked, tot WHERE cum <= budget
+FROM ranked, tot
+WHERE {BUDGET_DEN} * CAST(cum AS BIGINT) <= {BUDGET_NUM} * total
 """
 
 

@@ -26,7 +26,8 @@ Spark-first shape, and why it holds at 100 TB:
 
 Reference parity: generalizes the reference's referential-integrity
 semi/anti-join machinery (SURVEY §2 J6; gcp-datalake-utils
-data_test.py) from validation to governance; cited there, not copied.
+data_relationship_tester.py) from validation to governance; cited
+there, not copied.
 """
 
 from __future__ import annotations

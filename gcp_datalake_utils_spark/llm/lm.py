@@ -176,6 +176,10 @@ def lm_doc_scores_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         words: set = set()
         for pdf in batches:
             for text in pdf["text"]:
+                if text is None:
+                    # JVM twin: split(trim(NULL)) is NULL -> explode
+                    # yields no bigram/vocab rows
+                    continue
                 toks = text.strip(" ").split(" ")
                 words.update(toks)
                 bgc.update(zip(toks, toks[1:]))
@@ -209,7 +213,9 @@ def lm_doc_scores_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, ns, avgs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.strip(" ").split(" ")
+                # NULL text mirrors the JVM left-join row: 0 bigrams,
+                # NULL score (split(trim(NULL)) explodes to no rows)
+                toks = [] if text is None else text.strip(" ").split(" ")
                 n = len(toks) - 1
                 if n <= 0:
                     ids.append(doc_id)

@@ -464,6 +464,15 @@ def _rep_stats_batches(batches):
                                "top_word_frac", "top_bigram_frac",
                                "dup_3gram_frac", "flag_repetitive")}
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                # JVM twin: split(trim(NULL)) is NULL, size(NULL) is
+                # NULL -> every stat (and the flag) null-propagates
+                out["doc_id"].append(doc_id)
+                for k in ("n_words", "frac_unique", "top_word_frac",
+                          "top_bigram_frac", "dup_3gram_frac",
+                          "flag_repetitive"):
+                    out[k].append(None)
+                continue
             toks = ws_rx.split(text.strip(" "))
             n = len(toks)
             wc = Counter(toks)

@@ -105,7 +105,8 @@ def active_users_rolling7(spark: SparkSession, sf_dir: str) -> DataFrame:
     events), every stage is a partial-aggregated hash exchange, and no
     window function orders the whole table. Days with no activity in
     range simply have no row; window ends past the observed range are
-    clipped against the broadcast (min, max) day bounds."""
+    clipped against the broadcast max-day bound (window starts need no
+    clip — an early end simply finds fewer contributing days)."""
     e = (load_events(spark, sf_dir)
          .select("user_id", F.to_date("ts").alias("day")).distinct())
     dau = e.groupBy("day").agg(F.count("*").alias("dau"))

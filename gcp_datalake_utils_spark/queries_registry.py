@@ -239,6 +239,8 @@ register("revenue_by_nation", payload.revenue_by_nation,
 register("revenue_by_nation_bucketed",
          scale_demos.revenue_by_nation_bucketed,
          payload.REVENUE_BY_NATION_ORACLE)
+register("revenue_by_nation_preagg", scale_demos.revenue_by_nation_preagg,
+         payload.REVENUE_BY_NATION_ORACLE)
 register("revenue_by_nation_salted", scale_demos.revenue_by_nation_salted,
          payload.REVENUE_BY_NATION_ORACLE)
 register("profile_orders", profile.profile_orders,

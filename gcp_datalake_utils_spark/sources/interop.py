@@ -73,14 +73,18 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure surface than JSONL (quoting, embedded separators/newlines,
     header handling, numeric re-parse). Schema-pinned read-back with
     explicit quote/escape so free text survives; aggregates must match
-    the oracle's parquet-side truth."""
+    the oracle's parquet-side truth. The read-back sets multiLine=true:
+    quoteAll writes embedded newlines inside quotes, and without
+    multiLine the line-splitting reader would shred such a row (latent
+    on this single-line corpus, wrong on real text)."""
     docs = load_table(spark, sf_dir, "documents")
     out = pid_scratch("/tmp/spark_graft_csv", sf_dir)
     (docs.write.mode("overwrite")
      .options(header=True, quoteAll=True, escape='"')
      .csv(out))
     back = (spark.read.schema(docs.schema)
-            .options(header=True, quote='"', escape='"')
+            .options(header=True, quote='"', escape='"',
+                     multiLine=True)
             .csv(out))
     return (back.groupBy("source")
             .agg(F.count("*").alias("n_docs"),

@@ -24,7 +24,7 @@ def test_dup_ngram_fraction_matches_brute_force(spark, sf_dir):
     gcount: Counter = Counter()
     per_doc: dict[int, list[str]] = {}
     for d in docs:
-        ws = re.split(r"\s+", d["text"].strip())
+        ws = re.split(r"\s+", d["text"].strip(" "))
         grams = [" ".join(ws[i:i + 5]) for i in range(len(ws) - 4)]
         per_doc[d["doc_id"]] = grams
         gcount.update(grams)
@@ -71,7 +71,7 @@ def test_source_overlap_matches_brute_force(spark, sf_dir):
     vocab: dict[str, set[str]] = {}
     for d in docs:
         vocab.setdefault(d["source"], set()).update(
-            re.split(r"\s+", d["text"].strip()))
+            re.split(r"\s+", d["text"].strip(" ")))
     srcs = sorted(vocab)
     expect = {}
     for i, a in enumerate(srcs):
