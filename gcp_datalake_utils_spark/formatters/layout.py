@@ -230,3 +230,64 @@ FROM s{FORCE_ITERATIONS}
 
 
 FORCE_LAYOUT_COORDS_ORACLE = _force_layout_oracle()
+
+
+# ---------------------------------------------------------------------------
+# G5 direct oracle (r7 verdict ask #9): grid/row/column coordinates as
+# their own truth table. Until round 8 the grid arithmetic was only
+# verified INSIDE the drawio sink oracle; this exposes all three
+# index-arithmetic layouts (the reference's grid / horizontal /
+# vertical modes, erd_generator.py layout selection) as one [Q] row so
+# every §2 operator has a direct oracle.
+# ---------------------------------------------------------------------------
+
+GRID_COLS = 4
+CELL_W = 260
+CELL_H = 300
+
+
+def grid_layout_coords(spark: SparkSession) -> DataFrame:
+    """[Q] G5: (layout, table_id, x, y) for the three index-arithmetic
+    layouts over the metadata catalog — grid (GRID_COLS per row), row
+    (one horizontal band), column (one vertical band). Deterministic
+    in table_ord; diagram-scale by definition (reference caps at 1000
+    tables) but kept declarative: one fixture scan, one explode, no
+    collect."""
+    t = fx.meta_tables_df(spark)
+    idx = F.col("table_ord") - 1
+    layouts = F.array(
+        F.struct(F.lit("grid").alias("layout"),
+                 ((idx % GRID_COLS) * CELL_W).cast("double").alias("x"),
+                 (F.floor(idx / GRID_COLS) * CELL_H).cast("double")
+                 .alias("y")),
+        F.struct(F.lit("row").alias("layout"),
+                 (idx * CELL_W).cast("double").alias("x"),
+                 F.lit(0.0).alias("y")),
+        F.struct(F.lit("column").alias("layout"),
+                 F.lit(0.0).alias("x"),
+                 (idx * CELL_H).cast("double").alias("y")))
+    return (t.select("table_id", F.explode(layouts).alias("l"))
+            .select(F.col("l.layout").alias("layout"), "table_id",
+                    F.col("l.x").alias("x"), F.col("l.y").alias("y")))
+
+
+def _grid_layout_oracle() -> str:
+    return f"""
+WITH tabs AS (SELECT * FROM {fx.meta_tables_values()})
+SELECT 'grid' AS layout, table_id,
+       CAST(((table_ord - 1) % {GRID_COLS}) * {CELL_W} AS DOUBLE) AS x,
+       CAST(floor((table_ord - 1) / {GRID_COLS}) * {CELL_H} AS DOUBLE)
+         AS y
+FROM tabs
+UNION ALL
+SELECT 'row', table_id,
+       CAST((table_ord - 1) * {CELL_W} AS DOUBLE), 0.0
+FROM tabs
+UNION ALL
+SELECT 'column', table_id,
+       0.0, CAST((table_ord - 1) * {CELL_H} AS DOUBLE)
+FROM tabs
+"""
+
+
+GRID_LAYOUT_COORDS_ORACLE = _grid_layout_oracle()

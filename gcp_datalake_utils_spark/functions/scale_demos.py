@@ -90,7 +90,8 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
     loc = pid_scratch("/tmp/spark_graft_bucketed", sf_dir)
     write_bucketed(
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount"),
         "bk_lineitem", "l_orderkey", buckets=32,
         sort_cols=["l_orderkey"], path=loc)
     write_bucketed(

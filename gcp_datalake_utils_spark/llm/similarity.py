@@ -1209,3 +1209,124 @@ WHERE {{cos}} >= 0.95
     "round((" + _DOT_SQL.format(a="ea.embedding", b="eb.embedding")
     + ") / ((" + _NORM_SQL.format(a="ea.embedding") + ") * ("
     + _NORM_SQL.format(a="eb.embedding") + ")), 6)"))
+
+
+# ---------------------------------------------------------------------------
+# Auto-scaled band width (r7 verdict ask #5). The fixed-width variants
+# saturate by pigeonhole: embedding_near_dups' 4-bit keys at sf1,
+# embedding_near_dups64's 8-bit keys at sf10 (158 s — candidate blocks
+# grow linearly with corpus size once n >> labels * 2^bits, so the pair
+# join goes quadratic again). The scale-correct contract derives the
+# band width from the corpus: expected vectors per (label, band, key)
+# block stays ~ND_TARGET_BLOCK, so candidate volume stays ~linear in n.
+#
+#   bits(n) = clamp(8, 16, bit_length(n // ND_TARGET_BLOCK))
+#
+# — a PURE-INTEGER recurrence both engines replicate exactly (Python
+# int.bit_length == DuckDB length(printf('%b', m))); never a float
+# log2, whose boundary rounding could diverge and change the whole
+# candidate set. Band keys are built DIRECTLY from the plane signs
+# (band j uses planes [j*bits, (j+1)*bits) of the same quadratic
+# integer-hash plane family, up to 8*16 = 128 planes), skipping the
+# packed-word representation that capped the 64-plane variant.
+#
+# Recall trade (documented, pytest-asserted on planted pairs): wider
+# keys lower per-band collide probability — at cosine 0.95,
+# p_bit ~ 0.899, so capture = 1-(1-0.899^bits)^8 is 98.8% at 8 bits,
+# ~95% at 12, ~80% at 16. That is the standard LSH knob: at the
+# 16-bit clamp the next lever is more bands (more planes), not wider
+# keys. The ORACLE mirrors bits(n) exactly, so correctness gates hold
+# at every scale regardless of where the knob lands.
+# ---------------------------------------------------------------------------
+
+ND_BANDS_AUTO = 8
+ND_TARGET_BLOCK = 64
+
+
+def _auto_band_bits(n: int) -> int:
+    return max(8, min(16, (n // ND_TARGET_BLOCK).bit_length()))
+
+
+def embedding_near_dups_auto(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """[Q] embedding-cosine near-dup pairs at >= 0.95 with the band
+    width derived from the corpus size (see block comment above):
+    8 bands of bits(n) bits each, bits(n) =
+    clamp(8, 16, bit_length(n // 64)). One count() driver round-trip
+    sizes the knob (same eager pattern as the k-means coordinator);
+    the band keys come from one numpy GEMV per Arrow batch; candidate
+    generation and the cogrouped exact-cosine verify are the shared
+    near-dup plan."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    bits = _auto_band_bits(n)
+    planes = _plane_matrix(ND_BANDS_AUTO * bits)
+    w = (1 << np.arange(bits, dtype=np.int64))
+
+    def band_keys(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            s = (np.round(m @ planes.T, 6) >= 0).astype(np.int64)
+            keys = [(s[:, j * bits:(j + 1) * bits] * w).sum(axis=1)
+                    for j in range(ND_BANDS_AUTO)]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf["label"].astype("int32"),
+                "keys": list(np.stack(keys, axis=1)),
+            })
+
+    sig = (e.select("vec_id", "label", "embedding")
+           .mapInPandas(band_keys,
+                        "vec_id long, label int, keys array<bigint>")
+           .select("vec_id", "label",
+                   F.posexplode("keys").alias("band", "key")))
+    a = sig.select(F.col("vec_id").alias("vec_a"), "label",
+                   "band", "key")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "label",
+                   "band", "key")
+    cand = (a.join(b, ["label", "band", "key"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "label")
+            .distinct())
+    return _verify_pairs_arrow(cand, e, 0.95)
+
+
+EMBEDDING_NEAR_DUPS_AUTO_ORACLE = f"""
+WITH p AS (
+  SELECT GREATEST(8, LEAST(16, length(printf(
+           '%b', GREATEST(count(*) // {ND_TARGET_BLOCK}, 1)))))
+         AS bits
+  FROM embeddings
+),
+bands AS (
+  SELECT vec_id, label, j AS band,
+         list_sum(list_transform(range(bits), i ->
+           CASE WHEN round(list_sum(list_transform(
+                  range({N_DIMS}), d ->
+                  CAST(embedding[d + 1] AS DOUBLE) *
+                  ({_plane_sign_sql_expr('(j * bits + i)', 'd')}))), 6)
+                >= 0
+           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+           AS key
+  FROM embeddings, p, unnest(range({ND_BANDS_AUTO})) AS t(j)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+  FROM bands a
+  JOIN bands b ON a.label = b.label AND a.band = b.band
+              AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, c.label, {{cos}} AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {{cos}} >= 0.95
+""".format(cos=(
+    "round((" + _DOT_SQL.format(a="ea.embedding", b="eb.embedding")
+    + ") / ((" + _NORM_SQL.format(a="ea.embedding") + ") * ("
+    + _NORM_SQL.format(a="eb.embedding") + ")), 6)"))

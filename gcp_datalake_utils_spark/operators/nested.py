@@ -40,7 +40,12 @@ def order_lines_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_sort`` on the struct array orders by the leading ``ln``
     field (unique per order), so the revenue fold adds identical
     doubles in identical order on both engines."""
-    li = load_table(spark, sf_dir, "lineitem")
+    return _nested_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+def _nested_stats(li: DataFrame) -> DataFrame:
+    """Nest lineitem rows per order and project the per-order stats —
+    shared by the shuffle and bucketed layouts."""
     nested = (li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
               .agg(F.array_sort(F.collect_list(F.struct(
                   F.col("l_linenumber").alias("ln"),
@@ -61,6 +66,25 @@ def order_lines_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int").alias("n_heavy"),
         F.exists("lines", lambda s: s["disc"] > DEEP_DISCOUNT)
         .alias("has_deep_disc"))
+
+
+def order_lines_nested_bucketed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """[Q] order_lines_nested over the bucketed, orderkey-sorted
+    lineitem store: the nesting groupBy becomes BUCKET-LOCAL — the
+    scan's HashPartitioning(l_orderkey, 32) satisfies the agg's
+    clustering, so the corpus-wide collect_list exchange disappears
+    (the shuffle twin's sf10 rows swung 12-25 s because shuffling 60M
+    rows into 15M arrays is memory-pressure-sensitive; here each task
+    nests only its own bucket). Zero wide Exchange, plan-guarded in
+    tests/test_plans.py; same oracle as the shuffle twin. At 100 TB
+    this is the write-time layout argument again: a fact table stored
+    bucketed by its parent key nests for free."""
+    from gcp_datalake_utils_spark.functions.scale_demos import (
+        _ensure_bucketed,
+    )
+    _ensure_bucketed(spark, sf_dir)
+    return _nested_stats(spark.table("bk_lineitem"))
 
 
 ORDER_LINES_NESTED_ORACLE = f"""

@@ -147,6 +147,9 @@ register("repetition_flags_arrow", text.repetition_flags_arrow,
 register("force_layout_coords",
          lambda s, d: fmt_layout.force_layout_coords(s),
          fmt_layout.FORCE_LAYOUT_COORDS_ORACLE)
+register("grid_layout_coords",
+         lambda s, d: fmt_layout.grid_layout_coords(s),
+         fmt_layout.GRID_LAYOUT_COORDS_ORACLE)
 register("rule_compiler_truth",
          lambda s, d: rules_compiler.rule_compiler_truth(s),
          rules_compiler.RULE_COMPILER_TRUTH_ORACLE)
@@ -296,6 +299,8 @@ register("hll_distinct_native", sketches.hll_distinct_native,
 register("profile_orders_fast", profile.profile_orders_fast,
          profile.PROFILE_ORDERS_FAST_ORACLE)
 register("lm_doc_scores", lm.lm_doc_scores, lm.LM_DOC_SCORES_ORACLE)
+register("lm_doc_scores_pruned", lm.lm_doc_scores_pruned,
+         lm.LM_DOC_SCORES_PRUNED_ORACLE)
 register("lm_quality_bins", lm.lm_quality_bins,
          lm.LM_QUALITY_BINS_ORACLE)
 register("weighted_sample", sampling.weighted_sample,
@@ -391,6 +396,8 @@ register("metadata_richness", payload.metadata_richness,
          payload.metadata_richness_oracle())
 register("batch_ann64_topk", similarity.batch_ann64_topk,
          similarity.BATCH_ANN64_TOPK_ORACLE)
+register("order_lines_nested_bucketed", nested.order_lines_nested_bucketed,
+         nested.ORDER_LINES_NESTED_ORACLE)
 register("order_lines_nested", nested.order_lines_nested,
          nested.ORDER_LINES_NESTED_ORACLE)
 register("robust_outliers", payload.robust_outliers,
@@ -417,6 +424,8 @@ register("cosine_topk_arrow", similarity_arrow.cosine_topk_arrow,
          similarity.COSINE_TOPK_ORACLE)
 register("ann_rerank", similarity_arrow.ann_rerank,
          similarity_arrow.ANN_RERANK_ORACLE)
+register("embedding_near_dups_auto", similarity.embedding_near_dups_auto,
+         similarity.EMBEDDING_NEAR_DUPS_AUTO_ORACLE)
 register("embedding_near_dups64", similarity.embedding_near_dups64,
          similarity.EMBEDDING_NEAR_DUP64_ORACLE)
 register("evolving_read", evolution.evolving_read,
