@@ -121,6 +121,17 @@ HEADLINE = [
     "source_vocab_overlap",
     "dedup_incremental",
     "corpus_budget_selection",
+    # round-8 additions: the scale twins that close the r7 weak rows
+    # (pre-agg revenue, pruned LM, auto-band near-dups, bucket-local
+    # nesting) benched NEXT TO their anchors, plus the cohort family
+    # (r7 verdict ask #8: active_users_rolling7 had no bench row)
+    "revenue_by_nation_preagg",
+    "lm_doc_scores_pruned",
+    "embedding_near_dups_auto",
+    "order_lines_nested_bucketed",
+    "retention_cohorts",
+    "path_transitions",
+    "active_users_rolling7",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -200,7 +200,6 @@ def hll_distinct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     both aggregates partial — at 100 TB this is the production-shape
     profile query: constant state per column, no register grid, no
     distinct shuffle beyond the exact-audit branch."""
-    vals = _hll_value_frame(spark, sf_dir)
     # dedupe FIRST, then count + sketch the distinct stream: a
     # same-Aggregate (approx, count_distinct) pair plans an Expand
     # that doubles every input row and measured SUPER-additive
@@ -213,11 +212,31 @@ def hll_distinct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audited column would inflate exact_distinct by its NULL row and the
     # within_5pct audit would compare a null-excluded approx against a
     # null-inflated exact.
-    dist = (vals.where(F.col("v").isNotNull())
-            .select("col_name", "v").distinct())
-    per_col = (dist.groupBy("col_name")
-               .agg(F.approx_count_distinct("v", 0.02).alias("approx"),
-                    F.count("*").alias("exact_distinct")))
+    #
+    # r8 rework (the r7 2.4x weak row, 11.0 s sf10): the md5 anchor's
+    # shared (col_name, string) union made the native twin shuffle
+    # STRING renderings of BIGINT keys through the exact-distinct
+    # exchange — a portability cast the native path never needed. Per-
+    # column branches distinct the NATIVE type (8-byte fixed-width
+    # shuffle rows, no string materialization) and union the ONE-ROW
+    # aggregates instead of the corpora. exact_distinct is unchanged
+    # (int -> string casts are injective, so the oracle's
+    # count(DISTINCT cast) equals the native distinct count);
+    # within_5pct audits the same rsd=0.02 sketch over the native
+    # values. Measured sf10: 10.97 -> 4.0 s (== DuckDB 4.5 s).
+    parts = []
+    for _table, col in _HLL_COLS:
+        dist = (load_table(spark, sf_dir, _table)
+                .where(F.col(col).isNotNull())
+                .select(F.col(col).alias("v")).distinct())
+        parts.append(
+            dist.agg(F.approx_count_distinct("v", 0.02).alias("approx"),
+                     F.count("*").alias("exact_distinct"))
+            .select(F.lit(col).alias("col_name"), "approx",
+                    "exact_distinct"))
+    per_col = parts[0]
+    for p in parts[1:]:
+        per_col = per_col.unionByName(p)
     return per_col.select(
         "col_name", "exact_distinct",
         (F.abs(F.col("approx").cast("double")
