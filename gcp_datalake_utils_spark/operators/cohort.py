@@ -147,3 +147,85 @@ SELECT strftime(d.day, '%Y-%m-%d') AS day,
        round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
 FROM dau d JOIN wau w ON w.wend = d.day
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round 8). The classic customer-value grid over the
+# orders fact: recency (days since last order, vs the corpus max
+# date), frequency (order count), monetary (exact decimal spend), each
+# cut into quintiles. Complements the event-side cohort family with
+# the transaction-side rollup every growth/CRM stack runs.
+# ---------------------------------------------------------------------------
+
+RFM_BINS = 5
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] (r_score, f_score, m_score, n_customers, total_monetary,
+    avg_frequency): quintile RFM grid over per-customer order rollups.
+
+    Scale shape: one orders scan -> customer-keyed partial-aggregated
+    rollup (customer-cardinality, slim) -> three global ntile windows
+    over that SLIM frame (the lm_quality_bins class: a range-
+    partitioned sort of id+metric pairs, fine at 1e9 customers) -> a
+    <=125-cell rollup. Determinism: monetary totals are exact
+    DECIMAL(18,2) sums (the _dsum rule — double sums would make the
+    quintile ORDER itself partition-dependent); every ntile orders
+    (metric, o_custkey) so ties cut identically in both engines;
+    recency counts whole days between DATE casts. Quintile convention:
+    score 1 = most recent / most frequent / highest spend."""
+    from gcp_datalake_utils_spark.sources import load_table
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.max(F.to_date("o_orderdate")).alias("last_day"),
+                     F.count("*").alias("frequency"),
+                     F.sum(F.round("o_totalprice", 2)
+                           .cast("decimal(18,2)")).alias("monetary")))
+    ref = F.broadcast(o.agg(F.max(F.to_date("o_orderdate"))
+                            .alias("ref_day")))
+    cust = (per_cust.crossJoin(ref)
+            .withColumn("recency_days",
+                        F.datediff("ref_day", "last_day")))
+    r_w = Window.orderBy("recency_days", "o_custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
+    m_w = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = cust.select(
+        "o_custkey", "frequency", "monetary",
+        F.ntile(RFM_BINS).over(r_w).cast("int").alias("r_score"),
+        F.ntile(RFM_BINS).over(f_w).cast("int").alias("f_score"),
+        F.ntile(RFM_BINS).over(m_w).cast("int").alias("m_score"))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.sum("monetary").cast("decimal(38,6)").cast("string")
+                 .alias("total_monetary"),
+                 F.round(F.avg("frequency"), 6).alias("avg_frequency")))
+
+
+RFM_SEGMENTS_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_day,
+         count(*) AS frequency,
+         sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+scored AS (
+  SELECT o_custkey, frequency, monetary,
+         CAST(ntile({RFM_BINS}) OVER (
+           ORDER BY date_diff('day', last_day, ref_day), o_custkey)
+           AS INTEGER) AS r_score,
+         CAST(ntile({RFM_BINS}) OVER (
+           ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_score,
+         CAST(ntile({RFM_BINS}) OVER (
+           ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_score
+  FROM per_cust, ref
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(CAST(sum(monetary) AS DECIMAL(38,6)) AS VARCHAR)
+         AS total_monetary,
+       round(avg(frequency), 6) AS avg_frequency
+FROM scored GROUP BY r_score, f_score, m_score
+"""

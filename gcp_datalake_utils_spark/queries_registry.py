@@ -38,6 +38,7 @@ from gcp_datalake_utils_spark.llm import (
     paradedup,
     packing,
     redact,
+    retrieval,
     rollup,
     dedup,
     multimodal,
@@ -143,6 +144,8 @@ register("retention_cohorts", cohort.retention_cohorts,
          cohort.RETENTION_COHORTS_ORACLE)
 register("path_transitions", cohort.path_transitions,
          cohort.PATH_TRANSITIONS_ORACLE)
+register("rfm_segments", cohort.rfm_segments,
+         cohort.RFM_SEGMENTS_ORACLE)
 register("active_users_rolling7", cohort.active_users_rolling7,
          cohort.ACTIVE_USERS_ROLLING7_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
@@ -372,6 +375,7 @@ register("corpus_mixture_temp", sampling.corpus_mixture_temp,
          sampling.CORPUS_MIXTURE_TEMP_ORACLE)
 register("pricing_summary", payload.pricing_summary,
          payload.PRICING_SUMMARY_ORACLE)
+register("bm25_topk", retrieval.bm25_topk, retrieval.BM25_TOPK_ORACLE)
 register("inverted_index", index.inverted_index,
          index.INVERTED_INDEX_ORACLE)
 register("embedding_quantize", similarity.embedding_quantize,
@@ -427,6 +431,9 @@ register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
 # r8-window family twin (corpus_mixture / simhash64_near_pairs /
 # events_rolling+pivot), every-round local-gate greens, and rotates in
 # first next round. All r6/r7 greens follow in their prior order.
+# Late-r8 additions (bm25_topk, rfm_segments) also sit past the
+# window — local-gate green this round, window candidates for r9
+# alongside the three r4 leftovers.
 # ---------------------------------------------------------------------------
 
 _R8_WINDOW = [

@@ -143,3 +143,76 @@ def test_grid_layout_three_layouts_per_table(spark):
     # row layout is a horizontal band: y == 0 everywhere
     assert all(r["y"] == 0.0 for r in rows if r["layout"] == "row")
     assert all(r["x"] == 0.0 for r in rows if r["layout"] == "column")
+
+
+# --- bm25_topk -----------------------------------------------------------
+
+def test_bm25_matches_brute_force(spark, sf_dir):
+    """Pure-Python BM25 over the same tokenization must agree with the
+    engine on every (query, rank, doc, round-6 score)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from gcp_datalake_utils_spark.llm import retrieval
+
+    docs = {r["doc_id"]: (r["text"] or "").strip(" ").split(" ")
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").collect()}
+    tfs = {d: Counter(t) for d, t in docs.items()}
+    n_docs = len(docs)
+    df = Counter()
+    for c in tfs.values():
+        df.update(c.keys())
+    dl = {d: sum(c.values()) for d, c in tfs.items()}
+    avgdl = sum(dl.values()) / n_docs
+    q9, q6 = Decimal("0.000000001"), Decimal("0.000001")
+
+    def r(x, q):
+        return Decimal(repr(x)).quantize(q, ROUND_HALF_UP)
+
+    expected = {}
+    for qid in range(retrieval.N_BM25_QUERIES):
+        terms = [t for t, _ in sorted(
+            tfs[qid].items(), key=lambda kv: (-kv[1], kv[0]))
+            [:retrieval.QUERY_TERMS]]
+        scored = []
+        for d, c in tfs.items():
+            s = Decimal(0)
+            hit = False
+            for t in terms:
+                tf = c.get(t)
+                if not tf:
+                    continue
+                hit = True
+                idf = math.log((n_docs - df[t] + 0.5)
+                               / (df[t] + 0.5) + 1.0)
+                s += r(idf * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)), q9)
+            if hit:
+                scored.append((float(r(float(s), q6)), d))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (sc, d) in enumerate(scored[:retrieval.BM25_TOPK], 1):
+            expected[(qid, rank)] = (d, sc)
+
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+           for r in retrieval.bm25_topk(spark, sf_dir).collect()}
+    assert got == expected and len(got) > 0
+
+
+# --- rfm_segments --------------------------------------------------------
+
+def test_rfm_grid_invariants(spark, sf_dir):
+    from gcp_datalake_utils_spark.operators import cohort
+
+    rows = cohort.rfm_segments(spark, sf_dir).collect()
+    n_cust = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_custkey").distinct().count())
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    # ntile balance: per-dimension marginals differ by at most 1
+    for dim in ("r_score", "f_score", "m_score"):
+        marg = {}
+        for r in rows:
+            marg[r[dim]] = marg.get(r[dim], 0) + r["n_customers"]
+        assert set(marg) == set(range(1, cohort.RFM_BINS + 1))
+        assert max(marg.values()) - min(marg.values()) <= 1
