@@ -233,3 +233,92 @@ def restore_dataset(spark: SparkSession, base: str, tables: list[str],
     return spark.createDataFrame(
         [(r["table_id"], r["status"], r["reason"]) for r in rows],
         "table_id string, status string, reason string")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (round 8). The lakehouse pattern
+# the snapshot/CDC machinery exists FOR: a downstream aggregate table
+# is kept current by applying only the delta between snapshots —
+# update cost proportional to |changed rows|, never |table|. At 100 TB
+# a full nightly recompute of a stats rollup re-scans the world; the
+# CDC-maintained version touches the reconciliation join plus two
+# delta-sized aggregates. The [Q] gate is the strongest possible check
+# of the pattern: the oracle is the FULL RECOMPUTE over the new
+# snapshot — incremental must equal recompute, hash-exactly.
+#
+# Determinism note: the money metric is integer cents via
+# CAST(floor(x * 100 + 0.5) AS BIGINT) — floor and IEEE double
+# multiply/add are bit-identical across engines, sidestepping the
+# round()-on-arbitrary-doubles HALF_UP-vs-banker's ambiguity that a
+# DECIMAL cast of the 1.1-inflated price would risk.
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+def incremental_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] (o_orderpriority, n_orders, total_cents): per-priority order
+    stats for snapshot v2, computed INCREMENTALLY — the v1 rollup plus
+    the CDC delta (subtract touched keys' v1 contributions, add their
+    v2 contributions) — and gated against the v2 full recompute.
+
+    Plan: one full-agg over v1 (the pre-existing stats table), the CDC
+    reconciliation join (snapshot_diff), two DELTA-sized semi-joined
+    aggregates, and a tiny 5-row merge. No stage rescans v2 in full
+    except the reconciliation the pipeline needs anyway."""
+    from pyspark.sql import functions as F
+    from gcp_datalake_utils_spark.sources.registry import load_table
+
+    base = _tmp_base(sf_dir, "incragg")
+    orders = load_table(spark, sf_dir, "orders")
+    # the same deterministic snapshot pair as snapshot_diff_query
+    v1 = orders.where("o_orderkey % 7 <> 0")
+    v2 = (orders.where("o_orderkey % 3 <> 0")
+          .withColumn("o_totalprice",
+                      F.when(F.expr("o_orderkey % 5 = 0"),
+                             F.col("o_totalprice") * 1.1)
+                      .otherwise(F.col("o_totalprice"))))
+    write_snapshot(v1, base, "orders", 1000)
+    write_snapshot(v2, base, "orders", 2000)
+    s1 = read_as_of(spark, base, "orders", 1000)
+    s2 = read_as_of(spark, base, "orders", 2000)
+
+    def rollup(df: DataFrame, n_col: str, c_col: str) -> DataFrame:
+        return (df.groupBy("o_orderpriority")
+                .agg(F.count("*").alias(n_col),
+                     F.sum(F.expr(_CENTS)).alias(c_col)))
+
+    stats1 = rollup(s1, "n1", "c1")
+    touched = (snapshot_diff(spark, base, "orders", 1000, 2000,
+                             ["o_orderkey"])
+               .where(F.col("status") != "unchanged")
+               .select("o_orderkey"))
+    minus = rollup(s1.join(touched, "o_orderkey", "left_semi"),
+                   "nm", "cm")
+    plus = rollup(s2.join(touched, "o_orderkey", "left_semi"),
+                  "np", "cp")
+    merged = (stats1.join(minus, "o_orderpriority", "full_outer")
+              .join(plus, "o_orderpriority", "full_outer"))
+    z = F.lit(0)
+    return (merged.select(
+        "o_orderpriority",
+        (F.coalesce("n1", z) - F.coalesce("nm", z)
+         + F.coalesce("np", z)).cast("long").alias("n_orders"),
+        (F.coalesce("c1", z) - F.coalesce("cm", z)
+         + F.coalesce("cp", z)).cast("long").alias("total_cents"))
+        .where(F.col("n_orders") > 0))
+
+
+# full recompute over v2 — incremental must equal it hash-exactly
+INCREMENTAL_AGG_ORACLE = f"""
+WITH v2 AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 0
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum({_CENTS}) AS BIGINT) AS total_cents
+FROM v2 GROUP BY o_orderpriority
+"""

@@ -216,3 +216,25 @@ def test_rfm_grid_invariants(spark, sf_dir):
             marg[r[dim]] = marg.get(r[dim], 0) + r["n_customers"]
         assert set(marg) == set(range(1, cohort.RFM_BINS + 1))
         assert max(marg.values()) - min(marg.values()) <= 1
+
+
+# --- incremental_agg -----------------------------------------------------
+
+def test_incremental_agg_equals_full_recompute(spark, sf_dir):
+    """The maintained rollup must equal a Spark-side full recompute of
+    snapshot v2 (the oracle asserts the same against DuckDB)."""
+    from gcp_datalake_utils_spark.sources import snapshots as snap
+
+    inc = {r["o_orderpriority"]: (r["n_orders"], r["total_cents"])
+           for r in snap.incremental_agg_query(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v2 = (orders.where("o_orderkey % 3 <> 0")
+          .withColumn("o_totalprice",
+                      F.when(F.expr("o_orderkey % 5 = 0"),
+                             F.col("o_totalprice") * 1.1)
+                      .otherwise(F.col("o_totalprice"))))
+    full = {r["o_orderpriority"]: (r["n"], r["c"])
+            for r in v2.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.expr(snap._CENTS)).alias("c")).collect()}
+    assert inc == full and len(inc) > 0
