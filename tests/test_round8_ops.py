@@ -238,3 +238,29 @@ def test_incremental_agg_equals_full_recompute(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  F.sum(F.expr(snap._CENTS)).alias("c")).collect()}
     assert inc == full and len(inc) > 0
+
+
+def test_rfm_no_single_partition_exchange(spark, sf_dir):
+    """The distributed ntile must never plan the no-partition Window's
+    SinglePartition exchange (DNF at 1e9 customers)."""
+    from gcp_datalake_utils_spark.operators import cohort
+    plan = cohort.rfm_segments(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_distributed_ntile_matches_window_ntile(spark, sf_dir):
+    """_distributed_ntile must replicate F.ntile exactly, including the
+    first-(n % bins)-buckets-take-one-extra rule."""
+    from pyspark.sql import Window as W
+    from gcp_datalake_utils_spark.operators import cohort
+
+    df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .select("o_orderkey", "o_totalprice").limit(1003))
+    order = [F.desc("o_totalprice"), F.col("o_orderkey")]
+    got = {r["o_orderkey"]: r["b"] for r in
+           cohort._distributed_ntile(df, order, "b", 7).collect()}
+    ref = {r["o_orderkey"]: r["b"] for r in
+           df.withColumn("b", F.ntile(7).over(W.orderBy(*order))
+                         .cast("int")).collect()}
+    assert got == ref and len(got) == 1003
