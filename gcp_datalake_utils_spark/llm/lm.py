@@ -278,18 +278,24 @@ def lm_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lm_quality_bins_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] broadcast-model twin of :func:`lm_quality_bins` — the same
-    ntile binning tail over :func:`lm_doc_scores_arrow`'s scores
+    binning tail over :func:`lm_doc_scores_arrow`'s scores
     (bit-identical scores by the twin contract, so identical bins;
     shares LM_QUALITY_BINS_ORACLE). The corpus cost moves from three
-    explode passes + scoring joins to two narrow Arrow passes; the
-    ntile window is unchanged — one range-partitioned sort of slim
-    doc-level rows."""
+    explode passes + scoring joins to two narrow Arrow passes, and —
+    since round 8 — the ntile runs as the DISTRIBUTED exact recipe
+    (functions/ranking.distributed_ntile): the JVM anchor's
+    no-partition ntile window plans a SinglePartition exchange, fine
+    on this corpus but a DNF at 1e9 docs; this twin is the scale
+    configuration, so its tail must scale too (plan-guarded: no
+    SinglePartition)."""
+    from gcp_datalake_utils_spark.functions.ranking import (
+        distributed_ntile,
+    )
     scores = lm_doc_scores_arrow(spark, sf_dir).where(
         F.col("avg_logprob").isNotNull())
-    from pyspark.sql import Window
-    w = Window.orderBy(F.desc("avg_logprob"), "doc_id")
-    binned = scores.withColumn(
-        "bin", F.ntile(N_QUALITY_BINS).over(w).cast("int"))
+    binned = distributed_ntile(
+        scores, [F.desc("avg_logprob"), F.col("doc_id")], "bin",
+        N_QUALITY_BINS)
     return (binned.groupBy("bin")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.round(F.max("avg_logprob"), 6).alias("best_lp"),

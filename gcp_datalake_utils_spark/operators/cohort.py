@@ -158,53 +158,13 @@ FROM dau d JOIN wau w ON w.wend = d.day
 # ---------------------------------------------------------------------------
 
 RFM_BINS = 5
-_RANK_PARTS = 32
 
-
-def _distributed_ntile(df: DataFrame, order_exprs: list,
-                       out: str, bins: int) -> DataFrame:
-    """Exact ntile(bins) over a GLOBAL (order_exprs) total order,
-    computed scalably: Spark plans a no-partition Window as ONE
-    SinglePartition exchange (fine at 1e5 rows, DNF at 1e9), so this
-    uses the distributed global-rank recipe instead — range-partition
-    on the order key, per-partition row_number, then add each
-    partition's cumulative offset (a _RANK_PARTS-row collect). Ranks
-    are exact regardless of where the sampled range boundaries land
-    because offsets come from ACTUAL partition counts and the order
-    key is a total order (callers append a unique tie-break column).
-    The rank -> bucket arithmetic replicates SQL ntile exactly: the
-    first n % bins buckets take one extra row.
-
-    The ranked frame is localCheckpoint'ed (slim: the caller's id +
-    metric columns) because the offset collect and the final
-    projection both consume it — the operator is eager, like the
-    other driver-coordinated shapes (k-means, budget prefix)."""
-    ranked = (df.repartitionByRange(_RANK_PARTS, *order_exprs)
-              .sortWithinPartitions(*order_exprs)
-              .withColumn("_pid", F.spark_partition_id())
-              .withColumn("_lrn", F.row_number().over(
-                  Window.partitionBy("_pid").orderBy(*order_exprs)))
-              .localCheckpoint())
-    sizes = {r["_pid"]: r["c"] for r in
-             ranked.groupBy("_pid").agg(F.count("*").alias("c"))
-             .collect()}
-    n = sum(sizes.values())
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("_pid"))
-    rank = off + F.col("_lrn")
-    q, m = divmod(n, bins)
-    bucket = F.when(
-        rank <= m * (q + 1),
-        F.floor((rank - 1) / (q + 1)) + 1
-    ).otherwise(
-        m + F.floor((rank - 1 - m * (q + 1)) / max(q, 1)) + 1)
-    return ranked.withColumn(out, bucket.cast("int")) \
-        .drop("_pid", "_lrn")
+def _distributed_ntile(df, order_exprs, out, bins, **kw):
+    """Shared recipe — see functions/ranking.py."""
+    from gcp_datalake_utils_spark.functions.ranking import (
+        distributed_ntile,
+    )
+    return distributed_ntile(df, order_exprs, out, bins, **kw)
 
 
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,12 +201,13 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _distributed_ntile(
         cust, [F.col("recency_days"), F.col("o_custkey")],
         "r_score", RFM_BINS)
+    # the 2nd/3rd ntiles read the previous call's checkpointed output
     scored = _distributed_ntile(
         scored, [F.desc("frequency"), F.col("o_custkey")],
-        "f_score", RFM_BINS)
+        "f_score", RFM_BINS, checkpoint_input=False)
     scored = _distributed_ntile(
         scored, [F.desc("monetary"), F.col("o_custkey")],
-        "m_score", RFM_BINS)
+        "m_score", RFM_BINS, checkpoint_input=False)
     return (scored.groupBy("r_score", "f_score", "m_score")
             .agg(F.count("*").cast("long").alias("n_customers"),
                  F.sum("monetary").cast("decimal(38,6)").cast("string")
