@@ -195,6 +195,10 @@ register("pii_redaction", redact.pii_redaction,
          redact.PII_REDACTION_ORACLE)
 register("boilerplate_flags", boilerplate.boilerplate_flags,
          boilerplate.BOILERPLATE_FLAGS_ORACLE)
+register("media_frame_sample", multimodal.media_frame_sample,
+         multimodal.MEDIA_FRAME_SAMPLE_ORACLE)
+register("media_resize", multimodal.media_resize,
+         multimodal.MEDIA_RESIZE_ORACLE)
 register("multimodal_features", multimodal.media_features,
          multimodal.MEDIA_FEATURES_ORACLE)
 register("similarity_kmeans_assign", similarity.kmeans_assign,

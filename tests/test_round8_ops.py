@@ -264,3 +264,48 @@ def test_distributed_ntile_matches_window_ntile(spark, sf_dir):
            df.withColumn("b", F.ntile(7).over(W.orderBy(*order))
                          .cast("int")).collect()}
     assert got == ref and len(got) == 1003
+
+
+# --- multimodal kernel shapes --------------------------------------------
+
+def test_frame_sample_fanout_and_bounds(spark, sf_dir):
+    """1->N fan-out: sampled frame count per asset matches
+    ceil(len/64) strided by 3; every non-final frame is full-size."""
+    import math
+    from gcp_datalake_utils_spark.llm import multimodal as mm
+
+    frames: dict = {}
+    for r in mm.media_frame_sample(spark, sf_dir).collect():
+        frames.setdefault(r["asset_id"], []).append(r)
+    lens = {r["doc_id"]: r["n"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id", "octet_length(encode(text, 'UTF-8')) AS n")
+            .collect()}
+    checked = 0
+    for aid, n in lens.items():
+        nf = math.ceil(n / mm.FRAME_BYTES)
+        want = len(range(0, nf, mm.FRAME_STRIDE))
+        got = frames.get(aid, [])
+        assert len(got) == want
+        for fr in got:
+            full = (fr["frame_idx"] + 1) * mm.FRAME_BYTES <= n
+            assert fr["frame_len"] == (mm.FRAME_BYTES if full
+                                       else n - fr["frame_idx"]
+                                       * mm.FRAME_BYTES)
+        checked += 1
+    assert checked > 0
+
+
+def test_resize_stride_roundtrip(spark, sf_dir):
+    import hashlib
+    from gcp_datalake_utils_spark.llm import multimodal as mm
+
+    got = {r["asset_id"]: r for r in
+           mm.media_resize(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    for d in docs:
+        b = d["text"].encode()[::mm.RESIZE_STRIDE]
+        r = got[d["doc_id"]]
+        assert r["resized_len"] == len(b)
+        assert r["resized_md5"] == hashlib.md5(b).hexdigest()
