@@ -1156,8 +1156,13 @@ def embedding_near_dups64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dups64_from(e: DataFrame) -> DataFrame:
+    # checkpoint the signatures before the a/b self-join: both sides
+    # reference the same Arrow-bucketizer subtree and Spark has no
+    # DataFrame-level CSE — without it the 64-plane GEMV pass runs
+    # twice (the dedup_groups lesson, same bug class)
     sig = _with_bucket64_arrow(e).select("vec_id", "label",
-                                         "b_hi", "b_lo")
+                                         "b_hi", "b_lo") \
+        .localCheckpoint()
     bands = sig.select(
         "vec_id", "label", F.explode(F.array(*[
             F.struct(
@@ -1280,9 +1285,12 @@ def embedding_near_dups_auto(spark: SparkSession,
                 "keys": list(np.stack(keys, axis=1)),
             })
 
+    # checkpointed before the a/b self-join (same rationale as
+    # _near_dups64_from: the GEMV bucketizer must not run twice)
     sig = (e.select("vec_id", "label", "embedding")
            .mapInPandas(band_keys,
                         "vec_id long, label int, keys array<bigint>")
+           .localCheckpoint()
            .select("vec_id", "label",
                    F.posexplode("keys").alias("band", "key")))
     a = sig.select(F.col("vec_id").alias("vec_a"), "label",
