@@ -132,6 +132,10 @@ HEADLINE = [
     "retention_cohorts",
     "path_transitions",
     "active_users_rolling7",
+    # late-r8: retrieval + hashed decontamination twin
+    "bm25_topk",
+    "rfm_segments",
+    "decontamination_hashed",
 ]
 
 # results larger than this row count are executed via the noop sink

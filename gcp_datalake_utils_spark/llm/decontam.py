@@ -105,3 +105,52 @@ SELECT h.doc_id, h.bench_doc_id, h.n_shared,
        h.n_shared >= {CONTAM_THRESHOLD} AS contaminated
 FROM hits h JOIN bench_sizes s USING (bench_doc_id)
 """
+
+
+def decontamination_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] the 100 TB twin of :func:`decontamination` — identical
+    output, same oracle, but gram TEXT never leaves the row: words are
+    xxhash64'ed once, 3-grams combine the three pre-hashed longs with
+    one more xxhash64 (the ngramdup recipe — interpreted HOF lambdas
+    must be allocation-free, and hashing words once measured 1.7x over
+    per-offset concat+string-hash), and the broadcast/candidate join
+    carries 8-byte hashes instead of ~25-byte gram strings. Engine
+    parity is hash-invariant (the oracle joins gram STRINGS): results
+    agree unless two distinct grams collide in 64 bits — ~2^-64 per
+    pair, verified collision-free on the test corpora (the same
+    contract as dup_ngram_fraction)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_part = max(int(d.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")) // 2, 8)
+    # fan out the one-split local file before the ~250x explode
+    # (ngramdup rationale; at 100 TB the input has thousands of
+    # splits and this repartition is the step you delete)
+    d = (d.repartition(n_part, "doc_id")
+         .select("doc_id", F.split(F.trim("text"), " ").alias("ws")))
+    wh = F.transform("ws", lambda w: F.xxhash64(w))
+    staged = d.select("doc_id", wh.alias("wh"))
+    grams = F.array_distinct(F.transform(
+        F.when(F.size("wh") >= N_GRAM,
+               F.sequence(F.lit(1), F.size("wh") - (N_GRAM - 1)))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: F.xxhash64(*[F.element_at("wh", i + j)
+                               for j in range(N_GRAM)])))
+    ng = staged.select("doc_id", F.explode(grams).alias("gh"))
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = (ng.where(is_bench)
+             .select(F.col("doc_id").alias("bench_doc_id"), "gh")
+             .localCheckpoint())
+    bench_sizes = (bench.groupBy("bench_doc_id")
+                   .agg(F.count("*").alias("n_bench")))
+    corpus = ng.where(~is_bench)
+    return (corpus
+            .join(F.broadcast(bench), "gh")
+            .groupBy("doc_id", "bench_doc_id")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= MIN_SHARED)
+            .join(F.broadcast(bench_sizes), "bench_doc_id")
+            .select("doc_id", "bench_doc_id", "n_shared",
+                    F.round(F.col("n_shared") / F.col("n_bench"),
+                            6).alias("overlap_ratio"),
+                    (F.col("n_shared") >= CONTAM_THRESHOLD)
+                    .alias("contaminated")))

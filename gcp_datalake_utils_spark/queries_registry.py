@@ -175,6 +175,8 @@ register("dedup_groups", dedup.dedup_groups, dedup.DEDUP_GROUPS_ORACLE)
 register("dedup_simhash", dedup.simhash, dedup.SIMHASH_ORACLE)
 register("simhash_near_pairs", dedup.simhash_near_pairs,
          dedup.SIMHASH_NEAR_PAIRS_ORACLE)
+register("decontamination_hashed", decontam.decontamination_hashed,
+         decontam.DECONTAMINATION_ORACLE)
 register("decontamination", decontam.decontamination,
          decontam.DECONTAMINATION_ORACLE)
 register("text_token_stats", text.token_stats, text.TOKEN_STATS_ORACLE)

@@ -309,3 +309,12 @@ def test_resize_stride_roundtrip(spark, sf_dir):
         r = got[d["doc_id"]]
         assert r["resized_len"] == len(b)
         assert r["resized_md5"] == hashlib.md5(b).hexdigest()
+
+
+def test_decontamination_hashed_matches_string_twin(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import decontam
+    a = {tuple(r) for r in
+         decontam.decontamination_hashed(spark, sf_dir).collect()}
+    b = {tuple(r) for r in
+         decontam.decontamination(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
