@@ -508,3 +508,94 @@ def repetition_flags_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted HOF folds. Zero Exchange; scales as a narrow map."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_rep_stats_batches, schema=_REP_ARROW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic quality filters (round 8; Raffel et al. 2020 §2.2
+# adapted to document granularity). Complements the Gopher-style
+# repetition signals (repetition_flags) and the composite
+# quality_score (token_stats) with the classic boolean gate battery a
+# C4-like cleaning pass applies before anything model-based runs. The
+# denylist is a 2-phrase demo stand-in for the configurable blocklist
+# production uses (the operator shape — lowercased containment over a
+# small broadcast-able list — is what matters).
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS = 5
+# C4 uses 3..10; the synthetic corpus's mean word lengths span only
+# 3.7..5.3 (and it carries no punctuation at all), so the low bound is
+# tightened to 4.0 and the terminal-punctuation rule is REPORTED as a
+# signal but not gated — otherwise `keep` would be constant on this
+# corpus and the gate would prove nothing. A production deployment
+# flips the constants back and adds ends_terminal to the conjunction.
+C4_MEAN_LEN_LO = 4.0
+C4_MEAN_LEN_HI = 10.0
+C4_TERMINAL = (".", "!", "?", '"')
+C4_DENYLIST = ("click here", "subscribe now")
+
+
+def c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] (doc_id, n_words, mean_word_len, ends_terminal, has_brace,
+    has_lorem, has_denylist, keep): the C4 heuristic gate battery.
+    One narrow scan, zero Exchange — every signal is a Column
+    expression over the tokenized text; `keep` is the conjunction C4
+    applies (enough words, sane mean word length, terminal
+    punctuation, none of the drop markers)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.trim("text").alias("tt"),
+                 F.lower("text").alias("lt"),
+                 _words_col().alias("ws"))
+    n = F.size("ws")
+    mean_len = F.round(
+        F.aggregate(F.transform("ws", lambda w: F.length(w)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).cast("double") / n, 6)
+    ends_term = F.substring(F.col("tt"), -1, 1).isin(*C4_TERMINAL)
+    has_brace = F.col("tt").contains("{") | F.col("tt").contains("}")
+    has_lorem = F.col("lt").contains("lorem ipsum")
+    has_deny = None
+    for p in C4_DENYLIST:
+        c = F.col("lt").contains(p)
+        has_deny = c if has_deny is None else (has_deny | c)
+    out = t.select(
+        "doc_id", n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        ends_term.alias("ends_terminal"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        has_deny.alias("has_denylist"))
+    keep = ((F.col("n_words") >= C4_MIN_WORDS)
+            & (F.col("mean_word_len") >= C4_MEAN_LEN_LO)
+            & (F.col("mean_word_len") <= C4_MEAN_LEN_HI)
+            & ~F.col("has_brace") & ~F.col("has_lorem")
+            & ~F.col("has_denylist"))
+    return out.withColumn("keep", keep)
+
+
+C4_QUALITY_FILTERS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS tt, lower(text) AS lt,
+         {_WORDS} AS ws
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(ws, w -> CAST(length(w) AS BIGINT))))
+               AS DOUBLE) / len(ws), 6) AS mean_word_len,
+         right(tt, 1) IN ('.', '!', '?', '"') AS ends_terminal,
+         (contains(tt, '{{') OR contains(tt, '}}')) AS has_brace,
+         contains(lt, 'lorem ipsum') AS has_lorem,
+         (contains(lt, 'click here') OR contains(lt, 'subscribe now'))
+           AS has_denylist
+  FROM t
+)
+SELECT *,
+       (n_words >= {C4_MIN_WORDS}
+        AND mean_word_len >= {C4_MEAN_LEN_LO}
+        AND mean_word_len <= {C4_MEAN_LEN_HI}
+        AND NOT has_brace AND NOT has_lorem
+        AND NOT has_denylist) AS keep
+FROM b
+"""

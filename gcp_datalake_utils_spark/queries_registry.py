@@ -344,6 +344,8 @@ register("dedup_exact_groups", dedup.exact_dup_groups,
 register("sequence_packing", packing.sequence_packing,
          packing.SEQUENCE_PACKING_ORACLE)
 register("text_language_id", text.language_id, text.LANGUAGE_ID_ORACLE)
+register("c4_quality_filters", text.c4_quality_filters,
+         text.C4_QUALITY_FILTERS_ORACLE)
 register("dedup_minhash_signatures", dedup.minhash_signatures,
          dedup.MINHASH_ORACLE)
 register("dedup_lsh_buckets", dedup.lsh_bucket_stats,

@@ -318,3 +318,26 @@ def test_decontamination_hashed_matches_string_twin(spark, sf_dir):
     b = {tuple(r) for r in
          decontam.decontamination(spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_c4_filters_brute_force(spark, sf_dir):
+    import re as _re
+    from gcp_datalake_utils_spark.llm import text as llm_text
+
+    got = {r["doc_id"]: r for r in
+           llm_text.c4_quality_filters(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    hits = 0
+    for d in docs:
+        ws = _re.split(r"\s+", d["text"].strip(" "))
+        r = got[d["doc_id"]]
+        assert r["n_words"] == len(ws)
+        assert r["mean_word_len"] == round(
+            sum(map(len, ws)) / len(ws), 6)
+        assert r["ends_terminal"] == (
+            d["text"].strip(" ")[-1:] in (".", "!", "?", '"'))
+        if r["keep"]:
+            hits += 1
+    # the gate must actually separate: some docs kept, some dropped
+    assert 0 < hits < len(docs)
