@@ -142,6 +142,10 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, lens, md5s = [], [], [], []
             for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                if b is None:
+                    # NULL payload mirrors the oracle's length(NULL)
+                    # exclusion: no frames
+                    continue
                 b = bytes(b)
                 nf = math.ceil(len(b) / FRAME_BYTES)
                 for i in range(0, nf, FRAME_STRIDE):
@@ -184,13 +188,20 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _resize(batches: Iterator[pd.DataFrame]) \
             -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            res = pdf["payload"].map(lambda b: bytes(b)[::RESIZE_STRIDE])
+            # NULL payloads null-propagate (the oracle's length(NULL) /
+            # md5(NULL) row), mirroring the JVM semantics
+            res = pdf["payload"].map(
+                lambda b: None if b is None
+                else bytes(b)[::RESIZE_STRIDE])
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
-                "orig_len": pdf["payload"].map(len).astype("int64"),
-                "resized_len": res.map(len).astype("int64"),
+                "orig_len": pdf["payload"].map(
+                    lambda b: None if b is None else len(b)),
+                "resized_len": res.map(
+                    lambda b: None if b is None else len(b)),
                 "resized_md5": res.map(
-                    lambda b: hashlib.md5(b).hexdigest()),
+                    lambda b: None if b is None
+                    else hashlib.md5(b).hexdigest()),
             })
 
     return binary_assets(spark, sf_dir).select(

@@ -185,7 +185,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent); every ntile orders (metric, o_custkey) so ties cut
     identically in both engines; recency counts whole days between
     DATE casts. Quintile convention: score 1 = most recent / most
-    frequent / highest spend."""
+    frequent / highest spend.
+
+    NULL-ordering contract: the order keys (recency/frequency/
+    monetary) are non-null by construction on this corpus (every
+    order carries a date and price). If a deployment's orders table
+    had NULL dates, Spark (NULLS FIRST asc) and DuckDB (NULLS LAST)
+    would cut quintiles differently — coalesce to a sentinel at the
+    loader before trusting the gate on such data."""
     from gcp_datalake_utils_spark.sources import load_table
     o = load_table(spark, sf_dir, "orders")
     per_cust = (o.groupBy("o_custkey")
