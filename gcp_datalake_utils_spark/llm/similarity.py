@@ -14,6 +14,13 @@ comparison window).
   pruning when the table is written partitioned by label.
 - pairwise label-blocked join: candidate pairs only within a cell,
   never the full cross join.
+
+Non-null contract: every operator here (and the Arrow kernels in
+similarity_arrow.py) assumes ``embedding`` is non-null — true of the
+fixtures at every sf. A NULL embedding would crash the numpy kernels
+(np.stack) while the declarative twins and DuckDB null-propagate to a
+zero signature, so a deployment with nullable embeddings must filter
+or impute AT THE LOADER, before any operator in this module.
 """
 
 from __future__ import annotations

@@ -242,6 +242,8 @@ register("bloom_prefilter_audit", bloom.bloom_prefilter_audit,
          bloom.BLOOM_PREFILTER_AUDIT_ORACLE)
 register("incremental_agg", snap.incremental_agg_query,
          snap.INCREMENTAL_AGG_ORACLE)
+register("retention_policy", snap.retention_policy_query,
+         snap.RETENTION_POLICY_ORACLE)
 register("snapshot_diff", snap.snapshot_diff_query,
          snap.SNAPSHOT_DIFF_ORACLE)
 register("restore_summary", snap.restore_summary_query,

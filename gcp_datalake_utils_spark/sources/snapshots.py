@@ -322,3 +322,100 @@ SELECT o_orderpriority,
        CAST(sum({_CENTS}) AS BIGINT) AS total_cents
 FROM v2 GROUP BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot retention policy (round 8). The other half of the
+# time-travel store's lifecycle: restore_dataset.sh keeps history,
+# something must eventually VACUUM it. Policy (the common Delta
+# retention shape): keep the newest KEEP_LAST versions outright, plus
+# the newest version of each of the last RETAIN_DAYS distinct days;
+# everything older is marked for vacuum with the reason recorded.
+# ---------------------------------------------------------------------------
+
+KEEP_LAST = 2
+RETAIN_DAYS = 3
+_DAY_MS = 86_400_000
+
+# deterministic version history: (day, hour) pairs — multiple writes
+# some days, gaps on others, so every policy branch has members
+_RETENTION_EPOCHS = [(1, 4), (1, 9), (2, 6), (3, 2), (3, 8), (3, 21),
+                     (5, 7), (6, 12)]
+
+
+def retention_policy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] (epoch_ms, day, keep, reason) over an actual snapshot store:
+    write the deterministic 8-version history, read it back through
+    ``list_versions`` (the store round-trip is part of what's checked),
+    and evaluate the retention policy declaratively — two row_number
+    windows over the VERSION list (metadata-scale: version counts are
+    bounded by retention itself) and a broadcast max-day bound.
+    Reasons: 'recent' (newest KEEP_LAST), 'daily' (newest of a day
+    within RETAIN_DAYS of the newest day), 'vacuum' otherwise; `keep`
+    is reason != 'vacuum'."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from gcp_datalake_utils_spark.sources.registry import load_table
+
+    base = _tmp_base(sf_dir, "retention")
+    one = load_table(spark, sf_dir, "region").limit(1)
+    for day, hour in _RETENTION_EPOCHS:
+        write_snapshot(one, base, "region",
+                       day * _DAY_MS + hour * 3_600_000)
+    versions = spark.createDataFrame(
+        [(int(v),) for v in list_versions(base, "region")],
+        "epoch_ms long")
+    v = versions.withColumn("day", (F.col("epoch_ms") / _DAY_MS)
+                            .cast("long"))
+    rn_all = F.row_number().over(
+        Window.orderBy(F.desc("epoch_ms")))
+    rn_day = F.row_number().over(
+        Window.partitionBy("day").orderBy(F.desc("epoch_ms")))
+    bounds = F.broadcast(v.agg(F.max("day").alias("max_day")))
+    scored = (v.withColumn("rn_all", rn_all)
+              .withColumn("rn_day", rn_day)
+              .crossJoin(bounds))
+    reason = (F.when(F.col("rn_all") <= KEEP_LAST, "recent")
+              .when((F.col("rn_day") == 1)
+                    & (F.col("day") > F.col("max_day") - RETAIN_DAYS),
+                    "daily")
+              .otherwise("vacuum"))
+    return scored.select(
+        "epoch_ms", "day", reason.alias("reason")) \
+        .withColumn("keep", F.col("reason") != "vacuum")
+
+
+def _retention_oracle() -> str:
+    rows = ",\n    ".join(
+        f"({day * _DAY_MS + hour * 3_600_000})"
+        for day, hour in _RETENTION_EPOCHS)
+    return f"""
+WITH v AS (
+  SELECT CAST(epoch_ms AS BIGINT) AS epoch_ms,
+         CAST(epoch_ms // {_DAY_MS} AS BIGINT) AS day
+  FROM (VALUES
+    {rows}
+  ) AS t(epoch_ms)
+),
+b AS (SELECT max(day) AS max_day FROM v),
+s AS (
+  SELECT epoch_ms, day,
+         row_number() OVER (ORDER BY epoch_ms DESC) AS rn_all,
+         row_number() OVER (PARTITION BY day ORDER BY epoch_ms DESC)
+           AS rn_day
+  FROM v
+)
+SELECT epoch_ms, day,
+       CASE WHEN rn_all <= {KEEP_LAST} THEN 'recent'
+            WHEN rn_day = 1 AND day > max_day - {RETAIN_DAYS}
+              THEN 'daily'
+            ELSE 'vacuum' END AS reason,
+       CASE WHEN rn_all <= {KEEP_LAST} THEN 'recent'
+            WHEN rn_day = 1 AND day > max_day - {RETAIN_DAYS}
+              THEN 'daily'
+            ELSE 'vacuum' END <> 'vacuum' AS keep
+FROM s, b
+"""
+
+
+RETENTION_POLICY_ORACLE = _retention_oracle()

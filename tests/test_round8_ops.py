@@ -341,3 +341,19 @@ def test_c4_filters_brute_force(spark, sf_dir):
             hits += 1
     # the gate must actually separate: some docs kept, some dropped
     assert 0 < hits < len(docs)
+
+
+def test_retention_policy_branches(spark, sf_dir):
+    """Every policy branch must be populated and self-consistent."""
+    from gcp_datalake_utils_spark.sources import snapshots as snap
+
+    rows = snap.retention_policy_query(spark, sf_dir).collect()
+    reasons = {}
+    for r in rows:
+        reasons.setdefault(r["reason"], []).append(r)
+        assert r["keep"] == (r["reason"] != "vacuum")
+    assert len(reasons["recent"]) == snap.KEEP_LAST
+    assert reasons.get("daily") and reasons.get("vacuum")
+    # the newest version is always kept
+    newest = max(rows, key=lambda r: r["epoch_ms"])
+    assert newest["keep"]
