@@ -338,9 +338,11 @@ RETAIN_DAYS = 3
 _DAY_MS = 86_400_000
 
 # deterministic version history: (day, hour) pairs — multiple writes
-# some days, gaps on others, so every policy branch has members
-_RETENTION_EPOCHS = [(1, 4), (1, 9), (2, 6), (3, 2), (3, 8), (3, 21),
-                     (5, 7), (6, 12)]
+# some days, gaps on others, so every policy branch has members:
+# 'recent' = the two day-6 writes, 'daily' = day 5's newest (day 6's
+# is already recent), 'vacuum' = everything on days 1-3
+_RETENTION_EPOCHS = [(1, 4), (1, 9), (2, 6), (3, 2), (3, 8),
+                     (5, 7), (6, 2), (6, 12)]
 
 
 def retention_policy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
