@@ -429,84 +429,83 @@ register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
 
 
 # ---------------------------------------------------------------------------
-# ROUND-8 WINDOW ROTATION (r7 verdict ask #2). The driver hashes the
-# FIRST 50 entries of QUERIES each round; instead of physically moving
-# register() blocks again, the dict is reordered here. The r8 window:
-#   (1) rules_file_source — S11, the only §2 row the driver has never
-#       hashed (sat at position 51 in r7);
-#   (2) the five operators NEW in round 8 (revenue pre-agg twin,
-#       pruned LM, auto-band near-dups, bucketed nesting, G5 grid);
-#   (3) 44 of the 47 rows whose newest driver green is round 4 — the
-#       oldest hard evidence in the registry.
-# Three r4 rows don't fit (50-slot budget): corpus_mixture_temp,
-# simhash64 and events_gapfill stay just past the window — each has an
-# r8-window family twin (corpus_mixture / simhash64_near_pairs /
-# events_rolling+pivot), every-round local-gate greens, and rotates in
-# first next round. All r6/r7 greens follow in their prior order.
-# Late-r8 additions (bm25_topk, rfm_segments) also sit past the
-# window — local-gate green this round, window candidates for r9
-# alongside the three r4 leftovers.
+# ROUND-9 WINDOW ROTATION (r8 verdict ask #1). The driver hashes the
+# FIRST 50 entries of QUERIES each round. The r9 window:
+#   (1) the 8 round-8 additions the driver has never hashed
+#       (decontamination_hashed, rfm_segments, bm25_topk,
+#       c4_quality_filters, media_frame_sample, media_resize,
+#       incremental_agg, retention_policy);
+#   (2) the 3 r4 leftovers promised since r8 (simhash64,
+#       corpus_mixture_temp, events_gapfill);
+#   (3) operators NEW in round 9 (appended to _R9_NEW as they land);
+#   (4) backfill with the rows whose newest driver green is round 6 —
+#       the oldest hard evidence remaining in the registry.
+# The two rows-only sketch monitors (value_percentiles_approx,
+# profile_orders_approx) stay out by design: no oracle, `err:
+# no_oracle` rows would be noise; they are pytest-bracketed instead.
 # ---------------------------------------------------------------------------
 
-_R8_WINDOW = [
-    "rules_file_source",
-    "revenue_by_nation_preagg",
-    "lm_doc_scores_pruned",
-    "embedding_near_dups_auto",
-    "order_lines_nested_bucketed",
-    "grid_layout_coords",
-    # r4-green refreshes, oldest evidence first
-    "revenue_by_nation",
-    "revenue_by_nation_bucketed",
-    "revenue_by_nation_salted",
-    "profile_orders",
-    "paragraph_dedup",
-    "kmeans_iterate",
-    "funnel_conversion",
-    "funnel_completions_stream",
-    "hll_distinct",
-    "hll_grouped",
-    "cms_heavy_hitters",
-    "bloom_prefilter_audit",
-    "snapshot_diff",
-    "restore_summary",
-    "detect_foreign_key",
-    "pagerank_tables",
-    "stratified_sample",
-    "events_by_type_two_phase",
-    "prefix_filter_pairs",
-    "simhash64_near_pairs",
-    "pmi_collocations",
-    "value_drift_psi",
-    "corpus_mixture",
-    "batch_ann64_topk",
-    "order_lines_nested",
-    "robust_outliers",
-    "pricing_summary",
-    "inverted_index",
-    "embedding_quantize",
-    "tfidf_top_terms",
-    "corpus_vocabulary",
-    "label_centroids",
-    "events_in_type_windows",
-    "ann_recall_audit",
-    "cosine_topk_arrow",
-    "ann_rerank",
-    "embedding_near_dups64",
-    "evolving_read",
-    "events_pivot",
-    "events_rolling",
-    "zorder_layout",
-    "similarity_embedding_near_dups",
-    "batch_ann_topk",
-    "similarity_rp_lsh_topk",
+_R9_NEVER_HASHED = [
+    "decontamination_hashed",
+    "rfm_segments",
+    "bm25_topk",
+    "c4_quality_filters",
+    "media_frame_sample",
+    "media_resize",
+    "incremental_agg",
+    "retention_policy",
+    "simhash64",
+    "corpus_mixture_temp",
+    "events_gapfill",
 ]
 
+# new round-9 operators — window slots reserved ahead of backfill
+_R9_NEW: list[str] = []
 
-# the three r4 rows that didn't fit: first past the window, so the r9
-# rotation picks them up before anything else
-_R8_JUST_PAST = ["simhash64", "corpus_mixture_temp", "events_gapfill"]
-
+# oldest remaining driver evidence (newest green = r6), in prior
+# registry order; trimmed to fit the 50-slot budget after the never-
+# hashed rows and the round-9 additions
+_R9_BACKFILL_R6 = [
+    "drawio_erd_lines",
+    "hll_distinct_native",
+    "profile_orders_fast",
+    "lm_doc_scores",
+    "lm_quality_bins",
+    "weighted_sample",
+    "detect_naming_convention",
+    "detect_enhanced_pk_fk",
+    "detect_data_type_match",
+    "detect_custom_rules",
+    "data_test_report",
+    "adaptive_sample_size",
+    "detect_pipeline",
+    "classify_pk_fk",
+    "schema_complexity",
+    "top_orders_per_customer",
+    "frequency_distribution",
+    "distinct_cardinalities",
+    "orphan_users",
+    "common_keys",
+    "scalar_battery",
+    "events_hourly",
+    "audit_window_scan",
+    "timestamp_battery",
+    "graph_roots",
+    "graph_bfs_levels",
+    "checksum_gate",
+    "state_staleness",
+    "quality_report",
+    "quality_by_method",
+    "mermaid_erd_lines",
+    "plantuml_erd_lines",
+    "dedup_exact_groups",
+    "sequence_packing",
+    "text_language_id",
+    "dedup_minhash_signatures",
+    "dedup_lsh_buckets",
+    "dedup_keep_best",
+    "corpus_rollup",
+]
 
 def _rotate_window(priority: list[str], just_past: list[str]) -> None:
     global QUERIES
@@ -518,7 +517,10 @@ def _rotate_window(priority: list[str], just_past: list[str]) -> None:
     QUERIES = {k: QUERIES[k] for k in [*head, *rest]}
 
 
-_rotate_window(_R8_WINDOW, _R8_JUST_PAST)
+_r9_head = [*_R9_NEVER_HASHED, *_R9_NEW]
+_r9_fill = _R9_BACKFILL_R6[: 50 - len(_r9_head)]
+_rotate_window([*_r9_head, *_r9_fill],
+               _R9_BACKFILL_R6[50 - len(_r9_head):])
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
