@@ -388,6 +388,8 @@ register("corpus_mixture_temp", sampling.corpus_mixture_temp,
 register("pricing_summary", payload.pricing_summary,
          payload.PRICING_SUMMARY_ORACLE)
 register("bm25_topk", retrieval.bm25_topk, retrieval.BM25_TOPK_ORACLE)
+register("bm25_topk_capped", retrieval.bm25_topk_capped,
+         retrieval.BM25_TOPK_CAPPED_ORACLE)
 register("inverted_index", index.inverted_index,
          index.INVERTED_INDEX_ORACLE)
 register("embedding_quantize", similarity.embedding_quantize,
@@ -460,7 +462,9 @@ _R9_NEVER_HASHED = [
 ]
 
 # new round-9 operators — window slots reserved ahead of backfill
-_R9_NEW: list[str] = []
+_R9_NEW: list[str] = [
+    "bm25_topk_capped",
+]
 
 # oldest remaining driver evidence (newest green = r6), in prior
 # registry order; trimmed to fit the 50-slot budget after the never-

@@ -1,0 +1,82 @@
+"""Round-9 operators: df-capped BM25 twin, budgeted LM model,
+fused multi-branch distributed ntile, cohort pre-agg twins, domain
+curation family, BPE packing twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_datalake_utils_spark.llm import retrieval
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- bm25_topk_capped ----------------------------------------------------
+
+def test_bm25_cap_bounds_candidates(spark, sf_dir):
+    """The scoring join's probe side must be bounded by the kept
+    terms' postings: every kept term either satisfies df*DEN <= N or
+    is its query's single rarest fallback term — so candidate rows
+    <= Q*T*N/DEN + sum(fallback dfs), a bound the operator owns."""
+    from gcp_datalake_utils_spark.llm.terms import doc_term_pairs
+    from gcp_datalake_utils_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    pairs = doc_term_pairs(d)
+    dft = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    out = retrieval.bm25_topk_capped(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "capped twin must not go empty (fallback term rule)"
+    # reconstruct the kept query-term set exactly as the operator does
+    from pyspark.sql import Window
+    wq = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "term")
+    qterms = (pairs.where(F.col("doc_id") < retrieval.N_BM25_QUERIES)
+              .withColumn("rk", F.row_number().over(wq))
+              .where(F.col("rk") <= retrieval.QUERY_TERMS)
+              .select(F.col("doc_id").alias("query_id"), "term"))
+    wdf = Window.partitionBy("query_id").orderBy("df", "term")
+    jt = (qterms.join(dft, "term")
+          .withColumn("dfrk", F.row_number().over(wdf)))
+    kept = jt.where(
+        (F.col("df") * retrieval.BM25_DF_CAP_DEN <= F.lit(n_docs))
+        | (F.col("dfrk") == 1)).collect()
+    dropped = jt.where(
+        (F.col("df") * retrieval.BM25_DF_CAP_DEN > F.lit(n_docs))
+        & (F.col("dfrk") != 1)).count()
+    assert dropped > 0, \
+        "cap must bind on the tiny-vocab fixture corpus"
+    # every kept non-fallback term is under the cap
+    for r in kept:
+        assert (r["df"] * retrieval.BM25_DF_CAP_DEN <= n_docs
+                or r["dfrk"] == 1)
+    # at most one fallback per query
+    fallbacks = [r for r in kept
+                 if r["df"] * retrieval.BM25_DF_CAP_DEN > n_docs]
+    per_query = {}
+    for r in fallbacks:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+    assert all(v == 1 for v in per_query.values())
+    # the actual candidate row count equals sum(df of kept terms)
+    cand = (pairs.join(
+        spark.createDataFrame([(r["query_id"], r["term"])
+                               for r in kept], "query_id long, term string"),
+        "term").count())
+    assert cand == sum(r["df"] for r in kept)
+
+
+def test_bm25_capped_is_subset_ranking_of_kept_terms(spark, sf_dir):
+    """Sanity: capped output ranks <= BM25_TOPK per query and scores
+    are monotone non-increasing within a query."""
+    out = retrieval.bm25_topk_capped(spark, sf_dir).collect()
+    byq = {}
+    for r in out:
+        byq.setdefault(r["query_id"], []).append(r)
+    for q, rs in byq.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert rs[0]["rank"] == 1
+        assert len(rs) <= retrieval.BM25_TOPK
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
