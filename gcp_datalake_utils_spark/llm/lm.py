@@ -348,9 +348,46 @@ FROM binned GROUP BY bin
 # Context counts use the FULL pre-pruning totals (pruning changes which
 # bigrams are scored, not the probability of the survivors), derived
 # from the bigram count table so the extra agg is vocabulary-sized.
+#
+# MODEL-SIZE CONTRACT (round 9, r8 verdict ask #3). A fixed min-count
+# alone only weakly bounds the model at web scale — count>=2 bigrams
+# are still billions on 100 TB. The collected model is therefore
+# bounded IN ROWS: the prune threshold is the smallest T >=
+# LM_MIN_COUNT such that |{bg : c(bg) >= T}| <= LM_MODEL_MAX_ROWS,
+# derived from ONE pass over the bigram-count histogram (the same
+# recipe as corpus_budget_selection's token histogram). The histogram
+# is distinct-count-VALUE-sized — Zipf-small, thousands of rows on any
+# corpus — so deriving T costs one vocabulary-sized aggregate and a
+# tiny collect, never a corpus re-scan. The driver-side guarantee is
+# |model| <= LM_MODEL_MAX_ROWS regardless of corpus size; pytest
+# enforces it on a corpus where T = LM_MIN_COUNT would bust the
+# budget (tests/test_round9_ops.py).
 # ---------------------------------------------------------------------------
 
-LM_MIN_COUNT = 2  # drop hapax bigrams — the classic KenLM prune cut
+LM_MIN_COUNT = 2  # prune floor: drop hapax bigrams (KenLM's cut)
+LM_MODEL_MAX_ROWS = 100_000  # hard driver model row budget
+
+
+def _min_count_for_budget(bgc: DataFrame, budget: int) -> int:
+    """Smallest count threshold T >= LM_MIN_COUNT whose surviving
+    model fits the row budget: |{bg : c_bg >= T}| <= budget. One
+    aggregate over the count HISTOGRAM (value -> n_bigrams), then an
+    ascending walk dropping the smallest surviving count bucket until
+    the tail fits. Returns the smallest surviving count value (filter
+    sets {c >= T} are identical for any T in the gap between
+    histogram buckets — the oracle's window-min picks the same set)."""
+    hist = sorted(
+        (r["c_bg"], r["n"]) for r in
+        bgc.where(F.col("c_bg") >= LM_MIN_COUNT)
+        .groupBy("c_bg").agg(F.count("*").alias("n")).collect())
+    tail = sum(n for _, n in hist)
+    for c, n in hist:
+        if tail <= budget:
+            return c
+        tail -= n
+    # even the largest count bucket alone busts the budget (budget=0
+    # degenerate): threshold past every bucket -> empty model
+    return (hist[-1][0] + 1) if hist else LM_MIN_COUNT
 
 _LM_PRUNED_SCHEMA = "doc_id long, n_scored long, avg_logprob double"
 
@@ -372,7 +409,8 @@ def lm_doc_scores_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     bgc = (bg.groupBy("w1", "bg").agg(F.count("*").alias("c_bg"))
            .localCheckpoint())
     ctxc = bgc.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
-    kept = bgc.where(F.col("c_bg") >= LM_MIN_COUNT)
+    min_count = _min_count_for_budget(bgc, LM_MODEL_MAX_ROWS)
+    kept = bgc.where(F.col("c_bg") >= min_count)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     v = (d.select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
          .agg(F.count_distinct("w").alias("v")).collect()[0]["v"])
@@ -429,7 +467,15 @@ bg AS (
 ),
 bgc AS (SELECT w1, bg, count(*) AS c_bg FROM bg GROUP BY w1, bg),
 ctxc AS (SELECT w1, sum(c_bg) AS c_ctx FROM bgc GROUP BY w1),
-kept AS (SELECT bg, c_bg FROM bgc WHERE c_bg >= {LM_MIN_COUNT}),
+hist AS (SELECT c_bg AS cv, count(*) AS n FROM bgc
+         WHERE c_bg >= {LM_MIN_COUNT} GROUP BY c_bg),
+tails AS (SELECT cv, sum(n) OVER (ORDER BY cv DESC) AS tail
+          FROM hist),
+thr AS (SELECT coalesce(min(cv),
+                        (SELECT coalesce(max(cv) + 1, {LM_MIN_COUNT})
+                         FROM hist)) AS t
+        FROM tails WHERE tail <= {LM_MODEL_MAX_ROWS}),
+kept AS (SELECT bg, c_bg FROM bgc, thr WHERE c_bg >= t),
 vocab AS (
   SELECT count(DISTINCT w) AS v
   FROM (SELECT unnest(words) AS w FROM base)

@@ -80,3 +80,45 @@ def test_bm25_capped_is_subset_ranking_of_kept_terms(spark, sf_dir):
         assert len(rs) <= retrieval.BM25_TOPK
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+# --- lm_doc_scores_pruned model-row budget --------------------------------
+
+def test_lm_model_budget_enforced(spark, sf_dir, monkeypatch):
+    """On a corpus where T=LM_MIN_COUNT would exceed the row budget,
+    the derived threshold must rise until the surviving model fits."""
+    from gcp_datalake_utils_spark.llm import lm
+
+    bgc = lm._bigram_rows(spark, sf_dir).groupBy("w1", "bg").agg(
+        F.count("*").alias("c_bg")).localCheckpoint()
+    at_floor = bgc.where(F.col("c_bg") >= lm.LM_MIN_COUNT).count()
+    assert at_floor > 10, "fixture corpus too small for this test"
+    budget = at_floor // 3  # force the budget to bind
+    t = lm._min_count_for_budget(bgc, budget)
+    assert t > lm.LM_MIN_COUNT
+    kept = bgc.where(F.col("c_bg") >= t).count()
+    assert kept <= budget
+    # minimality: one bucket lower would bust the budget
+    prev = (bgc.where(F.col("c_bg") >= lm.LM_MIN_COUNT)
+            .where(F.col("c_bg") < t)
+            .agg(F.max("c_bg")).collect()[0][0])
+    if prev is not None:
+        assert bgc.where(F.col("c_bg") >= prev).count() > budget
+    # end-to-end: the operator still scores under the tight budget
+    monkeypatch.setattr(lm, "LM_MODEL_MAX_ROWS", budget)
+    out = lm.lm_doc_scores_pruned(spark, sf_dir)
+    assert out.count() > 0
+
+
+def test_lm_default_budget_keeps_fixture_model_whole(spark, sf_dir):
+    """At fixture scale the 100k-row budget must NOT bind (tiny
+    vocabulary): threshold stays at the hapax floor, so the driver
+    gate keeps hashing the same pruned model as round 8."""
+    from gcp_datalake_utils_spark.llm import lm
+
+    bgc = lm._bigram_rows(spark, sf_dir).groupBy("w1", "bg").agg(
+        F.count("*").alias("c_bg"))
+    t = lm._min_count_for_budget(bgc, lm.LM_MODEL_MAX_ROWS)
+    kept = bgc.where(F.col("c_bg") >= t)
+    floor = bgc.where(F.col("c_bg") >= lm.LM_MIN_COUNT)
+    assert kept.count() == floor.count() <= lm.LM_MODEL_MAX_ROWS
