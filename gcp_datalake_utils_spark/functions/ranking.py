@@ -67,3 +67,193 @@ def distributed_ntile(df: DataFrame, order_exprs: list,
         .drop("_pid", "_lrn")
 
 
+
+
+def distributed_ntile_multi(df: DataFrame, key: str,
+                            branches: list, bins: int,
+                            payload: tuple = (),
+                            sv_type: str = "decimal(38,6)") -> DataFrame:
+    """Fused exact ntile(bins) over SEVERAL global orderings of one
+    frame in ONE coordination round (round 9, r8 verdict ask #5).
+
+    ``branches`` is a list of (sort_expr, out_col): sort_expr a
+    NUMERIC Column already encoding direction (negate for DESC) and
+    non-null; ties break on ``key`` ascending in every branch. The
+    chained recipe (distributed_ntile per branch) pays one
+    repartitionByRange sampling job + exchange + offsets collect PER
+    BRANCH — three sequential driver coordination rounds for RFM.
+    This fusion tags each branch, unions the slim (branch, sortval,
+    key) projections, range-partitions ONCE on (branch, sortval, key)
+    — branch leads the range key, so partitions are branch-contiguous
+    up to at most one straddling boundary partition, which the
+    (pid, branch)-keyed offsets handle exactly — and collects ONE
+    (parts x branches)-row size table. Rank -> bucket arithmetic is
+    SQL ntile's (first n % bins buckets take the extra row), per
+    branch. Scores come back as one pivot-style aggregate on ``key``
+    and join onto the input frame: both sides are key-cardinality and
+    slim, a plain partial-aggregated hash join at any scale. No stage
+    plans a SinglePartition exchange (plan-guarded).
+
+    Sort values are cast to ``sv_type`` (default DECIMAL(38,6)): exact
+    for int/long/decimal(18,2) metrics (a double cast could collapse
+    distinct int64s past 2^53 and reorder ties differently than the
+    oracle's native-type sort). Callers whose metrics are all integral
+    pass sv_type="long" — primitive sort keys make the range exchange
+    and per-partition sorts markedly cheaper than 16-byte decimals.
+
+    ``payload`` columns ride along on branch 0's fan rows (NULL on the
+    other branches) and come back out of the same pivot aggregate —
+    callers that only need (key, scores, payload) downstream avoid a
+    key-exchange join back onto the input frame entirely. With payload
+    the result is (key, *outs, *payload); without it the scores join
+    back onto the full input frame."""
+    from functools import reduce
+
+    df = df.localCheckpoint()
+    nb = len(branches)
+
+    def pay_cols(i: int):
+        return [(F.col(p) if i == 0 else
+                 F.lit(None).cast(df.schema[p].dataType)).alias(p)
+                for p in payload]
+
+    fan = reduce(lambda a, b: a.unionAll(b), [
+        df.select(F.lit(i).alias("_br"),
+                  expr.cast(sv_type).alias("_sv"),
+                  F.col(key).alias("_k"), *pay_cols(i))
+        for i, (expr, _) in enumerate(branches)])
+    order = [F.col("_br"), F.col("_sv"), F.col("_k")]
+    ranked = (fan.repartitionByRange(_RANK_PARTS * nb, *order)
+              .sortWithinPartitions(*order)
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_lrn", F.row_number().over(
+                  Window.partitionBy("_pid", "_br")
+                  .orderBy("_sv", "_k")))
+              .localCheckpoint())
+    sizes = {(r["_pid"], r["_br"]): r["c"] for r in
+             ranked.groupBy("_pid", "_br")
+             .agg(F.count("*").alias("c")).collect()}
+    ns = {br: sum(c for (_, b), c in sizes.items() if b == br)
+          for br in range(nb)}
+    offsets, acc = {}, {br: 0 for br in range(nb)}
+    for pid, br in sorted(sizes):
+        offsets[(pid, br)] = acc[br]
+        acc[br] += sizes[(pid, br)]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for (pid, br), o in offsets.items()
+                       for x in (pid * nb + br, o)]),
+        F.col("_pid") * nb + F.col("_br"))
+    rank = off + F.col("_lrn")
+
+    def bucket_for(n: int):
+        q, m = divmod(n, bins)
+        return F.when(
+            rank <= m * (q + 1),
+            F.floor((rank - 1) / (q + 1)) + 1
+        ).otherwise(
+            m + F.floor((rank - 1 - m * (q + 1)) / max(q, 1)) + 1)
+
+    bucket = reduce(
+        lambda acc_e, br: acc_e.when(F.col("_br") == br,
+                                     bucket_for(ns[br])),
+        range(1, nb), F.when(F.col("_br") == 0, bucket_for(ns[0])))
+    scores = ranked.select("_k", "_br", bucket.cast("int").alias("_s"),
+                           *payload)
+    wide = scores.groupBy("_k").agg(
+        *[F.max(F.when(F.col("_br") == i, F.col("_s"))).alias(out)
+          for i, (_, out) in enumerate(branches)],
+        *[F.max(p).alias(p) for p in payload])
+    if payload:
+        return wide.withColumnRenamed("_k", key)
+    return df.join(wide, df[key] == wide["_k"]).drop("_k")
+
+
+def ntile_boundaries_multi(df: DataFrame, key: str,
+                           branches: list, bins: int,
+                           sv_type: str = "long") -> list:
+    """Exact per-branch ntile CUT ROWS instead of per-row ranks: for
+    each branch, the (sortval, key) pairs at global ranks e_1..e_{bins-1}
+    (SQL ntile's bucket ends — the first n%bins buckets take the extra
+    row). Returns [branch][k] -> (sv, key).
+
+    Why this exists (round 9): when the consumer only needs each row's
+    BUCKET (rfm's <=125-cell grid), materializing per-row ranks and
+    pivoting them back through a key exchange is waste — bucket
+    membership is just "how many cut rows sort strictly below me",
+    a map-side comparison against bins-1 collected boundary pairs.
+    This shape ranks the branch-tagged fan ONCE (one slim range
+    exchange: the fan rows are (byte, sv, key) built by inline() in a
+    single scan, no payload), then runs two tiny driver jobs against
+    the checkpointed ranked frame: the (parts x branches)-row size
+    table and the (bins-1)*branches boundary-row filter. The consumer
+    frame itself is never exchanged. Ties: lexicographic
+    (sv, key) — a total order, so cuts are exact and deterministic,
+    matching ORDER BY sv, key ntile semantics in both engines.
+
+    At 100 TB: the fan exchange is the only wide op and carries ~17
+    bytes/row/branch; boundary collect is bins*branches rows
+    regardless of corpus size."""
+    nb = len(branches)
+    fan = df.select(F.inline(F.array(*[
+        F.struct(F.lit(i).alias("_br"),
+                 expr.cast(sv_type).alias("_sv"),
+                 F.col(key).alias("_k"))
+        for i, (expr, _) in enumerate(branches)])))
+    order = [F.col("_br"), F.col("_sv"), F.col("_k")]
+    ranked = (fan.repartitionByRange(_RANK_PARTS * nb, *order)
+              .sortWithinPartitions(*order)
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_lrn", F.row_number().over(
+                  Window.partitionBy("_pid", "_br")
+                  .orderBy("_sv", "_k")))
+              .localCheckpoint())
+    sizes = {(r["_pid"], r["_br"]): r["c"] for r in
+             ranked.groupBy("_pid", "_br")
+             .agg(F.count("*").alias("c")).collect()}
+    ns = {br: sum(c for (_, b), c in sizes.items() if b == br)
+          for br in range(nb)}
+    # global bucket-end ranks per branch (SQL ntile sizing)
+    targets = {}  # (pid, br, lrn) -> (br, k)
+    for br in range(nb):
+        n = ns[br]
+        q, m = divmod(n, bins)
+        acc = 0
+        ends = []
+        for k in range(1, bins):
+            acc += (q + 1) if k <= m else q
+            ends.append(min(acc, n))
+        # map each global end rank to its (pid, local rank)
+        run = 0
+        pids = sorted(p for (p, b) in sizes if b == br)
+        it = iter(pids)
+        pid = next(it, None)
+        for k, e in enumerate(ends, start=1):
+            if e <= 0:
+                continue
+            while pid is not None and run + sizes[(pid, br)] < e:
+                run += sizes[(pid, br)]
+                pid = next(it, None)
+            if pid is not None:
+                targets[(pid, br, e - run)] = (br, k)
+    cond = None
+    for (pid, br, lrn) in targets:
+        c = ((F.col("_pid") == pid) & (F.col("_br") == br)
+             & (F.col("_lrn") == lrn))
+        cond = c if cond is None else (cond | c)
+    out = [dict() for _ in range(nb)]
+    if cond is not None:
+        for r in ranked.where(cond).collect():
+            br, k = targets[(r["_pid"], r["_br"], r["_lrn"])]
+            out[br][k] = (r["_sv"], r["_k"])
+    return [[b[k] for k in sorted(b)] for b in out]
+
+
+def bucket_by_boundaries(sv, key_col, cuts: list):
+    """Map-side ntile bucket from ntile_boundaries_multi cut rows:
+    1 + count of cuts sorting strictly below (sv, key)."""
+    expr = F.lit(1)
+    for (bv, bk) in cuts:
+        after = (sv > F.lit(bv)) | ((sv == F.lit(bv))
+                                    & (key_col > F.lit(bk)))
+        expr = expr + F.when(after, 1).otherwise(0)
+    return expr

@@ -122,3 +122,43 @@ def test_lm_default_budget_keeps_fixture_model_whole(spark, sf_dir):
     kept = bgc.where(F.col("c_bg") >= t)
     floor = bgc.where(F.col("c_bg") >= lm.LM_MIN_COUNT)
     assert kept.count() == floor.count() <= lm.LM_MODEL_MAX_ROWS
+
+
+# --- fused distributed ntile (rfm_segments) --------------------------------
+
+def test_rfm_fused_matches_chained(spark, sf_dir):
+    from gcp_datalake_utils_spark.operators import cohort
+
+    a = {tuple(r) for r in cohort.rfm_segments(spark, sf_dir).collect()}
+    b = {tuple(r) for r in
+         cohort._rfm_segments_chained(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_rfm_fused_plan_no_single_partition(spark, sf_dir):
+    from gcp_datalake_utils_spark.operators import cohort
+
+    df = cohort.rfm_segments(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "SinglePartition" not in plan, \
+        "fused ntile must never plan a single-partition exchange"
+
+
+def test_ntile_multi_matches_sql_ntile(spark):
+    """Exact SQL-ntile semantics per branch on a frame with ties and
+    a non-divisible bin count."""
+    from gcp_datalake_utils_spark.functions.ranking import (
+        distributed_ntile_multi,
+    )
+
+    rows = [(i, i % 7, (i * 13) % 5) for i in range(103)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    out = distributed_ntile_multi(
+        df, "k", [(F.col("a"), "na"), (-F.col("b"), "nb")], 4)
+    got = {r["k"]: (r["na"], r["nb"]) for r in out.collect()}
+    df.createOrReplaceTempView("t_ntile_multi")
+    exp = {r["k"]: (r["na"], r["nb"]) for r in spark.sql(
+        """SELECT k, ntile(4) OVER (ORDER BY a, k) AS na,
+                  ntile(4) OVER (ORDER BY b DESC, k) AS nb
+           FROM t_ntile_multi""").collect()}
+    assert got == exp
