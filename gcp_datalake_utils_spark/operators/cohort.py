@@ -40,10 +40,15 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("user_id", "cohort_day",
                      F.datediff("day", "cohort_day").alias("day_offset"))
              .distinct())
-    return (cells.groupBy(
-        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
-        F.col("day_offset").cast("long").alias("day_offset"))
-        .agg(F.count("*").alias("n_users")))
+    # group on (date, int) keys; format dates only on the <=|cells|
+    # result rows (date_format through DateTimeFormatter per input row
+    # measured ~15% of the whole query at sf10)
+    return (cells.groupBy("cohort_day",
+                          F.col("day_offset").cast("long")
+                          .alias("day_offset"))
+            .agg(F.count("*").alias("n_users"))
+            .select(F.date_format("cohort_day", "yyyy-MM-dd")
+                    .alias("cohort_day"), "day_offset", "n_users"))
 
 
 RETENTION_COHORTS_ORACLE = """
@@ -328,10 +333,15 @@ FROM scored GROUP BY r_score, f_score, m_score
 #                   active (user, day); first/last are the endpoints of
 #                   the day's (ts, event_id)-ordered event sequence.
 #                   Bucketed by user_id (32) and sorted (user_id, day),
-#                   ONE file per bucket, so the scan reports both
-#                   HashPartitioning(user_id) and (user_id, day)
-#                   ordering: every per-user window below runs with
-#                   ZERO Exchange and ZERO Sort (plan-guarded).
+#                   one file per bucket: the scan reports
+#                   HashPartitioning(user_id), so every per-user
+#                   agg/join/window below runs with ZERO Exchange
+#                   (plan-guarded). Spark 4.1 does NOT propagate the
+#                   write-time sortBy order to scans (verified: even a
+#                   bucket-key SMJ re-sorts), so window consumers still
+#                   pay a bucket-LOCAL sort — on slim pre-agg rows, not
+#                   raw events — and sort-free consumers use hash-agg +
+#                   co-partitioned SHUFFLE_HASH join shapes instead.
 #   act_trans_intra (from_type, to_type, n) — the fully pre-reduced
 #                   WITHIN-day transition matrix, <= |event_types|^2
 #                   rows. Cross-day transitions are exactly
@@ -397,33 +407,41 @@ def retention_cohorts_preagg(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """[Q] retention_cohorts over the maintained daily-activity store.
 
-    Plan: bucketed scan -> min-over-user window (no Exchange — the
-    scan's HashPartitioning(user_id) satisfies the window's
-    distribution; no Sort — the (user_id, day) file order satisfies
-    the required user_id-prefix ordering) -> cell rollup (the only
+    Plan: bucketed scan -> bucket-LOCAL min(day)-per-user hash agg ->
+    bucket-local SHUFFLE_HASH join back onto the activity rows (both
+    sides carry the scan's HashPartitioning(user_id): zero Exchange,
+    and unlike a min-over-user window, zero Sort — Spark 4.1 cannot
+    lift the store's write-time order into the plan, so the window
+    shape would re-sort every bucket) -> cell rollup (the only
     exchange, map-side partial-aggregated). The original's
     distinct-cells stage disappears entirely: store rows are unique
     per (user, day), and (cohort_day, day_offset) is a function of
     (user, day). Same oracle as retention_cohorts."""
     t_act, _ = _ensure_daily_activity(spark, sf_dir)
     a = spark.table(t_act).select("user_id", "day")
-    cohort = F.min("day").over(Window.partitionBy("user_id"))
-    return (a.withColumn("cohort_day", cohort)
-            .groupBy(F.date_format("cohort_day", "yyyy-MM-dd")
-                     .alias("cohort_day"),
+    cohorts = (a.groupBy("user_id")
+               .agg(F.min("day").alias("cohort_day"))
+               .hint("SHUFFLE_HASH"))
+    return (a.join(cohorts, "user_id")
+            .groupBy("cohort_day",
                      F.datediff("day", F.col("cohort_day"))
                      .cast("long").alias("day_offset"))
-            .agg(F.count("*").alias("n_users")))
+            .agg(F.count("*").alias("n_users"))
+            .select(F.date_format("cohort_day", "yyyy-MM-dd")
+                    .alias("cohort_day"), "day_offset", "n_users"))
 
 
 def path_transitions_preagg(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """[Q] path_transitions over the daily-activity store: the tiny
     pre-reduced intra-day matrix + cross-day boundary bigrams from a
-    lead-over-user window on user-day endpoint rows (zero Exchange,
-    zero Sort — bucketed+sorted scan, as retention_cohorts_preagg).
-    Raw events are never re-sorted; the only exchange is the <=
-    |types|^2-row rollup. Same oracle as path_transitions."""
+    lead-over-user window on user-day endpoint rows. The window needs
+    day order, and Spark cannot reuse the store's write-time order, so
+    this pays ONE bucket-local sort — but over slim 4-column user-day
+    rows, never raw events, and with zero Exchange (the scan's
+    HashPartitioning(user_id) satisfies the window). The only
+    exchanges are <= |types|^2-row rollups. Same oracle as
+    path_transitions."""
     t_act, t_intra = _ensure_daily_activity(spark, sf_dir)
     a = spark.table(t_act)
     w = Window.partitionBy("user_id").orderBy("day")
@@ -530,3 +548,62 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events
 FROM w GROUP BY user_id, day
 """
+
+
+def active_users_rolling7_sweep(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """[Q] rolling-7 DAU/WAU by SWEEP-LINE instead of calendar fan-out:
+    the structurally better 100 TB shape. The fan-out twin explodes
+    every user-day into 7 window-end rows and re-deduplicates (7x rows
+    through a distinct); this one observes that a user's covered
+    window-ends are a UNION OF INTERVALS [day, day+6], merges
+    consecutive active days with gap <= 6 into runs in ONE bucket-local
+    window pass (lag+lead share one sort), and emits just two boundary
+    deltas per run: (+1 at run start, -1 past min(run_end+6, max_day)).
+    WAU(w) is then the running sum of per-day deltas.
+
+    Scale audit: the only event-volume ops are the bucketed scan and
+    the one bucket-local window (zero Exchange — plan-guarded); deltas
+    reduce map-side to <= 2 rows/run and group to calendar-day
+    cardinality. The running sum IS a single-partition window, but
+    over CALENDAR DAYS — bounded by time span, not data volume (28,868
+    rows here; a century of days is 36,525 rows at any corpus size) —
+    the same bounded-collect class as the diagram sinks. Both boundary
+    kinds come out of one select (array_compact + explode), never two
+    references to the window frame (the no-CSE trap). Same oracle as
+    active_users_rolling7."""
+    t_act, _ = _ensure_daily_activity(spark, sf_dir)
+    a = spark.table(t_act).select("user_id", "day")
+    dau = a.groupBy("day").agg(F.count("*").alias("dau"))
+    bounds = F.broadcast(a.agg(F.max("day").alias("max_day")))
+    w = Window.partitionBy("user_id").orderBy("day")
+    x = a.select(
+        "day",
+        F.lag("day").over(w).alias("pd"),
+        F.lead("day").over(w).alias("nd"))
+    is_start = F.col("pd").isNull() | (F.datediff("day", "pd") > 6)
+    is_end = F.col("nd").isNull() | (F.datediff("nd", F.col("day")) > 6)
+    deltas = (x.crossJoin(bounds)
+              .select(F.explode(F.array_compact(F.array(
+                  F.when(is_start, F.struct(
+                      F.col("day").alias("day"),
+                      F.lit(1).alias("d"))),
+                  F.when(is_end, F.struct(
+                      F.date_add(F.least(F.date_add("day", 6),
+                                         F.col("max_day")), 1)
+                      .alias("day"),
+                      F.lit(-1).alias("d")))))).alias("e"))
+              .select("e.day", "e.d"))
+    # densify with the active days so the running sum is defined at
+    # every day the output reports (mid-run days carry no delta)
+    per_day = (deltas
+               .unionByName(dau.select("day", F.lit(0).alias("d")))
+               .groupBy("day").agg(F.sum("d").alias("dd")))
+    run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wau = per_day.withColumn("wau", F.sum("dd").over(run))
+    return (dau.join(wau, "day")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "dau", F.col("wau").cast("long").alias("wau"),
+                    F.round(F.col("dau") / F.col("wau"), 6)
+                    .alias("stickiness")))

@@ -148,6 +148,20 @@ register("rfm_segments", cohort.rfm_segments,
          cohort.RFM_SEGMENTS_ORACLE)
 register("active_users_rolling7", cohort.active_users_rolling7,
          cohort.ACTIVE_USERS_ROLLING7_ORACLE)
+# round 9: the cohort family over the maintained daily-activity
+# pre-agg (r8 verdict ask #4) — same oracles as the raw-events anchors
+register("retention_cohorts_preagg", cohort.retention_cohorts_preagg,
+         cohort.RETENTION_COHORTS_ORACLE)
+register("path_transitions_preagg", cohort.path_transitions_preagg,
+         cohort.PATH_TRANSITIONS_ORACLE)
+register("active_users_rolling7_preagg",
+         cohort.active_users_rolling7_preagg,
+         cohort.ACTIVE_USERS_ROLLING7_ORACLE)
+register("active_users_rolling7_sweep",
+         cohort.active_users_rolling7_sweep,
+         cohort.ACTIVE_USERS_ROLLING7_ORACLE)
+register("daily_activity_cdc", cohort.daily_activity_cdc,
+         cohort.DAILY_ACTIVITY_CDC_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,
@@ -464,6 +478,11 @@ _R9_NEVER_HASHED = [
 # new round-9 operators — window slots reserved ahead of backfill
 _R9_NEW: list[str] = [
     "bm25_topk_capped",
+    "retention_cohorts_preagg",
+    "path_transitions_preagg",
+    "active_users_rolling7_preagg",
+    "active_users_rolling7_sweep",
+    "daily_activity_cdc",
 ]
 
 # oldest remaining driver evidence (newest green = r6), in prior

@@ -162,3 +162,54 @@ def test_ntile_multi_matches_sql_ntile(spark):
                   ntile(4) OVER (ORDER BY b DESC, k) AS nb
            FROM t_ntile_multi""").collect()}
     assert got == exp
+
+
+# --- daily-activity pre-agg family (r8 verdict ask #4) ----------------------
+
+def test_preagg_cohort_plans_have_no_user_exchange(spark, sf_dir):
+    """The whole point of the bucketed store: per-user agg/join/window
+    stages run on the scan's HashPartitioning(user_id) with no
+    re-exchange. Retention's shape is additionally Sort-free."""
+    from gcp_datalake_utils_spark.operators import cohort
+
+    for fn, sortfree in [(cohort.retention_cohorts_preagg, True),
+                         (cohort.path_transitions_preagg, False),
+                         (cohort.active_users_rolling7_preagg, False),
+                         (cohort.active_users_rolling7_sweep, False)]:
+        df = fn(spark, sf_dir)
+        df.collect()
+        plan = _executed_plan(df)
+        assert "Exchange hashpartitioning(user_id" not in plan, fn
+        assert "Exchange rangepartitioning" not in plan, fn
+        if sortfree:
+            assert "+- Sort" not in plan and "+- *(1) Sort" not in plan, \
+                "retention pre-agg must be hash-agg + hash-join, no Sort"
+
+
+def test_rolling7_sweep_matches_fanout(spark, sf_dir):
+    from gcp_datalake_utils_spark.operators import cohort
+
+    a = {tuple(r) for r in
+         cohort.active_users_rolling7_sweep(spark, sf_dir).collect()}
+    b = {tuple(r) for r in
+         cohort.active_users_rolling7(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_daily_activity_store_one_file_per_bucket(spark, sf_dir):
+    """One file per bucket is the contract the bucket-local plans rest
+    on (and the precondition for ever exploiting read order)."""
+    import glob
+    import re
+
+    from gcp_datalake_utils_spark.operators import cohort
+
+    t_act, _ = cohort._ensure_daily_activity(spark, sf_dir)
+    loc = (spark.sql(f"DESCRIBE EXTENDED {t_act}")
+           .where("col_name = 'Location'").collect()[0]["data_type"])
+    files = glob.glob(loc.replace("file:", "") + "/part-*")
+    buckets = [re.search(r"_(\d{5})", f.rsplit("/", 1)[-1]).group(1)
+               for f in files]
+    # empty buckets write no file on tiny corpora: the contract is AT
+    # MOST one file per bucket (no bucket split across files)
+    assert buckets and len(buckets) == len(set(buckets)) <= 32
