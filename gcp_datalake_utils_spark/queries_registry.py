@@ -32,6 +32,7 @@ from gcp_datalake_utils_spark.llm import (
     collocations,
     curation,
     decontam,
+    domains,
     forget,
     index,
     lm,
@@ -162,6 +163,13 @@ register("active_users_rolling7_sweep",
          cohort.ACTIVE_USERS_ROLLING7_ORACLE)
 register("daily_activity_cdc", cohort.daily_activity_cdc,
          cohort.DAILY_ACTIVITY_CDC_ORACLE)
+# round 9: domain/URL curation family (r8 verdict ask #7)
+register("domain_quota_sample", domains.domain_quota_sample,
+         domains.DOMAIN_QUOTA_SAMPLE_ORACLE)
+register("domain_quality_prior", domains.domain_quality_prior,
+         domains.DOMAIN_QUALITY_PRIOR_ORACLE)
+register("domain_dedup_rollup", domains.domain_dedup_rollup,
+         domains.DOMAIN_DEDUP_ROLLUP_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,
@@ -483,6 +491,9 @@ _R9_NEW: list[str] = [
     "active_users_rolling7_preagg",
     "active_users_rolling7_sweep",
     "daily_activity_cdc",
+    "domain_quota_sample",
+    "domain_quality_prior",
+    "domain_dedup_rollup",
 ]
 
 # oldest remaining driver evidence (newest green = r6), in prior

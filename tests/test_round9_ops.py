@@ -213,3 +213,64 @@ def test_daily_activity_store_one_file_per_bucket(spark, sf_dir):
     # empty buckets write no file on tiny corpora: the contract is AT
     # MOST one file per bucket (no bucket split across files)
     assert buckets and len(buckets) == len(set(buckets)) <= 32
+
+
+# --- domain curation family (r8 verdict ask #7) ------------------------------
+
+def test_domain_dedup_keeps_min_doc(spark):
+    """The corpus has no exact dupes, so the keep-min-canonical
+    semantics are pinned here on a fixture WITH mirrors."""
+    from gcp_datalake_utils_spark.llm import domains
+
+    rows = [(1, "same page", 10), (65, "same page", 20),
+            (129, "other", 7), (2, "same page", 9)]
+    d = (spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars long")
+         .withColumn("domain", F.expr(domains._DOMAIN_SPARK)))
+    # doc_ids 1, 65, 129 share domain d1&..: 1%64&0=... compute via df
+    out = {r["domain"]: r for r in
+           domains._dedup_rollup_frame(d).collect()}
+    doms = {r["doc_id"]: r["domain"] for r in d.collect()}
+    # all fixture docs whose domain coincides collapse by text
+    for dom, r in out.items():
+        ids = [i for i, dm in doms.items() if dm == dom]
+        assert r["n_docs"] == len(ids)
+    # the three 'same page' docs: wherever they share a domain, the
+    # canonical is the min doc_id and canon_chars reflects ITS n_chars
+    same = [(i, c) for i, t, c in
+            [(1, "same page", 10), (65, "same page", 20),
+             (2, "same page", 9)]]
+    by_dom = {}
+    for i, c in same:
+        by_dom.setdefault(doms[i], []).append((i, c))
+    for dom, pairs in by_dom.items():
+        canon_chars = min(pairs)[1]
+        others = out[dom]["canon_chars"]
+        assert canon_chars <= others  # canonical included with min id
+
+
+def test_domain_quota_salted_equals_naive(spark, sf_dir):
+    """The salted two-phase top-N must return exactly the naive
+    single-window result (phase 1 keeps a superset of the global
+    top-CAP per domain)."""
+    from pyspark.sql import Window
+
+    from gcp_datalake_utils_spark.llm import domains
+    from gcp_datalake_utils_spark.sources import load_table
+
+    got = {tuple(r) for r in
+           domains.domain_quota_sample(spark, sf_dir).collect()}
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "n_chars")
+         .withColumn("domain", F.expr(domains._DOMAIN_SPARK)))
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    kept = (d.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= domains.DOMAIN_CAP))
+    naive = (d.groupBy("domain").agg(F.count("*").alias("n_docs"))
+             .join(kept.groupBy("domain").agg(
+                 F.count("*").cast("long").alias("n_kept"),
+                 F.sum("n_chars").cast("long").alias("kept_chars")),
+                 "domain")
+             .select("domain", "n_docs", "n_kept", "kept_chars"))
+    exp = {tuple(r) for r in naive.collect()}
+    assert got == exp and len(got) > 0

@@ -39,9 +39,37 @@ VOCAB = ("batch part spark line column order small sort fast value scan "
          "memory code node core rack file block page").split()
 
 
+def gen_vectors_only(k: int, out: str) -> None:
+    """--vecs mode (round 9, r8 verdict ask #6): an embeddings-ONLY
+    corpus for stressing the ANN auto-band knob at vector counts the
+    full-table generator would pay 17 GB of unrelated tables for.
+    Same seeded-random recipe as the main path."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SELECT setseed(0.42)")
+    n_vec, n_lab = con.execute(
+        f"SELECT count(*), count(DISTINCT label) FROM "
+        f"read_parquet('{SRC}/embeddings.parquet')").fetchone()
+    con.execute(f"""
+        COPY (
+          SELECT v.i AS vec_id,
+                 list_transform(range(64),
+                   x -> CAST(random() * 2 - 1 AS FLOAT)) AS embedding,
+                 CAST(v.i % {n_lab} AS INT) AS label
+          FROM range({n_vec * k}) AS v(i))
+        TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+    n = con.execute(f"SELECT count(*) FROM "
+                    f"read_parquet('{out}/embeddings.parquet')"
+                    ).fetchone()[0]
+    print(f"embeddings: {n} rows")
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--zipf"]
+    args = [a for a in sys.argv[1:] if a not in ("--zipf", "--vecs")]
     zipf = "--zipf" in sys.argv[1:]
+    if "--vecs" in sys.argv[1:]:
+        gen_vectors_only(int(args[0]), args[1])
+        return
     k = int(args[0]) if args else 10
     out = args[1] if len(args) > 1 else \
         os.path.join(os.path.dirname(os.path.dirname(
