@@ -25,10 +25,9 @@ CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
 _WORDS = "string_split(trim(text), ' ')"
 
 
-def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[Q] (doc_id, chunk_idx, n_chunk_tokens, chunk_md5): overlapping
-    32-token windows at stride 24; the last chunk may be short, and a
-    doc shorter than one window yields exactly one chunk."""
+def chunk_text_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text): the shared chunking pass —
+    doc_chunks and the BPE packing twin both consume it."""
     # staged tokenization: the slice inside the chunk lambda references
     # the materialized attribute — an inline split would re-tokenize
     # the document once per chunk window
@@ -42,8 +41,15 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(words, i * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "))
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), " ").alias("ws"))
-    return (d.select("doc_id", F.posexplode(chunk)
-                     .alias("chunk_idx", "chunk_text"))
+    return d.select("doc_id", F.posexplode(chunk)
+                    .alias("chunk_idx", "chunk_text"))
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] (doc_id, chunk_idx, n_chunk_tokens, chunk_md5): overlapping
+    32-token windows at stride 24; the last chunk may be short, and a
+    doc shorter than one window yields exactly one chunk."""
+    return (chunk_text_frame(spark, sf_dir)
             .select("doc_id", "chunk_idx",
                     F.size(F.split("chunk_text", " "))
                     .cast("long").alias("n_chunk_tokens"),

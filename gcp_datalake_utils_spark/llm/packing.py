@@ -87,3 +87,85 @@ SELECT bucket, doc_id, chunk_idx, n_chunk_tokens, start_offset,
             + floor(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id
 FROM offsets
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-aware twin (round 9, r8 verdict ask #8): the anchor cuts
+# packs on WHITESPACE token counts, but the corpus budget selector and
+# token_stats already speak the BPE-ish regex pre-tokenizer — a
+# pipeline whose packer and budgeter disagree on what a "token" is
+# overfills every sequence by the whitespace/BPE ratio. This twin
+# keeps the chunk BOUNDARIES whitespace-window based (chunking is a
+# structure step) and does all BUDGET arithmetic in BPE tokens, so
+# packing and budget selection share one token currency.
+# ---------------------------------------------------------------------------
+
+
+def sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] (bucket, doc_id, chunk_idx, n_bpe_tokens, start_offset,
+    pack_local, pack_id): sequence_packing with chunk sizes measured
+    by text.BPE_PATTERN (GPT-2-style pre-tokenizer regex, the same
+    expression token_stats gates). Identical plan shape: one narrow
+    chunking scan, regexp_count per chunk (JVM codegen, no UDF), one
+    bucket-bounded running-sum window — no global sort, no
+    single-partition exchange at any corpus size."""
+    from gcp_datalake_utils_spark.llm.chunks import chunk_text_frame
+    from gcp_datalake_utils_spark.llm.text import BPE_PATTERN
+
+    ch = (chunk_text_frame(spark, sf_dir)
+          .select("doc_id", "chunk_idx",
+                  F.regexp_count("chunk_text", F.lit(BPE_PATTERN))
+                  .cast("long").alias("n_bpe_tokens")))
+    bucket = (F.col("doc_id") % N_BUCKETS).cast("int")
+    w = (Window.partitionBy("bucket")
+         .orderBy("doc_id", "chunk_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ch.withColumn("bucket", bucket)
+            .withColumn("start_offset",
+                        (F.sum("n_bpe_tokens").over(w)
+                         - F.col("n_bpe_tokens")).cast("long"))
+            .withColumn("pack_local",
+                        F.floor(F.col("start_offset") / PACK_BUDGET)
+                        .cast("long"))
+            .withColumn("pack_id",
+                        (F.col("bucket").cast("long")
+                         * F.lit(1_000_000_000).cast("long")
+                         + F.col("pack_local")).cast("long"))
+            .select("bucket", "doc_id", "chunk_idx", "n_bpe_tokens",
+                    "start_offset", "pack_local", "pack_id"))
+
+
+from gcp_datalake_utils_spark.llm.text import _BPE_SQL  # noqa: E402
+
+SEQUENCE_PACKING_BPE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_WORDS} AS words,
+         CAST(ceil(greatest(len({_WORDS}) - {CHUNK_TOKENS}, 0)
+                   / {CHUNK_STRIDE}.0) AS INTEGER) + 1 AS n_chunks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         CAST(len(regexp_extract_all(
+                array_to_string(
+                  words[i * {CHUNK_STRIDE} + 1 :
+                        i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '),
+                '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens
+  FROM base, unnest(range(0, n_chunks)) AS t(i)
+),
+offsets AS (
+  SELECT CAST(doc_id % {N_BUCKETS} AS INTEGER) AS bucket,
+         doc_id, chunk_idx, n_bpe_tokens,
+         CAST(sum(n_bpe_tokens) OVER (
+                PARTITION BY doc_id % {N_BUCKETS}
+                ORDER BY doc_id, chunk_idx
+                ROWS UNBOUNDED PRECEDING) - n_bpe_tokens AS BIGINT)
+           AS start_offset
+  FROM chunks
+)
+SELECT bucket, doc_id, chunk_idx, n_bpe_tokens, start_offset,
+       CAST(floor(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_local,
+       CAST(CAST(bucket AS BIGINT) * 1000000000
+            + floor(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM offsets
+"""

@@ -170,6 +170,9 @@ register("domain_quality_prior", domains.domain_quality_prior,
          domains.DOMAIN_QUALITY_PRIOR_ORACLE)
 register("domain_dedup_rollup", domains.domain_dedup_rollup,
          domains.DOMAIN_DEDUP_ROLLUP_ORACLE)
+# round 9: tokenizer-aware packing twin (r8 verdict ask #8)
+register("sequence_packing_bpe", packing.sequence_packing_bpe,
+         packing.SEQUENCE_PACKING_BPE_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,
@@ -494,6 +497,7 @@ _R9_NEW: list[str] = [
     "domain_quota_sample",
     "domain_quality_prior",
     "domain_dedup_rollup",
+    "sequence_packing_bpe",
 ]
 
 # oldest remaining driver evidence (newest green = r6), in prior

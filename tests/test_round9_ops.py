@@ -274,3 +274,31 @@ def test_domain_quota_salted_equals_naive(spark, sf_dir):
              .select("domain", "n_docs", "n_kept", "kept_chars"))
     exp = {tuple(r) for r in naive.collect()}
     assert got == exp and len(got) > 0
+
+
+# --- tokenizer-aware packing twin (r8 verdict ask #8) ------------------------
+
+def test_bpe_packing_cross_checks_whitespace_anchor(spark, sf_dir):
+    """Same chunk set, one token currency: every chunk's BPE count is
+    >= its whitespace count (each word is >= 1 BPE token), offsets are
+    exact prefix sums, and pack cuts respect the budget."""
+    from gcp_datalake_utils_spark.llm import packing
+
+    ws = {(r["bucket"], r["doc_id"], r["chunk_idx"]): r
+          for r in packing.sequence_packing(spark, sf_dir).collect()}
+    bpe = {(r["bucket"], r["doc_id"], r["chunk_idx"]): r
+           for r in packing.sequence_packing_bpe(spark, sf_dir).collect()}
+    assert ws.keys() == bpe.keys() and len(ws) > 0
+    for k, rb in bpe.items():
+        assert rb["n_bpe_tokens"] >= ws[k]["n_chunk_tokens"]
+        assert rb["pack_local"] == rb["start_offset"] // packing.PACK_BUDGET
+    # per bucket: offsets are the exact prefix sum of BPE counts
+    by_bucket = {}
+    for (b, d, c), r in bpe.items():
+        by_bucket.setdefault(b, []).append((d, c, r))
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        acc = 0
+        for d, c, r in rows:
+            assert r["start_offset"] == acc
+            acc += r["n_bpe_tokens"]
