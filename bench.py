@@ -136,6 +136,19 @@ HEADLINE = [
     "bm25_topk",
     "rfm_segments",
     "decontamination_hashed",
+    # round-9 additions: the df-capped BM25 twin and the cohort
+    # pre-agg family benched NEXT TO their anchors (store build lands
+    # in the discarded warm-up, like the bucketed twins), the
+    # sweep-line rolling7, the domain curation family, and the
+    # BPE-currency packing twin
+    "bm25_topk_capped",
+    "retention_cohorts_preagg",
+    "path_transitions_preagg",
+    "active_users_rolling7_sweep",
+    "domain_quota_sample",
+    "domain_quality_prior",
+    "domain_dedup_rollup",
+    "sequence_packing_bpe",
 ]
 
 # results larger than this row count are executed via the noop sink

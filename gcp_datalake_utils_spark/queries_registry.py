@@ -88,6 +88,7 @@ from gcp_datalake_utils_spark.operators import pivot  # noqa: E402
 from gcp_datalake_utils_spark.operators import profile  # noqa: E402
 from gcp_datalake_utils_spark.operators import rangejoin  # noqa: E402
 from gcp_datalake_utils_spark.sources import evolution  # noqa: E402
+from gcp_datalake_utils_spark.sources import partitioned  # noqa: E402
 from gcp_datalake_utils_spark.sources import interop  # noqa: E402
 from gcp_datalake_utils_spark.sources import zorder  # noqa: E402
 from gcp_datalake_utils_spark.sources import snapshots as snap  # noqa: E402
@@ -173,6 +174,9 @@ register("domain_dedup_rollup", domains.domain_dedup_rollup,
 # round 9: tokenizer-aware packing twin (r8 verdict ask #8)
 register("sequence_packing_bpe", packing.sequence_packing_bpe,
          packing.SEQUENCE_PACKING_BPE_ORACLE)
+# round 9: dynamic partition pruning over the month-partitioned store
+register("events_dpp_join", partitioned.events_dpp_join,
+         partitioned.EVENTS_DPP_JOIN_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,
@@ -498,6 +502,7 @@ _R9_NEW: list[str] = [
     "domain_quality_prior",
     "domain_dedup_rollup",
     "sequence_packing_bpe",
+    "events_dpp_join",
 ]
 
 # oldest remaining driver evidence (newest green = r6), in prior

@@ -302,3 +302,16 @@ def test_bpe_packing_cross_checks_whitespace_anchor(spark, sf_dir):
         for d, c, r in rows:
             assert r["start_offset"] == acc
             acc += r["n_bpe_tokens"]
+
+
+# --- dynamic partition pruning (round-9 infra row) ---------------------------
+
+def test_events_dpp_join_plans_dynamic_pruning(spark, sf_dir):
+    """The month filter must reach the partitioned store scan as a
+    runtime dynamicpruning subquery, not a post-scan predicate."""
+    from gcp_datalake_utils_spark.sources import partitioned
+
+    df = partitioned.events_dpp_join(spark, sf_dir)
+    df.collect()
+    plan = _executed_plan(df)
+    assert "dynamicpruningexpression" in plan
