@@ -210,31 +210,7 @@ def ntile_boundaries_multi(df: DataFrame, key: str,
     sizes = {(r["_pid"], r["_br"]): r["c"] for r in
              ranked.groupBy("_pid", "_br")
              .agg(F.count("*").alias("c")).collect()}
-    ns = {br: sum(c for (_, b), c in sizes.items() if b == br)
-          for br in range(nb)}
-    # global bucket-end ranks per branch (SQL ntile sizing)
-    targets = {}  # (pid, br, lrn) -> (br, k)
-    for br in range(nb):
-        n = ns[br]
-        q, m = divmod(n, bins)
-        acc = 0
-        ends = []
-        for k in range(1, bins):
-            acc += (q + 1) if k <= m else q
-            ends.append(min(acc, n))
-        # map each global end rank to its (pid, local rank)
-        run = 0
-        pids = sorted(p for (p, b) in sizes if b == br)
-        it = iter(pids)
-        pid = next(it, None)
-        for k, e in enumerate(ends, start=1):
-            if e <= 0:
-                continue
-            while pid is not None and run + sizes[(pid, br)] < e:
-                run += sizes[(pid, br)]
-                pid = next(it, None)
-            if pid is not None:
-                targets[(pid, br, e - run)] = (br, k)
+    targets = _cut_targets(sizes, bins)
     cond = None
     for (pid, br, lrn) in targets:
         c = ((F.col("_pid") == pid) & (F.col("_br") == br)
@@ -246,6 +222,78 @@ def ntile_boundaries_multi(df: DataFrame, key: str,
             br, k = targets[(r["_pid"], r["_br"], r["_lrn"])]
             out[br][k] = (r["_sv"], r["_k"])
     return [[b[k] for k in sorted(b)] for b in out]
+
+
+def _cut_targets(sizes: dict, bins: int) -> dict:
+    """Shared cut-row locator: from actual per-(partition, group)
+    counts, the (pid, group, local_rank) locations of each group's
+    SQL-ntile bucket-END rows (the first n % bins buckets take the
+    extra row). Returns {(pid, g, lrn): (g, k)}."""
+    targets = {}
+    for g in sorted({gg for (_, gg) in sizes}):
+        n = sum(c for (p, gg), c in sizes.items() if gg == g)
+        q, m = divmod(n, bins)
+        acc = 0
+        ends = []
+        for k in range(1, bins):
+            acc += (q + 1) if k <= m else q
+            ends.append(min(acc, n))
+        run = 0
+        pids = sorted(p for (p, gg) in sizes if gg == g)
+        it = iter(pids)
+        pid = next(it, None)
+        for k, e in enumerate(ends, start=1):
+            if e <= 0:
+                continue
+            while pid is not None and run + sizes[(pid, g)] < e:
+                run += sizes[(pid, g)]
+                pid = next(it, None)
+            if pid is not None:
+                targets[(pid, g, e - run)] = (g, k)
+    return targets
+
+
+def group_ntile_boundaries(df: DataFrame, group: str, sv, key: str,
+                           bins: int, sv_type: str = "long") -> dict:
+    """Exact PER-GROUP ntile cut rows in one coordination round — the
+    grouped sibling of ntile_boundaries_multi. Each row belongs to ONE
+    group (a data value: source, language, shard — bounded
+    cardinality), so there is no fan replication; the slim (group, sv,
+    key) projection range-partitions on all three, which SPLITS a hot
+    group across partitions where a per-group Window would hand the
+    whole group to one task (the same straggler windows always have —
+    no AQE skew split). Cut rows per group come from actual partition
+    counts (_cut_targets), so buckets are SQL-ntile-exact with
+    (sv, key) lexicographic ties. Returns {group: [(sv, key), ...]};
+    consumers bucket map-side via bucket_by_boundaries (a
+    groups x (bins-1) literal CASE — for unbounded group counts use a
+    broadcast cuts join instead)."""
+    fan = df.select(F.col(group).alias("_g"),
+                    sv.cast(sv_type).alias("_sv"),
+                    F.col(key).alias("_k"))
+    order = [F.col("_g"), F.col("_sv"), F.col("_k")]
+    ranked = (fan.repartitionByRange(_RANK_PARTS, *order)
+              .sortWithinPartitions(*order)
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_lrn", F.row_number().over(
+                  Window.partitionBy("_pid", "_g")
+                  .orderBy("_sv", "_k")))
+              .localCheckpoint())
+    sizes = {(r["_pid"], r["_g"]): r["c"] for r in
+             ranked.groupBy("_pid", "_g")
+             .agg(F.count("*").alias("c")).collect()}
+    targets = _cut_targets(sizes, bins)
+    cond = None
+    for (pid, g, lrn) in targets:
+        c = ((F.col("_pid") == pid) & (F.col("_g") == g)
+             & (F.col("_lrn") == lrn))
+        cond = c if cond is None else (cond | c)
+    out: dict = {}
+    if cond is not None:
+        for r in ranked.where(cond).collect():
+            g, k = targets[(r["_pid"], r["_g"], r["_lrn"])]
+            out.setdefault(g, {})[k] = (r["_sv"], r["_k"])
+    return {g: [d[k] for k in sorted(d)] for g, d in out.items()}
 
 
 def bucket_by_boundaries(sv, key_col, cuts: list):

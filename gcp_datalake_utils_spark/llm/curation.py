@@ -292,3 +292,69 @@ WHERE {BUDGET_DEN} * CAST(cum AS BIGINT) <= {BUDGET_NUM} * total
 
 
 ADMISSION_PIPELINE_ORACLE = _admission_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Per-source decile calibration (round 9). Mixing corpora by a raw
+# quality/length signal systematically over-samples whichever source's
+# distribution sits higher; the standard fix is to normalize WITHIN
+# source (quantile-bucket each source separately) and mix on the
+# calibrated buckets. Exact per-source deciles at scale are the same
+# straggler problem rfm had globally — a ntile window per source hands
+# the biggest source to one task — so this consumes the round-9
+# group-boundary machinery (functions/ranking.group_ntile_boundaries):
+# one balanced range exchange over the slim (source, n_words, doc_id)
+# fan, cut rows from actual counts, map-side bucketing.
+# ---------------------------------------------------------------------------
+
+CALIBRATION_BINS = 10
+
+
+def source_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] (source, decile, n_docs, min_words, max_words): exact
+    per-source decile cuts of document length (the per-source
+    calibration table a mixture sampler consumes). SQL-ntile-exact
+    with (n_words, doc_id) ties, plan SinglePartition-free, and no
+    per-source window — a hot source splits across range partitions
+    (see group_ntile_boundaries)."""
+    from gcp_datalake_utils_spark.functions.ranking import (
+        bucket_by_boundaries,
+        group_ntile_boundaries,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    t = (d.select("doc_id", "source",
+                  F.size(F.split(F.trim("text"), r"\s+"))
+                  .cast("long").alias("nw"))
+         .localCheckpoint())
+    cuts = group_ntile_boundaries(t, "source", F.col("nw"), "doc_id",
+                                  CALIBRATION_BINS)
+    bucket = None
+    for g, c in cuts.items():
+        b = bucket_by_boundaries(F.col("nw"), F.col("doc_id"), c)
+        bucket = (F.when(F.col("source") == g, b) if bucket is None
+                  else bucket.when(F.col("source") == g, b))
+    return (t.withColumn("decile", bucket.cast("int"))
+            .groupBy("source", "decile")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("nw").alias("min_words"),
+                 F.max("nw").alias("max_words")))
+
+
+SOURCE_LENGTH_DECILES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS nw
+  FROM documents
+),
+s AS (
+  SELECT source, nw,
+         ntile({CALIBRATION_BINS}) OVER (
+           PARTITION BY source ORDER BY nw, doc_id) AS decile
+  FROM t
+)
+SELECT source, CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(nw) AS min_words, max(nw) AS max_words
+FROM s GROUP BY source, decile
+"""

@@ -177,6 +177,9 @@ register("sequence_packing_bpe", packing.sequence_packing_bpe,
 # round 9: dynamic partition pruning over the month-partitioned store
 register("events_dpp_join", partitioned.events_dpp_join,
          partitioned.EVENTS_DPP_JOIN_ORACLE)
+# round 9: per-source decile calibration (group-boundary ntile)
+register("source_length_deciles", curation.source_length_deciles,
+         curation.SOURCE_LENGTH_DECILES_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,
@@ -503,6 +506,7 @@ _R9_NEW: list[str] = [
     "domain_dedup_rollup",
     "sequence_packing_bpe",
     "events_dpp_join",
+    "source_length_deciles",
 ]
 
 # oldest remaining driver evidence (newest green = r6), in prior

@@ -315,3 +315,39 @@ def test_events_dpp_join_plans_dynamic_pruning(spark, sf_dir):
     df.collect()
     plan = _executed_plan(df)
     assert "dynamicpruningexpression" in plan
+
+
+# --- per-source decile calibration (group-boundary ntile) --------------------
+
+def test_group_ntile_boundaries_match_sql(spark):
+    """Per-group cut-row bucketing equals SQL ntile per group on a
+    frame with ties, uneven group sizes, and a non-divisible bin
+    count."""
+    from gcp_datalake_utils_spark.functions.ranking import (
+        bucket_by_boundaries,
+        group_ntile_boundaries,
+    )
+
+    rows = [(i, f"g{i % 3}", (i * 7) % 11) for i in range(101)]
+    df = spark.createDataFrame(rows, "k long, g string, v long")
+    cuts = group_ntile_boundaries(df, "g", F.col("v"), "k", 4)
+    bucket = None
+    for g, c in cuts.items():
+        b = bucket_by_boundaries(F.col("v"), F.col("k"), c)
+        bucket = (F.when(F.col("g") == g, b) if bucket is None
+                  else bucket.when(F.col("g") == g, b))
+    got = {r["k"]: r["d"] for r in
+           df.withColumn("d", bucket.cast("int")).collect()}
+    df.createOrReplaceTempView("t_gnb")
+    exp = {r["k"]: r["d"] for r in spark.sql(
+        """SELECT k, ntile(4) OVER (PARTITION BY g ORDER BY v, k) AS d
+           FROM t_gnb""").collect()}
+    assert got == exp
+
+
+def test_source_length_deciles_no_single_partition(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import curation
+
+    df = curation.source_length_deciles(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "SinglePartition" not in plan
