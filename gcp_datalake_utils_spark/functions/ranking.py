@@ -6,7 +6,7 @@ per-partition row_number + actual-count-offset recipe here instead."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _RANK_PARTS = 32
@@ -36,35 +36,50 @@ def distributed_ntile(df: DataFrame, order_exprs: list,
     consume it. Chained callers (rfm's 2nd/3rd ntile) whose input IS
     the previous call's checkpoint pass checkpoint_input=False. The
     operator is eager, like the other driver-coordinated shapes
-    (k-means, budget prefix)."""
+    (k-means, budget prefix).
+
+    Local ranks come from monotonically_increasing_id over the sorted
+    partitions (pid<<33 + in-partition offset), NOT a row_number
+    window: RangePartitioning does not satisfy the window's
+    ClusteredDistribution(_pid), so the window shape silently planned
+    a SECOND full Exchange + Sort (found round 9 — results stayed
+    correct because _pid values travel with the rows, but the range
+    sort ran as dead work and every ranked frame crossed the wire
+    twice). The id is evaluated in the same stage as the
+    partition-local sort and pinned by the checkpoint; per-partition
+    offsets come from the same stats collect that always ran."""
     if checkpoint_input:
         df = df.localCheckpoint()
     ranked = (df.repartitionByRange(_RANK_PARTS, *order_exprs)
               .sortWithinPartitions(*order_exprs)
-              .withColumn("_pid", F.spark_partition_id())
-              .withColumn("_lrn", F.row_number().over(
-                  Window.partitionBy("_pid").orderBy(*order_exprs)))
+              .withColumn("_mid", F.monotonically_increasing_id())
               .localCheckpoint())
-    sizes = {r["_pid"]: r["c"] for r in
-             ranked.groupBy("_pid").agg(F.count("*").alias("c"))
-             .collect()}
+    stats = (ranked
+             .groupBy(F.shiftright("_mid", 33).cast("int").alias("_p"))
+             .agg(F.count("*").alias("c"), F.min("_mid").alias("m0"))
+             .collect())
+    sizes = {r["_p"]: r["c"] for r in stats}
+    base = {r["_p"]: r["m0"] for r in stats}
     n = sum(sizes.values())
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("_pid"))
-    rank = off + F.col("_lrn")
+    # global rank = _mid + (partition offset - partition id base + 1)
+    adj = F.element_at(
+        F.create_map(*[c for p in sizes
+                       for c in (F.lit(p),
+                                 F.lit(offsets[p] - base[p] + 1)
+                                 .cast("long"))]),
+        F.shiftright("_mid", 33).cast("int"))
+    rank = F.col("_mid") + adj
     q, m = divmod(n, bins)
     bucket = F.when(
         rank <= m * (q + 1),
         F.floor((rank - 1) / (q + 1)) + 1
     ).otherwise(
         m + F.floor((rank - 1 - m * (q + 1)) / max(q, 1)) + 1)
-    return ranked.withColumn(out, bucket.cast("int")) \
-        .drop("_pid", "_lrn")
+    return ranked.withColumn(out, bucket.cast("int")).drop("_mid")
 
 
 
@@ -123,27 +138,35 @@ def distributed_ntile_multi(df: DataFrame, key: str,
                   F.col(key).alias("_k"), *pay_cols(i))
         for i, (expr, _) in enumerate(branches)])
     order = [F.col("_br"), F.col("_sv"), F.col("_k")]
+    # local order from monotonically_increasing_id over the sorted
+    # partitions, not a row_number window — the window shape planned a
+    # hidden second Exchange+Sort (see distributed_ntile docstring)
     ranked = (fan.repartitionByRange(_RANK_PARTS * nb, *order)
               .sortWithinPartitions(*order)
-              .withColumn("_pid", F.spark_partition_id())
-              .withColumn("_lrn", F.row_number().over(
-                  Window.partitionBy("_pid", "_br")
-                  .orderBy("_sv", "_k")))
+              .withColumn("_mid", F.monotonically_increasing_id())
               .localCheckpoint())
-    sizes = {(r["_pid"], r["_br"]): r["c"] for r in
-             ranked.groupBy("_pid", "_br")
-             .agg(F.count("*").alias("c")).collect()}
+    stats = (ranked
+             .groupBy(F.shiftright("_mid", 33).cast("int").alias("_p"),
+                      "_br")
+             .agg(F.count("*").alias("c"), F.min("_mid").alias("m0"))
+             .collect())
+    sizes = {(r["_p"], r["_br"]): r["c"] for r in stats}
+    base = {(r["_p"], r["_br"]): r["m0"] for r in stats}
     ns = {br: sum(c for (_, b), c in sizes.items() if b == br)
           for br in range(nb)}
     offsets, acc = {}, {br: 0 for br in range(nb)}
     for pid, br in sorted(sizes):
         offsets[(pid, br)] = acc[br]
         acc[br] += sizes[(pid, br)]
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for (pid, br), o in offsets.items()
-                       for x in (pid * nb + br, o)]),
-        F.col("_pid") * nb + F.col("_br"))
-    rank = off + F.col("_lrn")
+    adj = F.element_at(
+        F.create_map(*[c for (pid, br) in sizes
+                       for c in (F.lit(pid * nb + br),
+                                 F.lit(offsets[(pid, br)]
+                                       - base[(pid, br)] + 1)
+                                 .cast("long"))]),
+        (F.shiftright("_mid", 33).cast("int") * nb
+         + F.col("_br")).cast("int"))
+    rank = F.col("_mid") + adj
 
     def bucket_for(n: int):
         q, m = divmod(n, bins)
@@ -202,26 +225,35 @@ def ntile_boundaries_multi(df: DataFrame, key: str,
     order = [F.col("_br"), F.col("_sv"), F.col("_k")]
     ranked = (fan.repartitionByRange(_RANK_PARTS * nb, *order)
               .sortWithinPartitions(*order)
-              .withColumn("_pid", F.spark_partition_id())
-              .withColumn("_lrn", F.row_number().over(
-                  Window.partitionBy("_pid", "_br")
-                  .orderBy("_sv", "_k")))
+              .withColumn("_mid", F.monotonically_increasing_id())
               .localCheckpoint())
-    sizes = {(r["_pid"], r["_br"]): r["c"] for r in
-             ranked.groupBy("_pid", "_br")
-             .agg(F.count("*").alias("c")).collect()}
-    targets = _cut_targets(sizes, bins)
-    cond = None
-    for (pid, br, lrn) in targets:
-        c = ((F.col("_pid") == pid) & (F.col("_br") == br)
-             & (F.col("_lrn") == lrn))
-        cond = c if cond is None else (cond | c)
+    mids = _boundary_mids(ranked, ["_br"], bins)
     out = [dict() for _ in range(nb)]
-    if cond is not None:
-        for r in ranked.where(cond).collect():
-            br, k = targets[(r["_pid"], r["_br"], r["_lrn"])]
-            out[br][k] = (r["_sv"], r["_k"])
+    for r in ranked.where(F.col("_mid").isin(list(mids))).collect():
+        (br,), k = mids[r["_mid"]]
+        out[br][k] = (r["_sv"], r["_k"])
     return [[b[k] for k in sorted(b)] for b in out]
+
+
+def _boundary_mids(ranked: DataFrame, group_cols: list,
+                   bins: int) -> dict:
+    """Shared boundary locator over a mid-stamped ranked frame: one
+    stats job (count + min mid per (partition, group)), _cut_targets,
+    then each cut row's ABSOLUTE mid = group's partition-base mid +
+    local rank - 1. Returns {mid: (group_tuple, k)} — consumers fetch
+    the cut rows with a single isin filter, no OR-chain."""
+    stats = (ranked
+             .groupBy(F.shiftright("_mid", 33).cast("int").alias("_p"),
+                      *group_cols)
+             .agg(F.count("*").alias("c"), F.min("_mid").alias("m0"))
+             .collect())
+    sizes = {(r["_p"], tuple(r[g] for g in group_cols)): r["c"]
+             for r in stats}
+    base = {(r["_p"], tuple(r[g] for g in group_cols)): r["m0"]
+            for r in stats}
+    targets = _cut_targets(sizes, bins)
+    return {base[(pid, g)] + lrn - 1: (g, k)
+            for (pid, g, lrn), (g2, k) in targets.items()}
 
 
 def _cut_targets(sizes: dict, bins: int) -> dict:
@@ -274,25 +306,13 @@ def group_ntile_boundaries(df: DataFrame, group: str, sv, key: str,
     order = [F.col("_g"), F.col("_sv"), F.col("_k")]
     ranked = (fan.repartitionByRange(_RANK_PARTS, *order)
               .sortWithinPartitions(*order)
-              .withColumn("_pid", F.spark_partition_id())
-              .withColumn("_lrn", F.row_number().over(
-                  Window.partitionBy("_pid", "_g")
-                  .orderBy("_sv", "_k")))
+              .withColumn("_mid", F.monotonically_increasing_id())
               .localCheckpoint())
-    sizes = {(r["_pid"], r["_g"]): r["c"] for r in
-             ranked.groupBy("_pid", "_g")
-             .agg(F.count("*").alias("c")).collect()}
-    targets = _cut_targets(sizes, bins)
-    cond = None
-    for (pid, g, lrn) in targets:
-        c = ((F.col("_pid") == pid) & (F.col("_g") == g)
-             & (F.col("_lrn") == lrn))
-        cond = c if cond is None else (cond | c)
+    mids = _boundary_mids(ranked, ["_g"], bins)
     out: dict = {}
-    if cond is not None:
-        for r in ranked.where(cond).collect():
-            g, k = targets[(r["_pid"], r["_g"], r["_lrn"])]
-            out.setdefault(g, {})[k] = (r["_sv"], r["_k"])
+    for r in ranked.where(F.col("_mid").isin(list(mids))).collect():
+        (g,), k = mids[r["_mid"]]
+        out.setdefault(g, {})[k] = (r["_sv"], r["_k"])
     return {g: [d[k] for k in sorted(d)] for g, d in out.items()}
 
 

@@ -1251,6 +1251,15 @@ WHERE {{cos}} >= 0.95
 # at every scale regardless of where the knob lands.
 # ---------------------------------------------------------------------------
 
+# Measured (round 9, tools/ann_band_stress.py, zero-true-pair
+# worst-case corpora): candidates/vector 21 @600k(bits=14),
+# 40 @2M(15), 75 @8M(16=clamp) — bounded stair-step inside the knob's
+# range, with the quadratic onset exactly where the clamp binds
+# (n > 64 * 2^16 ~ 4.2M). Past the clamp the lever is wider keys
+# re-compensated with more bands (20 bits x 16 bands ~ 87% capture at
+# cosine 0.95 vs 80% at 16x8; plane budget grows to 320) — plus
+# per-label sharding, which divides blocks by |labels| and bought the
+# measured corpora one extra decade.
 ND_BANDS_AUTO = 8
 ND_TARGET_BLOCK = 64
 

@@ -46,60 +46,62 @@ def read_events_for_date(spark: SparkSession, out_path: str,
 # ---------------------------------------------------------------------------
 # Dynamic partition pruning (round 9). Static pruning above covers the
 # "filter is a literal" case; the other half of the 100 TB story is a
-# partition filter that only EXISTS at runtime — "the months some
+# partition filter that only EXISTS at runtime — "the days some
 # dimension query selects" — where Catalyst plants a dynamicpruning
 # subquery on the partitioned scan and skips every non-matching
-# directory without a literal in sight. The store is month-partitioned
-# (this corpus's day cardinality would hit the classic small-files
-# wall: 29k day dirs at sf10 vs ~960 months).
+# directory without a literal in sight. Day granularity: this corpus
+# spans ~30 real days at every sf (an earlier month-partitioned cut
+# degenerated to ONE directory — the whole corpus is one calendar
+# month — which made DPP a no-op that still paid the subquery wait;
+# measured, reworked).
 # ---------------------------------------------------------------------------
 
-_MONTH_STORE: dict[tuple, str] = {}
+_DAY_STORE: dict[tuple, str] = {}
 AUDIT_EVERY = 100_000  # every 100k-th event_id is an audit marker
 
 
-def _ensure_events_by_month(spark: SparkSession, sf_dir: str) -> str:
-    """Write the month-partitioned events store once per session
+def _ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
+    """Write the day-partitioned events store once per session
     (pid-scoped path; in production this is the table's layout)."""
     key = (id(spark), sf_dir)
-    if key in _MONTH_STORE:
-        return _MONTH_STORE[key]
+    if key in _DAY_STORE:
+        return _DAY_STORE[key]
     from gcp_datalake_utils_spark.sources.scratch import pid_scratch
-    loc = pid_scratch("/tmp/spark_graft_evmonth", sf_dir)
+    loc = pid_scratch("/tmp/spark_graft_evday", sf_dir)
     ev = load_events(spark, sf_dir).withColumn(
-        "event_month", F.date_format("ts", "yyyy-MM"))
-    (ev.repartition("event_month")
+        "event_day", F.date_format("ts", "yyyy-MM-dd"))
+    (ev.repartition("event_day")
      .write.mode("overwrite")
-     .partitionBy("event_month")
+     .partitionBy("event_day")
      .parquet(loc))
-    _MONTH_STORE[key] = loc
+    _DAY_STORE[key] = loc
     return loc
 
 
 def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[Q] (event_month, event_type, n_events, total_value): event
-    rollup restricted to the months containing an audit-marker event
+    """[Q] (event_day, event_type, n_events, total_value): event
+    rollup restricted to the days containing an audit-marker event
     (event_id divisible by AUDIT_EVERY — the S9 audit-log flavor at
-    partition granularity). The month set is a runtime query result,
+    partition granularity). The day set is a runtime query result,
     so the filter reaches the partitioned scan as a DYNAMIC pruning
     subquery (the selective marker Filter is what Spark's
     PartitionPruning rule keys on — an agg/limit dim carries no
     Filter node and gets NO DPP, measured), never as a per-row
     post-scan predicate. At 100 TB that is the difference between
-    scanning the flagged months and scanning the lake because the hot
+    scanning the flagged days and scanning the lake because the hot
     set wasn't known at plan time. Plan evidence: `dynamicpruning`
-    inside the store scan's PartitionFilters
-    (tests/test_round9_ops.py); at sf10 the dim keeps 100 of 987
-    months."""
-    loc = _ensure_events_by_month(spark, sf_dir)
+    inside the store scan's PartitionFilters AND a runtime
+    skipped-partition assertion (tests/test_round9_ops.py); at sf10
+    the dim keeps 1 of 30 day directories."""
+    loc = _ensure_events_by_day(spark, sf_dir)
     store = spark.read.parquet(loc)
     dim = (load_events(spark, sf_dir)
            .where(F.col("event_id") % AUDIT_EVERY == 0)
-           .select(F.date_format("ts", "yyyy-MM").alias("hm"))
+           .select(F.date_format("ts", "yyyy-MM-dd").alias("hd"))
            .distinct())
     return (store.join(F.broadcast(dim),
-                       store["event_month"] == dim["hm"])
-            .groupBy("event_month", "event_type")
+                       store["event_day"] == dim["hd"])
+            .groupBy("event_day", "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.sum(F.round("value", 2).cast("decimal(18,2)"))
                  .cast("decimal(38,6)").cast("string")
@@ -108,18 +110,18 @@ def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_DPP_JOIN_ORACLE = f"""
 WITH e AS (
-  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS event_month,
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_day,
          event_type, value, event_id
   FROM events
 ),
 dim AS (
-  SELECT DISTINCT event_month AS hm
+  SELECT DISTINCT event_day AS hd
   FROM e WHERE event_id % {AUDIT_EVERY} = 0
 )
-SELECT event_month, event_type,
+SELECT event_day, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
             AS DECIMAL(38,6)) AS VARCHAR) AS total_value
-FROM e JOIN dim ON e.event_month = dim.hm
-GROUP BY event_month, event_type
+FROM e JOIN dim ON e.event_day = dim.hd
+GROUP BY event_day, event_type
 """

@@ -307,14 +307,24 @@ def test_bpe_packing_cross_checks_whitespace_anchor(spark, sf_dir):
 # --- dynamic partition pruning (round-9 infra row) ---------------------------
 
 def test_events_dpp_join_plans_dynamic_pruning(spark, sf_dir):
-    """The month filter must reach the partitioned store scan as a
-    runtime dynamicpruning subquery, not a post-scan predicate."""
+    """The day filter must reach the partitioned store scan as a
+    runtime dynamicpruning subquery, not a post-scan predicate — and
+    there must genuinely be partitions to prune (the month-granularity
+    version degenerated to one directory and pruned nothing)."""
+    import glob
+
     from gcp_datalake_utils_spark.sources import partitioned
 
     df = partitioned.events_dpp_join(spark, sf_dir)
-    df.collect()
+    rows = df.collect()
+    assert rows
     plan = _executed_plan(df)
     assert "dynamicpruningexpression" in plan
+    loc = partitioned._ensure_events_by_day(spark, sf_dir)
+    n_dirs = len(glob.glob(loc + "/event_day=*"))
+    kept_days = {r["event_day"] for r in rows}
+    assert n_dirs > 1 and len(kept_days) < n_dirs, \
+        "store must have more day partitions than the dim keeps"
 
 
 # --- per-source decile calibration (group-boundary ntile) --------------------
