@@ -149,6 +149,12 @@ HEADLINE = [
     "domain_quality_prior",
     "domain_dedup_rollup",
     "sequence_packing_bpe",
+    # late-r9: DPP store query (store write lands in warm-up), the
+    # per-source decile calibration, and the CDC maintenance gate
+    # (computes from events directly — not the store-write class)
+    "events_dpp_join",
+    "source_length_deciles",
+    "daily_activity_cdc",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -180,6 +180,10 @@ register("events_dpp_join", partitioned.events_dpp_join,
 # round 9: per-source decile calibration (group-boundary ntile)
 register("source_length_deciles", curation.source_length_deciles,
          curation.SOURCE_LENGTH_DECILES_ORACLE)
+# round 9: streaming maintainer of the daily-activity store (stream
+# state == batch full recompute, same oracle as daily_activity_cdc)
+register("daily_activity_stream", stream_windows.daily_activity_stream_q,
+         cohort.DAILY_ACTIVITY_CDC_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,
@@ -507,6 +511,7 @@ _R9_NEW: list[str] = [
     "sequence_packing_bpe",
     "events_dpp_join",
     "source_length_deciles",
+    "daily_activity_stream",
 ]
 
 # oldest remaining driver evidence (newest green = r6), in prior

@@ -309,3 +309,38 @@ SELECT user_id,
 FROM sessions
 GROUP BY user_id, session_id
 """
+
+
+def daily_activity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintainer for the cohort family's daily-activity
+    store (operators/cohort._ensure_daily_activity): per-(user, day)
+    endpoint types + event count as ONE watermarked streaming
+    aggregation. This is the production shape of the CDC contract
+    daily_activity_cdc gates in batch — the ingest stream keeps the
+    (user, day) state table current; finalized day windows append
+    into the day-partitioned store. Min/max over (ts, event_id,
+    event_type) structs are streaming-safe agg buffers (monoid
+    combine — exactly the merge daily_activity_cdc performs on
+    batches)."""
+    s = _event_stream(spark, sf_dir).withWatermark("ts", "2 days")
+    ev = F.struct("ts", "event_id", "event_type")
+    return (s.groupBy("user_id", F.window("ts", "1 day").alias("w"))
+            .agg(F.min(ev).alias("mn"), F.max(ev).alias("mx"),
+                 F.count("*").alias("n_events")))
+
+
+def daily_activity_stream_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """[Q] the streaming daily-activity maintainer, AvailableNow-
+    drained and flattened; the oracle is daily_activity_cdc's FULL
+    RECOMPUTE SQL — stream state == batch recompute, hash-exactly
+    (window('1 day') aligns to session-tz midnight, matching the
+    batch side's to_date)."""
+    out = run_available_now(
+        daily_activity_stream(spark, sf_dir), _next_sink())
+    return out.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        F.col("mn")["event_type"].alias("first_type"),
+        F.col("mx")["event_type"].alias("last_type"),
+        F.col("n_events").cast("long").alias("n_events"))
