@@ -433,3 +433,89 @@ WHERE rank <= {RERANK_K}
 
 
 ANN_RERANK_ORACLE = _ann_rerank_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (round 9): the embedding-space sibling of
+# the n-gram decontamination family (llm/decontam.py). Model-report
+# practice (Gemma/Llama tech reports) flags training documents whose
+# embeddings sit within a cosine threshold of any benchmark item —
+# catching paraphrased contamination the exact-gram pass misses.
+# ---------------------------------------------------------------------------
+
+DECON_MOD = 101      # vec_id % 101 == 0 plays the benchmark slice
+DECON_T = 0.95
+
+
+def embedding_decontamination(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """[Q] (vec_id, max_sim, n_hits, contaminated): for every corpus
+    vector, its maximum cosine against the benchmark slice and how
+    many benchmark items clear DECON_T.
+
+    Scale shape — the one semantic decontamination actually ships:
+    benchmark sets are tiny relative to the corpus (thousands of
+    eval items vs billions of documents), so the bench matrix is a
+    DRIVER-BROADCAST closure constant and the whole operator is ONE
+    narrow Arrow pass (numpy GEMM per batch, corpus row x bench
+    matrix) — zero Exchange at any corpus size, embarrassingly
+    parallel like the featurizer kernels. No LSH needed: candidate
+    generation would only pay off if the bench side were too big to
+    broadcast, which contradicts what a benchmark is. Comparisons
+    happen on round(cos, 6) in BOTH engines (the family's bit-safety
+    rule), so hit counts can't split on a last-ulp disagreement."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = (e.where(F.col("vec_id") % DECON_MOD == 0)
+             .select("embedding").collect())
+    B = np.stack([np.asarray(r[0], dtype=np.float64) for r in bench])
+    bn = np.sqrt((B * B).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = (m @ B.T) / (np.sqrt((m * m).sum(axis=1))[:, None]
+                                * bn[None, :])
+            r = np.round(sims, 6)
+            hits = (r >= DECON_T).sum(axis=1).astype("int64")
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "max_sim": r.max(axis=1),
+                "n_hits": hits,
+            })
+
+    return (e.where(F.col("vec_id") % DECON_MOD != 0)
+            .select("vec_id", "embedding")
+            .mapInPandas(score,
+                         "vec_id long, max_sim double, n_hits long")
+            .withColumn("contaminated", F.col("n_hits") > 0))
+
+
+def _embedding_decon_oracle() -> str:
+    from gcp_datalake_utils_spark.llm.similarity import (
+        _DOT_SQL,
+        _NORM_SQL,
+    )
+    dot = _DOT_SQL.format(a="e.embedding", b="b.embedding")
+    ne = _NORM_SQL.format(a="e.embedding")
+    nb = _NORM_SQL.format(a="b.embedding")
+    return f"""
+WITH b AS (
+  SELECT embedding FROM embeddings WHERE vec_id % {DECON_MOD} = 0
+),
+s AS (
+  SELECT e.vec_id,
+         round(({dot}) / (({ne}) * ({nb})), 6) AS sim
+  FROM embeddings e, b
+  WHERE e.vec_id % {DECON_MOD} <> 0
+)
+SELECT vec_id, max(sim) AS max_sim,
+       CAST(count(*) FILTER (WHERE sim >= {DECON_T}) AS BIGINT)
+         AS n_hits,
+       count(*) FILTER (WHERE sim >= {DECON_T}) > 0 AS contaminated
+FROM s GROUP BY vec_id
+"""
+
+
+EMBEDDING_DECONTAMINATION_ORACLE = _embedding_decon_oracle()

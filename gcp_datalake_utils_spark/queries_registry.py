@@ -184,6 +184,10 @@ register("source_length_deciles", curation.source_length_deciles,
 # state == batch full recompute, same oracle as daily_activity_cdc)
 register("daily_activity_stream", stream_windows.daily_activity_stream_q,
          cohort.DAILY_ACTIVITY_CDC_ORACLE)
+# round 9: semantic decontamination (bench-matrix broadcast GEMM)
+register("embedding_decontamination",
+         similarity_arrow.embedding_decontamination,
+         similarity_arrow.EMBEDDING_DECONTAMINATION_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,
@@ -512,6 +516,7 @@ _R9_NEW: list[str] = [
     "events_dpp_join",
     "source_length_deciles",
     "daily_activity_stream",
+    "embedding_decontamination",
 ]
 
 # oldest remaining driver evidence (newest green = r6), in prior

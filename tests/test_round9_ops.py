@@ -361,3 +361,20 @@ def test_source_length_deciles_no_single_partition(spark, sf_dir):
     df = curation.source_length_deciles(spark, sf_dir)
     plan = _executed_plan(df)
     assert "SinglePartition" not in plan
+
+
+# --- semantic decontamination -------------------------------------------------
+
+def test_embedding_decontamination_zero_exchange(spark, sf_dir):
+    """Bench matrix is a broadcast closure constant: the whole
+    operator must plan as one narrow map — no Exchange of any kind."""
+    from gcp_datalake_utils_spark.llm import similarity_arrow as sa
+
+    df = sa.embedding_decontamination(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan
+    for r in rows:
+        assert r["contaminated"] == (r["n_hits"] > 0)
+        assert (r["n_hits"] == 0) or (r["max_sim"] >= sa.DECON_T)
