@@ -155,6 +155,8 @@ HEADLINE = [
     "events_dpp_join",
     "source_length_deciles",
     "daily_activity_cdc",
+    "daily_activity_stream",
+    "embedding_decontamination",
 ]
 
 # results larger than this row count are executed via the noop sink
