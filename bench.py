@@ -157,6 +157,7 @@ HEADLINE = [
     "daily_activity_cdc",
     "daily_activity_stream",
     "embedding_decontamination",
+    "source_length_deciles_approx",
 ]
 
 # results larger than this row count are executed via the noop sink

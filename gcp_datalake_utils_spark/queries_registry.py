@@ -184,6 +184,8 @@ register("source_length_deciles", curation.source_length_deciles,
 # state == batch full recompute, same oracle as daily_activity_cdc)
 register("daily_activity_stream", stream_windows.daily_activity_stream_q,
          cohort.DAILY_ACTIVITY_CDC_ORACLE)
+register("source_length_deciles_approx",
+         curation.source_length_deciles_approx, None)
 # round 9: semantic decontamination (bench-matrix broadcast GEMM)
 register("embedding_decontamination",
          similarity_arrow.embedding_decontamination,

@@ -378,3 +378,45 @@ def test_embedding_decontamination_zero_exchange(spark, sf_dir):
     for r in rows:
         assert r["contaminated"] == (r["n_hits"] > 0)
         assert (r["n_hits"] == 0) or (r["max_sim"] >= sa.DECON_T)
+
+
+def test_source_deciles_approx_brackets_exact(spark, sf_dir):
+    """The approx cuts must land within the exact per-source decile
+    ranges (approx_percentile with accuracy 10k is exact when the
+    distinct-value count is below it, as on these corpora — the
+    bracket still allows one rank of slack at scale)."""
+    from gcp_datalake_utils_spark.functions.ranking import (
+        group_ntile_boundaries,
+    )
+    from gcp_datalake_utils_spark.llm import curation
+    from gcp_datalake_utils_spark.sources import load_table
+
+    approx = {r["source"]: r["cuts"] for r in
+              curation.source_length_deciles_approx(
+                  spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source",
+                 F.size(F.split(F.trim("text"), r"\s+"))
+                 .cast("long").alias("nw")).localCheckpoint()
+    exact = group_ntile_boundaries(
+        t, "source", F.col("nw"), "doc_id", curation.CALIBRATION_BINS)
+    by_src = {r["source"]: sorted(x["nw"] for x in rows) for
+              (r, rows) in
+              ((r, t.where(F.col("source") == r["source"])
+                .select("nw").collect())
+               for r in t.select("source").distinct().collect())}
+    assert set(approx) == set(exact)
+    import bisect
+    for src, cuts in approx.items():
+        vals = by_src[src]
+        n = len(vals)
+        assert len(cuts) == curation.CALIBRATION_BINS - 1
+        for k, a in enumerate(cuts, start=1):
+            assert vals[0] <= a <= vals[-1]
+            # bracket in RANK space (quantile conventions differ in
+            # VALUE on lumpy distributions): rows <= cut must sit
+            # near k/bins of the source
+            rank = bisect.bisect_right(vals, a)
+            target = k * n / curation.CALIBRATION_BINS
+            assert abs(rank - target) <= max(3, n // 50), \
+                (src, k, rank, target)
