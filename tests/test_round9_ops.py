@@ -420,3 +420,32 @@ def test_source_deciles_approx_brackets_exact(spark, sf_dir):
             target = k * n / curation.CALIBRATION_BINS
             assert abs(rank - target) <= max(3, n // 50), \
                 (src, k, rank, target)
+
+
+def test_group_ntile_boundaries_extreme_skew(spark):
+    """90% of rows in one group — the distribution the machinery
+    exists for (a per-group window would hand the hot group to one
+    task). Exactness must hold when a group spans many range
+    partitions and cold groups share partitions."""
+    from gcp_datalake_utils_spark.functions.ranking import (
+        bucket_by_boundaries,
+        group_ntile_boundaries,
+    )
+
+    rows = [(i, "hot", (i * 17) % 13) for i in range(9000)]
+    rows += [(9000 + i, f"c{i % 10}", (i * 7) % 5) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, g string, v long") \
+        .repartition(32)
+    cuts = group_ntile_boundaries(df, "g", F.col("v"), "k", 5)
+    bucket = None
+    for g, c in cuts.items():
+        b = bucket_by_boundaries(F.col("v"), F.col("k"), c)
+        bucket = (F.when(F.col("g") == g, b) if bucket is None
+                  else bucket.when(F.col("g") == g, b))
+    got = {r["k"]: r["d"] for r in
+           df.withColumn("d", bucket.cast("int")).collect()}
+    df.createOrReplaceTempView("t_gnb_skew")
+    exp = {r["k"]: r["d"] for r in spark.sql(
+        """SELECT k, ntile(5) OVER (PARTITION BY g ORDER BY v, k) AS d
+           FROM t_gnb_skew""").collect()}
+    assert got == exp
