@@ -469,19 +469,31 @@ def embedding_decontamination(spark: SparkSession,
              .select("embedding").collect())
     B = np.stack([np.asarray(r[0], dtype=np.float64) for r in bench])
     bn = np.sqrt((B * B).sum(axis=1))
+    # kernel memory contract: the similarity matrix is NEVER
+    # materialized batch x |bench| — it streams over bench blocks with
+    # a running (max, hit-count) reduction, so per-task memory is
+    # batch x BLOCK regardless of benchmark size (a 20k-item bench
+    # against 10k-row batches would otherwise allocate 1.6 GB per
+    # task; measured as a timeout at 2M vectors before this)
+    _BLOCK = 1024
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            sims = (m @ B.T) / (np.sqrt((m * m).sum(axis=1))[:, None]
-                                * bn[None, :])
-            r = np.round(sims, 6)
-            hits = (r >= DECON_T).sum(axis=1).astype("int64")
+            mn = np.sqrt((m * m).sum(axis=1))[:, None]
+            best = np.full(len(m), -2.0)
+            hits = np.zeros(len(m), dtype=np.int64)
+            for s in range(0, B.shape[0], _BLOCK):
+                blk = B[s:s + _BLOCK]
+                r = np.round((m @ blk.T)
+                             / (mn * bn[None, s:s + _BLOCK]), 6)
+                np.maximum(best, r.max(axis=1), out=best)
+                hits += (r >= DECON_T).sum(axis=1)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"].astype("int64"),
-                "max_sim": r.max(axis=1),
+                "max_sim": best,
                 "n_hits": hits,
             })
 
