@@ -215,7 +215,14 @@ def ntile_boundaries_multi(df: DataFrame, key: str,
 
     At 100 TB: the fan exchange is the only wide op and carries ~17
     bytes/row/branch; boundary collect is bins*branches rows
-    regardless of corpus size."""
+    regardless of corpus size.
+
+    CONTRACT: `df` must be deterministic/pinned (localCheckpoint or a
+    stable source read) — the cut rows come from one scan of `df`
+    while callers bucket a separately re-scanned frame, so a
+    nondeterministic input would yield cuts inconsistent with the
+    rows being bucketed (current callers rfm_segments and
+    source_length_deciles checkpoint first)."""
     nb = len(branches)
     fan = df.select(F.inline(F.array(*[
         F.struct(F.lit(i).alias("_br"),
@@ -299,7 +306,13 @@ def group_ntile_boundaries(df: DataFrame, group: str, sv, key: str,
     (sv, key) lexicographic ties. Returns {group: [(sv, key), ...]};
     consumers bucket map-side via bucket_by_boundaries (a
     groups x (bins-1) literal CASE — for unbounded group counts use a
-    broadcast cuts join instead)."""
+    broadcast cuts join instead).
+
+    CONTRACT: `df` must be deterministic/pinned (localCheckpoint or a
+    stable source read) — cuts are derived from one scan of `df`
+    while callers bucket a separately re-scanned frame; a
+    nondeterministic input gives cuts inconsistent with the bucketed
+    rows."""
     fan = df.select(F.col(group).alias("_g"),
                     sv.cast(sv_type).alias("_sv"),
                     F.col(key).alias("_k"))

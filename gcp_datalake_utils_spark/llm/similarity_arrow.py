@@ -467,6 +467,15 @@ def embedding_decontamination(spark: SparkSession,
     e = load_table(spark, sf_dir, "embeddings")
     bench = (e.where(F.col("vec_id") % DECON_MOD == 0)
              .select("embedding").collect())
+    if not bench:
+        # No benchmark slice (corpus too small to contain a
+        # vec_id % DECON_MOD == 0 row): max-against-empty-set is
+        # undefined and the -2.0 sentinel must never leak — the
+        # oracle's cross join also yields zero rows, so return the
+        # matching empty frame rather than np.stack crashing.
+        return spark.createDataFrame(
+            [], "vec_id long, max_sim double, n_hits long, "
+                "contaminated boolean")
     B = np.stack([np.asarray(r[0], dtype=np.float64) for r in bench])
     bn = np.sqrt((B * B).sum(axis=1))
     # kernel memory contract: the similarity matrix is NEVER

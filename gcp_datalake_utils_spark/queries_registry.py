@@ -174,7 +174,7 @@ register("domain_dedup_rollup", domains.domain_dedup_rollup,
 # round 9: tokenizer-aware packing twin (r8 verdict ask #8)
 register("sequence_packing_bpe", packing.sequence_packing_bpe,
          packing.SEQUENCE_PACKING_BPE_ORACLE)
-# round 9: dynamic partition pruning over the month-partitioned store
+# round 9: dynamic partition pruning over the day-partitioned store
 register("events_dpp_join", partitioned.events_dpp_join,
          partitioned.EVENTS_DPP_JOIN_ORACLE)
 # round 9: per-source decile calibration (group-boundary ntile)

@@ -94,13 +94,19 @@ def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped-partition assertion (tests/test_round9_ops.py); at sf10
     the dim keeps 1 of 30 day directories."""
     loc = _ensure_events_by_day(spark, sf_dir)
+    # Partition-type inference reads the yyyy-MM-dd directory values
+    # back as DateType; the output contract (and the oracle) is the
+    # written VARCHAR — cast back to string AFTER the join so the
+    # pruning comparison stays on the partition column itself.
     store = spark.read.parquet(loc)
     dim = (load_events(spark, sf_dir)
            .where(F.col("event_id") % AUDIT_EVERY == 0)
            .select(F.date_format("ts", "yyyy-MM-dd").alias("hd"))
            .distinct())
     return (store.join(F.broadcast(dim),
-                       store["event_day"] == dim["hd"])
+                       store["event_day"] == dim["hd"].cast("date"))
+            .withColumn("event_day", F.date_format("event_day",
+                                                   "yyyy-MM-dd"))
             .groupBy("event_day", "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.sum(F.round("value", 2).cast("decimal(18,2)"))
