@@ -49,6 +49,7 @@ from gcp_datalake_utils_spark.llm import (
     similarity,
     similarity_arrow,
     sketches,
+    spandedup,
     text,
     tfidf,
 )
@@ -190,6 +191,11 @@ register("source_length_deciles_approx",
 register("embedding_decontamination",
          similarity_arrow.embedding_decontamination,
          similarity_arrow.EMBEDDING_DECONTAMINATION_ORACLE)
+# round 10: substring-span dedup removal (r9 verdict ask #1)
+register("span_dedup_removal", spandedup.span_dedup_removal,
+         spandedup.SPAN_DEDUP_REMOVAL_ORACLE)
+register("span_dedup_rollup", spandedup.span_dedup_rollup,
+         spandedup.SPAN_DEDUP_ROLLUP_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,
