@@ -135,6 +135,68 @@ def sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "start_offset", "pack_local", "pack_id"))
 
 
+# ---------------------------------------------------------------------------
+# Real merge-table BPE twin (round 10, r9 verdict ask #7): the _bpe
+# twin above counts PRE-tokenizer regex matches; this one counts the
+# tokens the trained broadcast merge table actually emits, so packing
+# arithmetic speaks the same currency the tokenizer produces at
+# training time. Identical packing shape — only the chunk-size
+# expression changes (narrow Arrow pass, merge table a closure
+# constant, per-word memo cache). Not SQL-expressible (iterative
+# merge training); pytest-bracketed: counts bit-identical to a driver
+# encode replica, pack offsets re-derived from its own counts.
+# ---------------------------------------------------------------------------
+
+
+def sequence_packing_bpe_real(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """[Q, rows-only] (bucket, doc_id, chunk_idx, n_bpe_tokens,
+    start_offset, pack_local, pack_id) with chunk sizes in REAL
+    merge-table BPE tokens (llm/bpe.py)."""
+    import pandas as pd
+
+    from gcp_datalake_utils_spark.llm.bpe import (
+        encode_word,
+        trained_merges,
+    )
+    from gcp_datalake_utils_spark.llm.chunks import chunk_text_frame
+
+    ranks = {p: i for i, p in enumerate(trained_merges(spark, sf_dir))}
+
+    def count_kernel(batches):
+        cache: dict = {}
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "chunk_idx": pdf["chunk_idx"],
+                "n_bpe_tokens": [
+                    sum(len(encode_word(w, ranks, cache))
+                        for w in t.split())
+                    for t in pdf["chunk_text"]],
+            })
+
+    ch = (chunk_text_frame(spark, sf_dir)
+          .mapInPandas(count_kernel,
+                       "doc_id long, chunk_idx int, n_bpe_tokens long"))
+    bucket = (F.col("doc_id") % N_BUCKETS).cast("int")
+    w = (Window.partitionBy("bucket")
+         .orderBy("doc_id", "chunk_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ch.withColumn("bucket", bucket)
+            .withColumn("start_offset",
+                        (F.sum("n_bpe_tokens").over(w)
+                         - F.col("n_bpe_tokens")).cast("long"))
+            .withColumn("pack_local",
+                        F.floor(F.col("start_offset") / PACK_BUDGET)
+                        .cast("long"))
+            .withColumn("pack_id",
+                        (F.col("bucket").cast("long")
+                         * F.lit(1_000_000_000).cast("long")
+                         + F.col("pack_local")).cast("long"))
+            .select("bucket", "doc_id", "chunk_idx", "n_bpe_tokens",
+                    "start_offset", "pack_local", "pack_id"))
+
+
 from gcp_datalake_utils_spark.llm.text import _BPE_SQL  # noqa: E402
 
 SEQUENCE_PACKING_BPE_ORACLE = f"""

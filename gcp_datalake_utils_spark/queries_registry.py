@@ -28,6 +28,7 @@ from gcp_datalake_utils_spark.formatters import diagrams
 from gcp_datalake_utils_spark.formatters import oracles as fmt_oracles
 from gcp_datalake_utils_spark.llm import (
     boilerplate,
+    bpe,
     chunks,
     collocations,
     curation,
@@ -196,6 +197,15 @@ register("span_dedup_removal", spandedup.span_dedup_removal,
          spandedup.SPAN_DEDUP_REMOVAL_ORACLE)
 register("span_dedup_rollup", spandedup.span_dedup_rollup,
          spandedup.SPAN_DEDUP_ROLLUP_ORACLE)
+# round 10: broadcast-vocab BPE tokenizer (r9 verdict ask #7);
+# token_stats/packing rows are rows-only by design (iterative merge
+# training is not SQL-expressible) and pytest-bracketed vs a driver
+# replica; pair_counts is the hash-checked training-input anchor
+register("bpe_pair_counts", bpe.bpe_pair_counts,
+         bpe.BPE_PAIR_COUNTS_ORACLE)
+register("bpe_token_stats", bpe.bpe_token_stats, None)
+register("sequence_packing_bpe_real", packing.sequence_packing_bpe_real,
+         None)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,

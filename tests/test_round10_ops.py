@@ -124,3 +124,106 @@ def test_span_rollup_consistent_with_perdoc(spark, sf_dir):
         r["n_removed_runs"] for r in per)
     assert roll["n_docs_trimmed"] == sum(
         r["n_removed_tokens"] > 0 for r in per)
+
+
+# ---------------------------------------------------------------------------
+# broadcast-vocab BPE tokenizer (round 10)
+# ---------------------------------------------------------------------------
+
+from gcp_datalake_utils_spark.llm import bpe  # noqa: E402
+
+
+def _naive_train(wc: dict[str, int], n_merges: int):
+    """Recount-every-iteration reference trainer: same contract
+    (max count, smallest pair, merge-all-occurrences), none of the
+    incremental bookkeeping — the independent check of train_merges."""
+    words = {w: list(w) for w in wc if w}
+    merges = []
+    while len(merges) < n_merges:
+        counts = Counter()
+        for w, syms in words.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] += wc[w]
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        for w, syms in words.items():
+            words[w] = bpe._merge_all(syms, *best)
+    return merges
+
+
+def test_bpe_trainer_matches_naive_replay(spark, sf_dir):
+    wc = bpe.budgeted_word_counts(spark, sf_dir)
+    assert bpe.train_merges(wc, 24) == _naive_train(wc, 24)
+    # and at a budget past this corpus's saturation point
+    assert bpe.train_merges(wc, 500) == _naive_train(wc, 500)
+
+
+def test_bpe_encode_roundtrip_and_bounds(spark, sf_dir):
+    wc = bpe.budgeted_word_counts(spark, sf_dir)
+    ranks = {p: i for i, p in enumerate(bpe.train_merges(wc))}
+    cache: dict = {}
+    for w in wc:
+        toks = bpe.encode_word(w, ranks, cache)
+        assert "".join(toks) == w          # lossless
+        assert 1 <= len(toks) <= len(w)    # bounded both ways
+
+
+def test_bpe_token_stats_matches_driver_replica(spark, sf_dir):
+    got = {r["doc_id"]: r
+           for r in bpe.bpe_token_stats(spark, sf_dir).collect()}
+    ranks = {p: i for i, p in
+             enumerate(bpe.trained_merges(spark, sf_dir))}
+    cache: dict = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    saw_compression = False
+    for d in docs:
+        ws = d["text"].strip().split()
+        n_bpe = sum(len(bpe.encode_word(w, ranks, cache)) for w in ws)
+        g = got[d["doc_id"]]
+        assert g["n_ws_tokens"] == len(ws)
+        assert g["n_bpe_tokens"] == n_bpe
+        assert g["bpe_per_word"] == round(n_bpe / len(ws), 6)
+        saw_compression |= n_bpe < sum(len(w) for w in ws)
+    assert saw_compression  # merges genuinely fired
+
+
+def test_bpe_word_budget_binds_by_construction(spark, tmp_path):
+    """A corpus with more distinct words than the budget: the
+    histogram walk must pick a threshold that keeps the collected
+    model under budget while keeping the heaviest words."""
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7 + 1))
+             + " common common common") for i in range(50)]
+    loc = str(tmp_path / "bpecorpus")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{loc}/documents.parquet")
+    old = bpe.BPE_TRAIN_MAX_WORDS
+    bpe.BPE_TRAIN_MAX_WORDS = 3
+    try:
+        wc = bpe.budgeted_word_counts(spark, loc)
+        assert len(wc) <= 3
+        assert "common" in wc  # heaviest word survives the cut
+    finally:
+        bpe.BPE_TRAIN_MAX_WORDS = old
+
+
+def test_sequence_packing_bpe_real_self_consistent(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import packing
+    rows = packing.sequence_packing_bpe_real(spark, sf_dir).collect()
+    assert rows
+    # offsets are the running sum of this row set's own counts, and
+    # pack ids follow the documented arithmetic
+    by_bucket: dict = {}
+    for r in sorted(rows, key=lambda r: (r["bucket"], r["doc_id"],
+                                         r["chunk_idx"])):
+        off = by_bucket.get(r["bucket"], 0)
+        assert r["start_offset"] == off
+        assert r["pack_local"] == off // packing.PACK_BUDGET
+        assert r["pack_id"] == (r["bucket"] * 1_000_000_000
+                                + r["pack_local"])
+        by_bucket[r["bucket"]] = off + r["n_bpe_tokens"]
