@@ -190,3 +190,39 @@ def revenue_by_nation_preagg(spark: SparkSession,
                  .cast("string").alias("revenue"),
                  F.sum("items").cast("long").alias("n_items"),
                  F.count("*").alias("n_orders")))
+
+
+def revenue_by_nation_approx(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Rows-only monitor twin that CLOSES the revenue_by_nation_preagg
+    book (round 10, r9 verdict ask #2): revenue and n_items stay
+    exact-decimal, but the order count — the one residual the preagg
+    itemization pinned to the irreducible 15M-key exact-distinct hash
+    state — becomes `approx_count_distinct` at the DEFAULT rsd (0.05;
+    rsd<=0.01 flips HLL++ into the ~13x-slower high-precision register
+    mode, measured). approx_count_distinct is partial-aggregable, so
+    the whole query is the minimal plan: bucket-local fact join (zero
+    Exchange), partial aggregation per bucket, ONE 25-row exchange of
+    (decimal sum, count, HLL sketch) buffers — no per-order pre-agg
+    pass, no 15M-group hash state anywhere. This is the shipped scale
+    shape when exact order counts are not required; the exact preagg
+    twin remains the exact-distinct floor (itemized in BASELINE).
+    No DuckDB oracle (sketch estimates are engine-specific) —
+    pytest-bracketed: revenue/n_items bit-equal to the exact twin,
+    n_orders_approx within the rsd envelope."""
+    _ensure_bucketed(spark, sf_dir)
+    li = spark.table("bk_lineitem")
+    o = spark.table("bk_orders").hint("SHUFFLE_HASH")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name", "n_name")
+            .agg(payload._dstr(disc, 4).alias("revenue"),
+                 F.count("*").alias("n_items"),
+                 F.approx_count_distinct("o_orderkey")
+                 .alias("n_orders_approx")))

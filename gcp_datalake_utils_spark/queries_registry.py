@@ -206,6 +206,16 @@ register("bpe_pair_counts", bpe.bpe_pair_counts,
 register("bpe_token_stats", bpe.bpe_token_stats, None)
 register("sequence_packing_bpe_real", packing.sequence_packing_bpe_real,
          None)
+# round 10: the approx-distinct twin that closes the
+# revenue_by_nation_preagg exact-distinct book (rows-only monitor,
+# pytest-bracketed against the exact twin like the other sketches)
+register("revenue_by_nation_approx", scale_demos.revenue_by_nation_approx,
+         None)
+# round 10: unpruned control for the DPP row — same result by
+# construction (same oracle); bench reports the pruned-vs-unpruned
+# Spark delta as the row's headline
+register("events_dpp_join_unpruned", partitioned.events_dpp_join_unpruned,
+         partitioned.EVENTS_DPP_JOIN_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,

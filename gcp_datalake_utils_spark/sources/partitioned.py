@@ -68,8 +68,12 @@ def _ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
         return _DAY_STORE[key]
     from gcp_datalake_utils_spark.sources.scratch import pid_scratch
     loc = pid_scratch("/tmp/spark_graft_evday", sf_dir)
-    ev = load_events(spark, sf_dir).withColumn(
-        "event_day", F.date_format("ts", "yyyy-MM-dd"))
+    # event_day_str duplicates the partition value as a REGULAR column
+    # so the unpruned bench control below can run the identical join
+    # against a key the PartitionPruning rule cannot use
+    ev = (load_events(spark, sf_dir)
+          .withColumn("event_day", F.date_format("ts", "yyyy-MM-dd"))
+          .withColumn("event_day_str", F.date_format("ts", "yyyy-MM-dd")))
     (ev.repartition("event_day")
      .write.mode("overwrite")
      .partitionBy("event_day")
@@ -108,6 +112,34 @@ def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("event_day", F.date_format("event_day",
                                                    "yyyy-MM-dd"))
             .groupBy("event_day", "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round("value", 2).cast("decimal(18,2)"))
+                 .cast("decimal(38,6)").cast("string")
+                 .alias("total_value")))
+
+
+def events_dpp_join_unpruned(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """[Q] bench CONTROL for events_dpp_join (round 10, r9 verdict
+    "What's wrong" #3): the identical join/rollup against the same
+    store, but keyed on `event_day_str` — a regular column carrying
+    the same value as the partition column, which the
+    PartitionPruning rule cannot use — so every day directory is
+    scanned. The pruned-vs-unpruned Spark DELTA is what the DPP row's
+    BASELINE headline measures (what pruning buys at a fixed plan),
+    not Spark-vs-DuckDB on a 10M-row toy scan where the scheduler
+    floor dominates. Same oracle: the result is identical by
+    construction."""
+    loc = _ensure_events_by_day(spark, sf_dir)
+    store = spark.read.parquet(loc)
+    dim = (load_events(spark, sf_dir)
+           .where(F.col("event_id") % AUDIT_EVERY == 0)
+           .select(F.date_format("ts", "yyyy-MM-dd").alias("hd"))
+           .distinct())
+    return (store.join(F.broadcast(dim),
+                       store["event_day_str"] == dim["hd"])
+            .groupBy(F.col("event_day_str").alias("event_day"),
+                     F.col("event_type"))
             .agg(F.count("*").alias("n_events"),
                  F.sum(F.round("value", 2).cast("decimal(18,2)"))
                  .cast("decimal(38,6)").cast("string")
