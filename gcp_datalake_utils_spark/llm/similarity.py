@@ -1232,59 +1232,76 @@ WHERE {{cos}} >= 0.95
 # band width from the corpus: expected vectors per (label, band, key)
 # block stays ~ND_TARGET_BLOCK, so candidate volume stays ~linear in n.
 #
-#   bits(n) = clamp(8, 16, bit_length(n // ND_TARGET_BLOCK))
+#   bits(n) = clamp(8, 24, bit_length(n // ND_TARGET_BLOCK))
 #
 # — a PURE-INTEGER recurrence both engines replicate exactly (Python
 # int.bit_length == DuckDB length(printf('%b', m))); never a float
 # log2, whose boundary rounding could diverge and change the whole
 # candidate set. Band keys are built DIRECTLY from the plane signs
 # (band j uses planes [j*bits, (j+1)*bits) of the same quadratic
-# integer-hash plane family, up to 8*16 = 128 planes), skipping the
+# integer-hash plane family, up to 24*24 = 576 planes), skipping the
 # packed-word representation that capped the 64-plane variant.
 #
 # Recall trade (documented, pytest-asserted on planted pairs): wider
 # keys lower per-band collide probability — at cosine 0.95,
 # p_bit ~ 0.899, so capture = 1-(1-0.899^bits)^8 is 98.8% at 8 bits,
-# ~95% at 12, ~80% at 16. That is the standard LSH knob: at the
-# 16-bit clamp the next lever is more bands (more planes), not wider
-# keys. The ORACLE mirrors bits(n) exactly, so correctness gates hold
-# at every scale regardless of where the knob lands.
+# ~95% at 12, ~80% at 16. That is the standard LSH knob: past 16 bits
+# the plan compensates with MORE BANDS (2 per extra bit — see the
+# round-10 note below), so capture never drops below the 16x8 floor.
+# The ORACLE mirrors bits(n) AND bands(n) exactly, so correctness
+# gates hold at every scale regardless of where the knobs land.
 # ---------------------------------------------------------------------------
 
 # Measured (round 9, tools/ann_band_stress.py, zero-true-pair
 # worst-case corpora): candidates/vector 21 @600k(bits=14),
 # 40 @2M(15), 75 @8M(16=clamp) — bounded stair-step inside the knob's
-# range, with the quadratic onset exactly where the clamp binds
-# (n > 64 * 2^16 ~ 4.2M). Past the clamp the lever is wider keys
-# re-compensated with more bands (20 bits x 16 bands ~ 87% capture at
-# cosine 0.95 vs 80% at 16x8; plane budget grows to 320) — plus
-# per-label sharding, which divides blocks by |labels| and bought the
-# measured corpora one extra decade.
+# range, with the quadratic onset exactly where the old 16-bit clamp
+# bound (n > 64 * 2^16 ~ 4.2M).
+#
+# Round 10: the past-clamp path is CODE, not prose. bits(n) is uncapped
+# to 24 (plane-budget ceiling, binds at n ~ 64 * 2^24 ~ 1e9 vectors —
+# past that the documented lever is per-label sharding), and every bit
+# past 16 is recall-compensated with two extra bands:
+#
+#   bits(n)  = clamp(8, 24, bit_length(n // ND_TARGET_BLOCK))
+#   bands(n) = 8 + 2 * max(0, bits(n) - 16)
+#
+# Capture at cosine 0.95 (p_bit ~ 0.899): 16x8 = 80%, 17x10 = 83%,
+# 18x12 = 85%, 20x16 = 87%, 24x24 = 89% — the compensation slightly
+# RAISES capture as keys widen while expected block size stays at
+# ~ND_TARGET_BLOCK, so candidate volume stays ~linear in n (bands grow
+# 8 -> 24 while per-band block mass falls 2x per extra bit). Both knobs
+# are pure-integer recurrences the DuckDB oracle mirrors exactly
+# (bit_length == length(printf('%b', m)); bands from GREATEST), so the
+# correctness gate holds at every scale regardless of where they land.
+# Plane budget at the ceiling: 24 bands x 24 bits = 576 planes
+# (k = j*64 + d <= 36863, k*k*PA ~ 1.0e17 << 2^63 — integer-hash safe).
 ND_BANDS_AUTO = 8
 ND_TARGET_BLOCK = 64
+ND_BITS_CAP = 24
+ND_EXTRA_BANDS_PER_BIT = 2
+ND_BANDS_CAP = ND_BANDS_AUTO + ND_EXTRA_BANDS_PER_BIT * (ND_BITS_CAP - 16)
 
 
 def _auto_band_bits(n: int) -> int:
-    return max(8, min(16, (n // ND_TARGET_BLOCK).bit_length()))
+    return max(8, min(ND_BITS_CAP, (n // ND_TARGET_BLOCK).bit_length()))
 
 
-def embedding_near_dups_auto(spark: SparkSession,
-                             sf_dir: str) -> DataFrame:
-    """[Q] embedding-cosine near-dup pairs at >= 0.95 with the band
-    width derived from the corpus size (see block comment above):
-    8 bands of bits(n) bits each, bits(n) =
-    clamp(8, 16, bit_length(n // 64)). One count() driver round-trip
-    sizes the knob (same eager pattern as the k-means coordinator);
-    the band keys come from one numpy GEMV per Arrow batch; candidate
-    generation and the cogrouped exact-cosine verify are the shared
-    near-dup plan."""
+def _auto_band_plan(n: int) -> tuple[int, int]:
+    """(bits, bands) for a corpus of n vectors — see block comment."""
+    bits = _auto_band_bits(n)
+    return bits, ND_BANDS_AUTO + ND_EXTRA_BANDS_PER_BIT * max(0, bits - 16)
+
+
+def _banded_candidates(e: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(vec_a, vec_b, label) candidate pairs from `bands` RP-LSH bands
+    of `bits` bits each — the shared generator behind the auto knob and
+    the band stress tool, parameterized so tests can drive it at forced
+    past-clamp plans without a multi-million-row corpus."""
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
-    bits = _auto_band_bits(n)
-    planes = _plane_matrix(ND_BANDS_AUTO * bits)
+    planes = _plane_matrix(bands * bits)
     w = (1 << np.arange(bits, dtype=np.int64))
 
     def band_keys(batches):
@@ -1294,7 +1311,7 @@ def embedding_near_dups_auto(spark: SparkSession,
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             s = (np.round(m @ planes.T, 6) >= 0).astype(np.int64)
             keys = [(s[:, j * bits:(j + 1) * bits] * w).sum(axis=1)
-                    for j in range(ND_BANDS_AUTO)]
+                    for j in range(bands)]
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"].astype("int64"),
                 "label": pdf["label"].astype("int32"),
@@ -1313,19 +1330,41 @@ def embedding_near_dups_auto(spark: SparkSession,
                    "band", "key")
     b = sig.select(F.col("vec_id").alias("vec_b"), "label",
                    "band", "key")
-    cand = (a.join(b, ["label", "band", "key"])
+    return (a.join(b, ["label", "band", "key"])
             .where(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b", "label")
             .distinct())
-    return _verify_pairs_arrow(cand, e, 0.95)
+
+
+def embedding_near_dups_auto(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """[Q] embedding-cosine near-dup pairs at >= 0.95 with BOTH band
+    knobs derived from the corpus size (see block comment above):
+    bands(n) bands of bits(n) bits each,
+    bits(n) = clamp(8, 24, bit_length(n // 64)),
+    bands(n) = 8 + 2 * max(0, bits(n) - 16). One count() driver
+    round-trip sizes the knobs (same eager pattern as the k-means
+    coordinator); the band keys come from one numpy GEMV per Arrow
+    batch; candidate generation and the cogrouped exact-cosine verify
+    are the shared near-dup plan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bits, bands = _auto_band_plan(e.count())
+    return _verify_pairs_arrow(_banded_candidates(e, bits, bands),
+                               e, 0.95)
 
 
 EMBEDDING_NEAR_DUPS_AUTO_ORACLE = f"""
-WITH p AS (
-  SELECT GREATEST(8, LEAST(16, length(printf(
+WITH p0 AS (
+  SELECT GREATEST(8, LEAST({ND_BITS_CAP}, length(printf(
            '%b', GREATEST(count(*) // {ND_TARGET_BLOCK}, 1)))))
          AS bits
   FROM embeddings
+),
+p AS (
+  SELECT bits,
+         {ND_BANDS_AUTO} + {ND_EXTRA_BANDS_PER_BIT} *
+           GREATEST(bits - 16, 0) AS n_bands
+  FROM p0
 ),
 bands AS (
   SELECT vec_id, label, j AS band,
@@ -1337,7 +1376,8 @@ bands AS (
                 >= 0
            THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
            AS key
-  FROM embeddings, p, unnest(range({ND_BANDS_AUTO})) AS t(j)
+  FROM embeddings, p, unnest(range({ND_BANDS_CAP})) AS t(j)
+  WHERE j < p.n_bands
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label

@@ -279,3 +279,35 @@ def test_events_dpp_unpruned_control_scans_everything(spark, sf_dir):
     assert ctrl == pruned
     plan = ctrl_df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" not in plan
+
+
+# --- ANN past-clamp band plan (r9 verdict ask #3) ------------------------
+
+def test_banded_candidates_past_clamp_recall(spark, sf_dir):
+    """Drive the shared banded generator at a FORCED past-clamp plan
+    (bits=18, bands=12 — the n~10M operating point) on a small corpus
+    with planted near-identical duplicates: every planted pair must
+    appear among the candidates (a ~cosine-1 pair agrees on every
+    plane sign up to rounding noise, so it collides in every band),
+    and the full operator must keep them through the exact verify."""
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_utils_spark.llm import similarity
+
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .select("vec_id", "label", "embedding"))
+    base = e.orderBy("vec_id").limit(25).collect()
+    max_id = e.agg(F.max("vec_id")).collect()[0][0]
+    planted = spark.createDataFrame(
+        [(int(max_id + 1 + i), r["label"],
+          [float(x) + 1e-6 * ((i + j) % 3 - 1)
+           for j, x in enumerate(r["embedding"])])
+         for i, r in enumerate(base)],
+        "vec_id long, label int, embedding array<float>")
+    corpus = e.unionByName(planted).localCheckpoint()
+
+    cand = {(r["vec_a"], r["vec_b"]) for r in
+            similarity._banded_candidates(corpus, 18, 12).collect()}
+    for i, r in enumerate(base):
+        assert (r["vec_id"], max_id + 1 + i) in cand, \
+            f"planted pair for vec {r['vec_id']} lost at bits=18"

@@ -89,10 +89,26 @@ def test_auto_band_bits_grows_with_corpus():
     assert similarity._auto_band_bits(1_000) == 8
     assert similarity._auto_band_bits(100_000) == 11
     assert similarity._auto_band_bits(1_000_000) == 14
-    assert similarity._auto_band_bits(10_000_000) == 16
-    # clamp: never past 16 (the next lever is more bands, not wider
-    # keys — docstring contract)
-    assert similarity._auto_band_bits(10**12) == 16
+    # r10: bits no longer clamps at 16 — past-clamp corpora widen the
+    # keys and compensate with more bands (see _auto_band_plan)
+    assert similarity._auto_band_bits(10_000_000) == 18
+    assert similarity._auto_band_bits(10**12) == similarity.ND_BITS_CAP
+
+
+def test_auto_band_plan_compensates_past_16_bits():
+    # inside the old clamp: 8 bands, unchanged semantics
+    assert similarity._auto_band_plan(1_000) == (8, 8)
+    assert similarity._auto_band_plan(1_000_000) == (14, 8)
+    assert similarity._auto_band_plan(4_000_000) == (16, 8)
+    # past it: +2 bands per extra bit (capture at cosine 0.95 stays
+    # >= the 16x8 = 80% floor — block comment math)
+    assert similarity._auto_band_plan(8_000_000) == (17, 10)
+    assert similarity._auto_band_plan(10_000_000) == (18, 12)
+    assert similarity._auto_band_plan(10**12) == (24, 24)
+    # plane budget at the ceiling stays integer-hash safe
+    bits, bands = similarity._auto_band_plan(10**12)
+    k_max = bands * bits * similarity.N_DIMS - 1
+    assert k_max * k_max * similarity._PA < 2**63
 
 
 def test_auto_near_dups_planted_pair_recall(spark, sf_dir):

@@ -21,8 +21,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def stress(spark, sf_dir: str) -> dict:
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from gcp_datalake_utils_spark.llm import similarity as S
@@ -30,44 +28,17 @@ def stress(spark, sf_dir: str) -> dict:
 
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
-    bits = S._auto_band_bits(n)
+    bits, bands = S._auto_band_plan(n)
     labs = e.select(F.countDistinct("label")).collect()[0][0]
-    planes = S._plane_matrix(S.ND_BANDS_AUTO * bits)
-    w = (1 << np.arange(bits, dtype=np.int64))
 
-    def band_keys(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            s = (np.round(m @ planes.T, 6) >= 0).astype(np.int64)
-            keys = [(s[:, j * bits:(j + 1) * bits] * w).sum(axis=1)
-                    for j in range(S.ND_BANDS_AUTO)]
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].astype("int64"),
-                "label": pdf["label"].astype("int32"),
-                "keys": list(np.stack(keys, axis=1))})
-
-    sig = (e.select("vec_id", "label", "embedding")
-           .mapInPandas(band_keys,
-                        "vec_id long, label int, keys array<bigint>")
-           .localCheckpoint()
-           .select("vec_id", "label",
-                   F.posexplode("keys").alias("band", "key")))
-    a = sig.select(F.col("vec_id").alias("vec_a"), "label",
-                   "band", "key")
-    b = sig.select(F.col("vec_id").alias("vec_b"), "label",
-                   "band", "key")
     t0 = time.time()
-    cand = (a.join(b, ["label", "band", "key"])
-            .where(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b", "label").distinct())
-    n_cand = cand.count()
+    n_cand = S._banded_candidates(e, bits, bands).count()
     t_cand = time.time() - t0
     t0 = time.time()
     pairs = S.embedding_near_dups_auto(spark, sf_dir).count()
     t_full = time.time() - t0
     return {"sf_dir": sf_dir, "n": n, "labels": labs, "bits": bits,
+            "bands": bands,
             "candidates": n_cand, "cand_sec": round(t_cand, 1),
             "full_sec": round(t_full, 1), "pairs": pairs}
 
