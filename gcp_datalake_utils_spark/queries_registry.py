@@ -186,6 +186,12 @@ register("source_length_deciles", curation.source_length_deciles,
 # state == batch full recompute, same oracle as daily_activity_cdc)
 register("daily_activity_stream", stream_windows.daily_activity_stream_q,
          cohort.DAILY_ACTIVITY_CDC_ORACLE)
+# round 10: stream -> STORE wiring (r9 verdict ask #4) — the drained
+# finalized day windows are APPENDED into the user-bucketed store and
+# the post-append store itself is hashed against the full recompute
+register("daily_activity_store_stream",
+         stream_windows.daily_activity_store_stream_q,
+         cohort.DAILY_ACTIVITY_CDC_ORACLE)
 register("source_length_deciles_approx",
          curation.source_length_deciles_approx, None)
 # round 9: semantic decontamination (bench-matrix broadcast GEMM)

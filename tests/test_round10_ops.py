@@ -311,3 +311,37 @@ def test_banded_candidates_past_clamp_recall(spark, sf_dir):
     for i, r in enumerate(base):
         assert (r["vec_id"], max_id + 1 + i) in cand, \
             f"planted pair for vec {r['vec_id']} lost at bits=18"
+
+
+# --- stream -> store wiring (r9 verdict ask #4) ---------------------------
+
+def test_store_append_is_pure_partition_append(spark, sf_dir):
+    """The cut is a date boundary, so batch half and streamed tail own
+    disjoint day partitions: post-append rows are unique per
+    (user, day), the post-append store equals the CDC full recompute,
+    and the appended table still plans per-user aggs with no
+    user_id Exchange (the bucket spec survived the append)."""
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_utils_spark.operators import cohort
+    from gcp_datalake_utils_spark.streaming import windows as sw
+
+    t = sw.daily_activity_store_append(spark, sf_dir)
+    store = spark.table(t)
+    n = store.count()
+    assert store.select("user_id", "day").distinct().count() == n
+
+    got = {tuple(r) for r in
+           store.select("user_id",
+                        F.date_format("day", "yyyy-MM-dd").alias("day"),
+                        "first_type", "last_type",
+                        F.col("n_events").cast("long")).collect()}
+    exp = {tuple(r) for r in
+           cohort.daily_activity_cdc(spark, sf_dir).collect()}
+    assert got == exp and len(got) > 0
+
+    agg = store.groupBy("user_id").agg(F.sum("n_events").alias("s"))
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning(user_id" not in plan
