@@ -614,5 +614,121 @@ _rotate_window([*_r9_head, *_r9_fill],
                _R9_BACKFILL_R6[50 - len(_r9_head):])
 
 
+# ---------------------------------------------------------------------------
+# ROUND-10 WINDOW ROTATION (r9 verdict ask #5). Applied after (and
+# superseding) the r9 rotation above, which is kept as the evidence
+# record of what round 9 hashed. The r10 window:
+#   (1) the round-10 additions the driver has never hashed (span dedup
+#       removal + rollup, BPE pair counts, the stream->store gate, the
+#       DPP unpruned control) — the rows-only monitors
+#       (bpe_token_stats, sequence_packing_bpe_real,
+#       revenue_by_nation_approx) stay out by the established
+#       convention: no oracle, pytest-bracketed instead;
+#   (2) embedding_near_dups_auto — driver-green in r8, but round 10
+#       changed its knob contract (bits uncapped + band compensation)
+#       and its oracle, so the r8 hash is stale evidence;
+#   (3) ALL 25 rows whose newest driver green is round 6 (the
+#       _R9_BACKFILL_R6 tail that missed the r9 window plus the 11
+#       r6 rows never rotated) — after this round no oracled row's
+#       newest driver green is older than round 7;
+#   (4) backfill to 50 with the oldest round-7 rows in registry order.
+# ---------------------------------------------------------------------------
+
+_R10_NEW = [
+    "span_dedup_removal",
+    "span_dedup_rollup",
+    "bpe_pair_counts",
+    "daily_activity_store_stream",
+    "events_dpp_join_unpruned",
+    "embedding_near_dups_auto",
+]
+
+_R10_R6_STALE = [
+    "graph_bfs_levels",
+    "checksum_gate",
+    "state_staleness",
+    "quality_report",
+    "quality_by_method",
+    "mermaid_erd_lines",
+    "plantuml_erd_lines",
+    "dedup_exact_groups",
+    "sequence_packing",
+    "text_language_id",
+    "dedup_minhash_signatures",
+    "dedup_lsh_buckets",
+    "dedup_keep_best",
+    "corpus_rollup",
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "similarity_rp_lsh_buckets",
+    "catalog_tables",
+    "sample_scan",
+    "table_batching_rank",
+    "events_props_json",
+    "relationships_per_table",
+    "state_upsert",
+    "cache_lookup",
+    "metadata_richness",
+]
+
+# the 48 rows whose newest driver green is round 7, in registry order;
+# the head fills the r10 window, the tail is the r11 rotation's queue
+_R10_R7_QUEUE = [
+    "kmeans_iterate_arrow",
+    "lm_doc_scores_arrow",
+    "lm_quality_bins_arrow",
+    "embedding_quantize_arrow",
+    "label_centroids_arrow",
+    "repetition_flags_arrow",
+    "force_layout_coords",
+    "rule_compiler_truth",
+    "dup_ngram_fraction",
+    "dup_ngram_stats",
+    "source_vocab_overlap",
+    "cross_source_dup_matrix",
+    "dedup_incremental",
+    "forget_propagation",
+    "corpus_budget_selection",
+    "admission_pipeline",
+    "ingest_screen_stream",
+    "retention_cohorts",
+    "path_transitions",
+    "active_users_rolling7",
+    "jsonl_roundtrip",
+    "csv_roundtrip",
+    "user_sessions",
+    "windowed_counts_stream",
+    "dedup_stream",
+    "sliding_counts_stream",
+    "closed_sessions_stream",
+    "enriched_segment_stream",
+    "click_attribution_stream",
+    "dedup_near_pairs",
+    "dedup_groups",
+    "dedup_simhash",
+    "simhash_near_pairs",
+    "decontamination",
+    "text_token_stats",
+    "text_fingerprints",
+    "repetition_flags",
+    "vocab_entropy",
+    "doc_chunks",
+    "asof_last_order",
+    "scd2_history",
+    "corpus_curation",
+    "train_val_split",
+    "pii_redaction",
+    "boilerplate_flags",
+    "multimodal_features",
+    "similarity_kmeans_assign",
+    "value_percentiles",
+]
+
+_r10_head = [*_R10_NEW, *_R10_R6_STALE]
+_r10_fill = _R10_R7_QUEUE[: 50 - len(_r10_head)]
+_rotate_window([*_r10_head, *_r10_fill],
+               _R10_R7_QUEUE[50 - len(_r10_head):])
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detection.detect_all(spark)
