@@ -158,6 +158,23 @@ HEADLINE = [
     "daily_activity_stream",
     "embedding_decontamination",
     "source_length_deciles_approx",
+    # round-10 additions: substring-span dedup removal + rollup, the
+    # broadcast-vocab BPE family (pair counts anchor, trained-vocab
+    # token stats, real-BPE packing twin), the approx-distinct twin
+    # that closes the revenue_by_nation_preagg book (benched NEXT TO
+    # its exact anchor), and the unpruned DPP control — the
+    # pruned-vs-unpruned Spark delta is the DPP row's headline
+    # measurement (r9 verdict ask #6), not the DuckDB ratio.
+    # daily_activity_store_stream is excluded: it times bucketed store
+    # WRITES plus the stream drain (same rule as snapshot_diff /
+    # restore_summary / evolving_read).
+    "span_dedup_removal",
+    "span_dedup_rollup",
+    "bpe_pair_counts",
+    "bpe_token_stats",
+    "sequence_packing_bpe_real",
+    "revenue_by_nation_approx",
+    "events_dpp_join_unpruned",
 ]
 
 # results larger than this row count are executed via the noop sink
