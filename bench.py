@@ -175,6 +175,9 @@ HEADLINE = [
     "sequence_packing_bpe_real",
     "revenue_by_nation_approx",
     "events_dpp_join_unpruned",
+    # incremental embedding admission (signature-store build lands in
+    # the discarded warm-up, like the other _ensure stores)
+    "embedding_incremental_dedup",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -1293,11 +1293,10 @@ def _auto_band_plan(n: int) -> tuple[int, int]:
     return bits, ND_BANDS_AUTO + ND_EXTRA_BANDS_PER_BIT * max(0, bits - 16)
 
 
-def _banded_candidates(e: DataFrame, bits: int, bands: int) -> DataFrame:
-    """(vec_a, vec_b, label) candidate pairs from `bands` RP-LSH bands
-    of `bits` bits each — the shared generator behind the auto knob and
-    the band stress tool, parameterized so tests can drive it at forced
-    past-clamp plans without a multi-million-row corpus."""
+def _band_key_rows(e: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(vec_id, label, band, key): one exploded RP-LSH band-key row per
+    (vector, band), keys from one numpy GEMV per Arrow batch over the
+    shared quadratic-integer-hash plane family."""
     import numpy as np
     import pandas as pd
 
@@ -1318,14 +1317,21 @@ def _banded_candidates(e: DataFrame, bits: int, bands: int) -> DataFrame:
                 "keys": list(np.stack(keys, axis=1)),
             })
 
+    return (e.select("vec_id", "label", "embedding")
+            .mapInPandas(band_keys,
+                         "vec_id long, label int, keys array<bigint>")
+            .select("vec_id", "label",
+                    F.posexplode("keys").alias("band", "key")))
+
+
+def _banded_candidates(e: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(vec_a, vec_b, label) candidate pairs from `bands` RP-LSH bands
+    of `bits` bits each — the shared generator behind the auto knob and
+    the band stress tool, parameterized so tests can drive it at forced
+    past-clamp plans without a multi-million-row corpus."""
     # checkpointed before the a/b self-join (same rationale as
     # _near_dups64_from: the GEMV bucketizer must not run twice)
-    sig = (e.select("vec_id", "label", "embedding")
-           .mapInPandas(band_keys,
-                        "vec_id long, label int, keys array<bigint>")
-           .localCheckpoint()
-           .select("vec_id", "label",
-                   F.posexplode("keys").alias("band", "key")))
+    sig = _band_key_rows(e, bits, bands).localCheckpoint()
     a = sig.select(F.col("vec_id").alias("vec_a"), "label",
                    "band", "key")
     b = sig.select(F.col("vec_id").alias("vec_b"), "label",
@@ -1390,6 +1396,140 @@ FROM cand c
 JOIN embeddings ea ON ea.vec_id = c.vec_a
 JOIN embeddings eb ON eb.vec_id = c.vec_b
 WHERE {{cos}} >= 0.95
+""".format(cos=(
+    "round((" + _DOT_SQL.format(a="ea.embedding", b="eb.embedding")
+    + ") / ((" + _NORM_SQL.format(a="ea.embedding") + ") * ("
+    + _NORM_SQL.format(a="eb.embedding") + ")), 6)"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding admission dedup (round 10): the embedding
+# analog of llm/dedup.dedup_incremental. Nobody re-near-dups a 100 TB
+# embedding corpus against itself on every ingest: the corpus band
+# keys are a PERSISTED index (here a scratch parquet written once per
+# session; at 100 TB the signature table's write-time layout,
+# partitioned by (band, key range) so a probe prunes to its own
+# buckets), and a new batch only generates batch x corpus candidates.
+# The band plan is keyed to the CORPUS size — the store's layout
+# constant, fixed at index-build time, not a per-batch decision.
+# ---------------------------------------------------------------------------
+
+EMB_BATCH_MOD = 10
+
+_SIG_STORE: dict[tuple, tuple] = {}
+
+
+def _ensure_corpus_sig_store(spark: SparkSession,
+                             sf_dir: str) -> tuple[str, int, int]:
+    """Persist the corpus side's exploded band-key rows once per
+    (session, sf_dir); returns (path, bits, bands)."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _SIG_STORE:
+        return _SIG_STORE[cache_key]
+    from gcp_datalake_utils_spark.sources.scratch import pid_scratch
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % EMB_BATCH_MOD != 0)
+    bits, bands = _auto_band_plan(corpus.count())
+    loc = pid_scratch("/tmp/spark_graft_sigstore", sf_dir) + "/sig"
+    (_band_key_rows(corpus, bits, bands)
+     .write.mode("overwrite").parquet(loc))
+    _SIG_STORE[cache_key] = (loc, bits, bands)
+    return _SIG_STORE[cache_key]
+
+
+def embedding_incremental_dedup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """[Q] incremental embedding admission: the batch (vec_id %
+    EMB_BATCH_MOD == 0) is probed against the persisted corpus
+    signature store — per batch vector: is_dup at cosine >= 0.95, the
+    best-matching corpus vector (max cosine, then min vec_id) and its
+    exact cosine, nulls when no banded candidate verifies.
+
+    Scale shape: the probe is ASYMMETRIC — the ingest-sized batch
+    signature side broadcasts (explicit, like dedup_incremental), so
+    the corpus store is never shuffled; the exact-cosine verify runs
+    only over banded candidates through the shared cogrouped Arrow
+    kernel; the best-match election windows over batch vec_id —
+    ingest-sized, no skew."""
+    e = load_table(spark, sf_dir, "embeddings")
+    loc, bits, bands = _ensure_corpus_sig_store(spark, sf_dir)
+    store = spark.read.parquet(loc)
+    batch = e.where(F.col("vec_id") % EMB_BATCH_MOD == 0)
+    bsig = _band_key_rows(batch, bits, bands)
+    cand = (store.select(F.col("vec_id").alias("vec_b"),
+                         "label", "band", "key")
+            .join(F.broadcast(bsig.select(F.col("vec_id").alias("vec_a"),
+                                          "label", "band", "key")),
+                  ["label", "band", "key"])
+            .select("vec_a", "vec_b", "label")
+            .distinct())
+    ver = _verify_pairs_arrow(cand, e, 0.95)
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"),
+                                            F.asc("vec_b"))
+    best = (ver.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("vec_a").alias("vec_id"),
+                    F.col("vec_b").alias("match_vec"), "cosine"))
+    return (batch.select("vec_id").join(best, "vec_id", "left")
+            .select("vec_id",
+                    F.col("match_vec").isNotNull().alias("is_dup"),
+                    "match_vec", "cosine"))
+
+
+EMBEDDING_INCREMENTAL_DEDUP_ORACLE = f"""
+WITH p0 AS (
+  SELECT GREATEST(8, LEAST({ND_BITS_CAP}, length(printf(
+           '%b', GREATEST(count(*) // {ND_TARGET_BLOCK}, 1)))))
+         AS bits
+  FROM embeddings WHERE vec_id % {EMB_BATCH_MOD} != 0
+),
+p AS (
+  SELECT bits,
+         {ND_BANDS_AUTO} + {ND_EXTRA_BANDS_PER_BIT} *
+           GREATEST(bits - 16, 0) AS n_bands
+  FROM p0
+),
+bands AS (
+  SELECT vec_id, label, j AS band,
+         list_sum(list_transform(range(bits), i ->
+           CASE WHEN round(list_sum(list_transform(
+                  range({N_DIMS}), d ->
+                  CAST(embedding[d + 1] AS DOUBLE) *
+                  ({_plane_sign_sql_expr('(j * bits + i)', 'd')}))), 6)
+                >= 0
+           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+           AS key
+  FROM embeddings, p, unnest(range({ND_BANDS_CAP})) AS t(j)
+  WHERE j < p.n_bands
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+  FROM bands a
+  JOIN bands b ON a.label = b.label AND a.band = b.band
+              AND a.key = b.key
+  WHERE a.vec_id % {EMB_BATCH_MOD} = 0
+    AND b.vec_id % {EMB_BATCH_MOD} != 0
+),
+ver AS (
+  SELECT c.vec_a, c.vec_b, {{cos}} AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+  WHERE {{cos}} >= 0.95
+),
+best AS (
+  SELECT vec_a, vec_b, cosine,
+         row_number() OVER (PARTITION BY vec_a
+                            ORDER BY cosine DESC, vec_b) AS rn
+  FROM ver
+)
+SELECT e.vec_id,
+       b.vec_b IS NOT NULL AS is_dup,
+       b.vec_b AS match_vec,
+       b.cosine
+FROM embeddings e
+LEFT JOIN best b ON b.vec_a = e.vec_id AND b.rn = 1
+WHERE e.vec_id % {EMB_BATCH_MOD} = 0
 """.format(cos=(
     "round((" + _DOT_SQL.format(a="ea.embedding", b="eb.embedding")
     + ") / ((" + _NORM_SQL.format(a="ea.embedding") + ") * ("

@@ -502,6 +502,11 @@ register("batch_ann_topk", similarity.batch_ann_topk,
          similarity.BATCH_ANN_TOPK_ORACLE)
 register("similarity_rp_lsh_topk", similarity.rp_lsh_topk,
          similarity.RP_LSH_TOPK_ORACLE)
+# round 10: incremental embedding admission against the persisted
+# corpus signature store (the embedding analog of dedup_incremental)
+register("embedding_incremental_dedup",
+         similarity.embedding_incremental_dedup,
+         similarity.EMBEDDING_INCREMENTAL_DEDUP_ORACLE)
 
 
 # ---------------------------------------------------------------------------
@@ -641,6 +646,7 @@ _R10_NEW = [
     "daily_activity_store_stream",
     "events_dpp_join_unpruned",
     "embedding_near_dups_auto",
+    "embedding_incremental_dedup",
 ]
 
 _R10_R6_STALE = [

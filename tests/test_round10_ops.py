@@ -345,3 +345,50 @@ def test_store_append_is_pure_partition_append(spark, sf_dir):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "Exchange hashpartitioning(user_id" not in plan
+
+
+# --- incremental embedding admission (round 10) ---------------------------
+
+def test_embedding_incremental_dedup_planted_and_shape(spark, sf_dir):
+    """A batch vector that near-duplicates a corpus vector must be
+    flagged with that corpus vector as its match; batch-only and
+    corpus-only vectors stay clean; output covers exactly the batch
+    slice; and the probe join BROADCASTS the batch signature side."""
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_utils_spark.llm import similarity
+
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .select("vec_id", "label", "embedding"))
+    # pick a CORPUS vector (id % 10 != 0) and plant a batch
+    # near-duplicate of it at a fresh id ending in 0
+    src = e.where(F.col("vec_id") % 10 == 1).orderBy("vec_id").first()
+    max_id = e.agg(F.max("vec_id")).collect()[0][0]
+    new_id = int((max_id // 10 + 1) * 10)  # % 10 == 0 -> batch slice
+    planted = spark.createDataFrame(
+        [(new_id, src["label"],
+          [float(x) + 1e-6 for x in src["embedding"]])],
+        "vec_id long, label int, embedding array<float>")
+    corpus = e.unionByName(planted).localCheckpoint()
+
+    import gcp_datalake_utils_spark.sources as srcmod
+    orig = srcmod.load_table
+    try:
+        srcmod.load_table = lambda s, d, name: (
+            corpus if name == "embeddings" else orig(s, d, name))
+        similarity.load_table = srcmod.load_table
+        similarity._SIG_STORE.clear()  # cache keys ignore the patch
+        out = similarity.embedding_incremental_dedup(spark, sf_dir)
+        rows = {r["vec_id"]: r for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        srcmod.load_table = orig
+        similarity.load_table = orig
+        similarity._SIG_STORE.clear()
+
+    n_batch = corpus.where(F.col("vec_id") % 10 == 0).count()
+    assert len(rows) == n_batch
+    hit = rows[new_id]
+    assert hit["is_dup"] and hit["match_vec"] == src["vec_id"]
+    assert hit["cosine"] >= 0.95
+    assert "BroadcastExchange" in plan
