@@ -178,6 +178,12 @@ HEADLINE = [
     # incremental embedding admission (signature-store build lands in
     # the discarded warm-up, like the other _ensure stores)
     "embedding_incremental_dedup",
+    # round-10 late additions: benchmark-span scrubbing and the
+    # distribution-matching selection family (hashed-feature NB
+    # classifier + DSIR importance weights)
+    "contamination_span_scrub",
+    "nb_lang_classifier",
+    "dsir_importance_weights",
 ]
 
 # results larger than this row count are executed via the noop sink

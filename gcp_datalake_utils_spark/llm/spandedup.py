@@ -53,6 +53,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gcp_datalake_utils_spark.llm.decontam import BENCH_MOD
 from gcp_datalake_utils_spark.llm.ngramdup import NGRAM
 from gcp_datalake_utils_spark.sources import load_table
 
@@ -64,24 +65,7 @@ def _dup_gram_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, offs): sorted 1-based word offsets of every
     corpus-duplicated 5-gram occurrence in the document. Documents
     shorter than one gram (or with no duplicated grams) are absent."""
-    d = load_table(spark, sf_dir, "documents")
-    n_part = max(int(d.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32")) // 2, 8)
-    # local fan-out of the one-split test file; at 100 TB the source
-    # has thousands of splits and this repartition is deleted
-    d = (d.repartition(n_part, "doc_id")
-         .select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws")))
-    d = (d.where(F.size("ws") >= NGRAM)
-         .select("doc_id",
-                 F.transform("ws", lambda w: F.xxhash64(w)).alias("wh")))
-    occ = F.transform(
-        F.sequence(F.lit(1), F.size("wh") - NGRAM + 1),
-        lambda i: F.struct(
-            i.cast("long").alias("i"),
-            F.xxhash64(*[F.element_at("wh", i + k)
-                         for k in range(NGRAM)]).alias("gh")))
-    rows = (d.select("doc_id", F.explode(occ).alias("o"))
-            .select("doc_id", "o.i", "o.gh"))
+    rows = _hashed_gram_occurrences(spark, sf_dir)
     gcount = F.count("*").over(Window.partitionBy("gh"))
     return (rows.select("doc_id", "i", gcount.alias("gc"))
             .where(F.col("gc") > 1)
@@ -152,6 +136,70 @@ def span_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_removed_runs").alias("removed_runs"))
 
 
+def _hashed_gram_occurrences(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """(doc_id, i, gh): every sliding NGRAM-word occurrence with its
+    1-based offset and 64-bit combined word-hash key — the shared
+    narrow projection behind internal-duplication removal and
+    benchmark-span scrubbing."""
+    d = load_table(spark, sf_dir, "documents")
+    n_part = max(int(d.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")) // 2, 8)
+    # local fan-out of the one-split test file; at 100 TB the source
+    # has thousands of splits and this repartition is deleted
+    d = (d.repartition(n_part, "doc_id")
+         .select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws")))
+    d = (d.where(F.size("ws") >= NGRAM)
+         .select("doc_id",
+                 F.transform("ws", lambda w: F.xxhash64(w)).alias("wh")))
+    occ = F.transform(
+        F.sequence(F.lit(1), F.size("wh") - NGRAM + 1),
+        lambda i: F.struct(
+            i.cast("long").alias("i"),
+            F.xxhash64(*[F.element_at("wh", i + k)
+                         for k in range(NGRAM)]).alias("gh")))
+    return (d.select("doc_id", F.explode(occ).alias("o"))
+            .select("doc_id", "o.i", "o.gh"))
+
+
+def contamination_span_scrub(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """[Q] benchmark-span SCRUBBING — span_dedup_removal's sweep
+    pointed at an external reference set instead of corpus-internal
+    duplication: every corpus word covered by a 5-gram occurrence that
+    also appears in the held-out benchmark slice (``doc_id %
+    BENCH_MOD == 0``, the llm/decontam.py convention) is cut, and the
+    corpus document is reconstructed from the survivors. This is the
+    transform llm/decontam.py stops short of: decontamination FLAGS
+    contaminated documents; this row removes the contaminated spans
+    and keeps the rest (the production middle ground between dropping
+    whole documents and shipping benchmark text).
+
+    Output (corpus docs only): (doc_id, n_tokens, n_removed_tokens,
+    n_removed_runs, kept_text_md5).
+
+    100 TB shape: the benchmark gram-hash set is tiny by definition
+    (a benchmark small enough to be a benchmark broadcasts), so the
+    hit test is a ZERO-SHUFFLE broadcast semi join on 8-byte hashes;
+    only hit offsets — the contaminated sliver — shuffle to the
+    doc-keyed assembly, and the interval-union sweep reuses
+    :func:`_sweep_kernel` unchanged."""
+    occ = _hashed_gram_occurrences(spark, sf_dir)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_grams = (occ.where(is_bench).select("gh").distinct()
+                   .localCheckpoint())
+    hits = (occ.where(~is_bench)
+            .join(F.broadcast(bench_grams), "gh", "leftsemi")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("i")).alias("offs")))
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(~is_bench)
+            .select("doc_id",
+                    F.split(F.trim("text"), r"\s+").alias("ws")))
+    return (docs.join(hits, "doc_id", "left")
+            .mapInPandas(_sweep_kernel, _OUT_SCHEMA))
+
+
 # Per-document oracle CTE chain shared by both oracles. Covered word
 # j: some duplicated-gram offset i satisfies i <= j <= i+4.
 _SPAN_PERDOC_SQL = r"""
@@ -219,4 +267,59 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
          AS removed_token_rate,
        CAST(sum(n_removed_runs) AS BIGINT) AS removed_runs
 FROM report
+"""
+
+# Scrub oracle: same per-document tail, but `dup` = corpus occurrences
+# whose gram STRING appears anywhere in the benchmark slice, and the
+# reconstructed population is corpus docs only.
+CONTAMINATION_SPAN_SCRUB_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         array_to_string(list_slice(ws, i, i + 4), ' ') AS g
+  FROM toks, UNNEST(range(1, len(ws) - 3)) AS t(i)
+  WHERE len(ws) >= 5
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+dup AS (
+  SELECT doc_id, i FROM grams JOIN bg USING (g)
+  WHERE doc_id % {BENCH_MOD} <> 0
+),
+words AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j, ws[CAST(j AS INTEGER)] AS w
+  FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(j)
+  WHERE doc_id % {BENCH_MOD} <> 0
+),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.j
+  FROM words w JOIN dup d
+    ON d.doc_id = w.doc_id AND w.j BETWEEN d.i AND d.i + 4
+),
+runs AS (
+  SELECT doc_id, count(*) AS n_runs FROM (
+    SELECT doc_id, j,
+           lag(j) OVER (PARTITION BY doc_id ORDER BY j) AS pj
+    FROM cov)
+  WHERE pj IS NULL OR pj < j - 1
+  GROUP BY doc_id
+),
+perdoc AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c.j IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removed_tokens,
+         md5(coalesce(string_agg(CASE WHEN c.j IS NULL THEN w.w END,
+                                 ' ' ORDER BY w.j), ''))
+           AS kept_text_md5
+  FROM words w LEFT JOIN cov c
+    ON w.doc_id = c.doc_id AND w.j = c.j
+  GROUP BY w.doc_id
+)
+SELECT p.doc_id, p.n_tokens, p.n_removed_tokens,
+       CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_removed_runs,
+       p.kept_text_md5
+FROM perdoc p LEFT JOIN runs r ON p.doc_id = r.doc_id
 """

@@ -33,6 +33,7 @@ from gcp_datalake_utils_spark.llm import (
     collocations,
     curation,
     decontam,
+    distmatch,
     domains,
     forget,
     index,
@@ -203,6 +204,17 @@ register("span_dedup_removal", spandedup.span_dedup_removal,
          spandedup.SPAN_DEDUP_REMOVAL_ORACLE)
 register("span_dedup_rollup", spandedup.span_dedup_rollup,
          spandedup.SPAN_DEDUP_ROLLUP_ORACLE)
+# round 10: benchmark-span SCRUBBING — the decontamination transform
+# (remove contaminated spans, keep the document) built from the span
+# sweep + the broadcast benchmark gram set
+register("contamination_span_scrub", spandedup.contamination_span_scrub,
+         spandedup.CONTAMINATION_SPAN_SCRUB_ORACLE)
+# round 10: distribution-matching selection — hashed-feature NB
+# quality/domain classifier + DSIR importance weights (Xie et al.)
+register("nb_lang_classifier", distmatch.nb_lang_classifier,
+         distmatch.NB_LANG_CLASSIFIER_ORACLE)
+register("dsir_importance_weights", distmatch.dsir_importance_weights,
+         distmatch.DSIR_IMPORTANCE_WEIGHTS_ORACLE)
 # round 10: broadcast-vocab BPE tokenizer (r9 verdict ask #7);
 # token_stats/packing rows are rows-only by design (iterative merge
 # training is not SQL-expressible) and pytest-bracketed vs a driver
@@ -642,6 +654,9 @@ _rotate_window([*_r9_head, *_r9_fill],
 _R10_NEW = [
     "span_dedup_removal",
     "span_dedup_rollup",
+    "contamination_span_scrub",
+    "nb_lang_classifier",
+    "dsir_importance_weights",
     "bpe_pair_counts",
     "daily_activity_store_stream",
     "events_dpp_join_unpruned",

@@ -392,3 +392,252 @@ def test_embedding_incremental_dedup_planted_and_shape(spark, sf_dir):
     assert hit["is_dup"] and hit["match_vec"] == src["vec_id"]
     assert hit["cosine"] >= 0.95
     assert "BroadcastExchange" in plan
+
+
+# --- benchmark-span scrubbing (round 10) -----------------------------------
+
+def _scrub_replay(docs: list[tuple[int, str]],
+                  mod: int) -> dict[int, dict]:
+    """Driver replay of the scrub semantics: gram STRINGS of the
+    bench slice (doc_id % mod == 0) mark covered corpus words."""
+    toks = {i: re.split(r"\s+", t.strip()) for i, t in docs}
+    bench_grams = set()
+    for doc_id, ws in toks.items():
+        if doc_id % mod == 0:
+            bench_grams.update(" ".join(ws[i:i + NGRAM])
+                               for i in range(len(ws) - NGRAM + 1))
+    out = {}
+    for doc_id, ws in toks.items():
+        if doc_id % mod == 0:
+            continue
+        n = len(ws)
+        covered = [False] * n
+        for i in range(n - NGRAM + 1):
+            if " ".join(ws[i:i + NGRAM]) in bench_grams:
+                for j in range(i, i + NGRAM):
+                    covered[j] = True
+        runs = sum(1 for j in range(n)
+                   if covered[j] and (j == 0 or not covered[j - 1]))
+        kept = " ".join(w for w, c in zip(ws, covered) if not c)
+        out[doc_id] = {
+            "n_tokens": n,
+            "n_removed_tokens": sum(covered),
+            "n_removed_runs": runs,
+            "kept_text_md5": hashlib.md5(kept.encode()).hexdigest(),
+        }
+    return out
+
+
+def test_contamination_scrub_matches_replay(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm.decontam import BENCH_MOD
+
+    got = {r["doc_id"]: r for r in
+           spandedup.contamination_span_scrub(spark, sf_dir).collect()}
+    docs = [(r["doc_id"], r["text"])
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").collect()]
+    want = _scrub_replay(docs, BENCH_MOD)
+    assert set(got) == set(want)          # bench docs excluded
+    for doc_id, w in want.items():
+        for k in w:
+            assert got[doc_id][k] == w[k], (doc_id, k)
+
+
+def test_contamination_scrub_crafted_semantics(spark, tmp_path):
+    """The distinction that makes scrub scrub: corpus-INTERNAL
+    duplication is NOT removed (that is span_dedup_removal's job);
+    only spans present in the bench slice are cut."""
+    span = "a b c d e f"  # 6 bench words -> 2 overlapping 5-grams
+    docs = [
+        (0, "x0 " + span + " y0"),              # bench (0 % 50 == 0)
+        (1, "p1 p2 " + span + " q1 q2"),        # hit at offset 2
+        (2, span + " r1 r2 r3"),                # hit at offset 0
+        # corpus-internal duplicate pair, absent from bench -> kept
+        (3, "m1 m2 m3 m4 m5 m6 m7"),
+        (4, "m1 m2 m3 m4 m5 m6 m7"),
+        (5, "just four small words"),           # sub-gram length
+    ]
+    loc = str(tmp_path / "scrub")
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(f"{loc}/documents.parquet")
+    got = {r["doc_id"]: r for r in
+           spandedup.contamination_span_scrub(spark, loc).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}     # bench doc 0 not emitted
+    assert got[1]["n_removed_tokens"] == 6
+    assert got[1]["n_removed_runs"] == 1
+    assert got[2]["n_removed_tokens"] == 6
+    # internal dup untouched by the SCRUB (span_dedup_removal would
+    # cut it -- pin the contrast on the same corpus)
+    assert got[3]["n_removed_tokens"] == 0
+    assert got[4]["n_removed_tokens"] == 0
+    assert got[5]["n_removed_tokens"] == 0
+    dedup_got = {r["doc_id"]: r for r in
+                 spandedup.span_dedup_removal(spark, loc).collect()}
+    assert dedup_got[3]["n_removed_tokens"] == 7
+    assert dedup_got[4]["n_removed_tokens"] == 7
+
+
+def test_contamination_scrub_plan_shape(spark, sf_dir):
+    """Bench gram set probes via BROADCAST; no all-pairs anywhere."""
+    df = spandedup.contamination_span_scrub(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+# --- distribution-matching selection (round 10) ----------------------------
+
+def _py_bucket(word: str, n: int) -> int:
+    return int(hashlib.md5(word.encode()).hexdigest()[:2], 16) % n
+
+
+def _nb_replica(docs):
+    """Driver NB replica: same split, smoothing, rounding, tie-break."""
+    import math
+
+    from gcp_datalake_utils_spark.llm.distmatch import NB_BUCKETS
+
+    train = [(i, l, t) for i, l, t in docs if i % 2 == 0]
+    test = [(i, l, t) for i, l, t in docs if i % 2 == 1]
+    nd = Counter(l for _, l, _ in train)
+    n_train = sum(nd.values())
+    cnt: Counter = Counter()
+    tot: Counter = Counter()
+    for _, l, t in train:
+        for w in re.split(r"\s+", t.strip()):
+            cnt[(l, _py_bucket(w, NB_BUCKETS))] += 1
+            tot[l] += 1
+    out = {}
+    for i, actual, t in test:
+        bs = Counter(_py_bucket(w, NB_BUCKETS)
+                     for w in re.split(r"\s+", t.strip()))
+        best = None
+        for c in sorted(nd):
+            s = math.log(nd[c] / n_train)
+            for b, n in bs.items():
+                s += n * math.log((cnt[(c, b)] + 1)
+                                  / (tot[c] + NB_BUCKETS))
+            r = round(s, 6)
+            if best is None or r > best[0]:
+                best = (r, c)
+        out[i] = {"lang": actual, "pred_lang": best[1],
+                  "best_score": best[0]}
+    return out
+
+
+def test_nb_classifier_matches_replica(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import distmatch
+
+    got = {r["doc_id"]: r for r in
+           distmatch.nb_lang_classifier(spark, sf_dir).collect()}
+    docs = [(r["doc_id"], r["lang"], r["text"])
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang", "text").collect()]
+    want = _nb_replica(docs)
+    assert set(got) == set(want)
+    for i, w in want.items():
+        assert got[i]["pred_lang"] == w["pred_lang"], i
+        assert abs(got[i]["best_score"] - w["best_score"]) < 2e-6
+        assert got[i]["correct"] == (w["pred_lang"] == w["lang"])
+
+
+def test_nb_classifier_separable_corpus(spark, tmp_path):
+    """Disjoint vocabularies per class -> perfect held-out accuracy."""
+    from gcp_datalake_utils_spark.llm import distmatch
+
+    docs = []
+    for i in range(80):
+        lang = "aa" if i % 4 < 2 else "bb"
+        vocab = (["alpha", "beta", "gamma", "delta"] if lang == "aa"
+                 else ["omega", "sigma", "theta", "kappa"])
+        text = " ".join(vocab[(i + j) % 4] for j in range(12))
+        docs.append((i, text, lang, "src0", len(text)))
+    loc = str(tmp_path / "nb")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(f"{loc}/documents.parquet")
+    out = distmatch.nb_lang_classifier(spark, loc).collect()
+    assert len(out) == 40
+    assert all(r["correct"] for r in out)
+
+
+def _dsir_replica(docs):
+    import math
+
+    from gcp_datalake_utils_spark.llm.distmatch import (
+        DSIR_BUCKETS, DSIR_TARGET_LANG, DSIR_TOP_K)
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    words = {}
+    for i, l, t in docs:
+        ws = [_py_bucket(w, DSIR_BUCKETS)
+              for w in re.split(r"\s+", t.strip())]
+        words[i] = (l, ws)
+        raw.update(ws)
+        if l == DSIR_TARGET_LANG:
+            tgt.update(ws)
+    tr, tt = sum(raw.values()), sum(tgt.values())
+    lam = {b: (math.log((tgt[b] + 1) / (tt + DSIR_BUCKETS))
+               - math.log((raw[b] + 1) / (tr + DSIR_BUCKETS)))
+           for b in range(DSIR_BUCKETS)}
+    per = [(i, l, len(ws), round(sum(lam[b] for b in ws), 6))
+           for i, (l, ws) in words.items()]
+    per.sort(key=lambda r: (-r[3], r[0]))
+    return per[:DSIR_TOP_K]
+
+
+def test_dsir_matches_replica(spark, sf_dir):
+    from gcp_datalake_utils_spark.llm import distmatch
+
+    got = distmatch.dsir_importance_weights(spark, sf_dir).collect()
+    docs = [(r["doc_id"], r["lang"], r["text"])
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang", "text").collect()]
+    want = _dsir_replica(docs)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["doc_id"] == w[0] and g["lang"] == w[1]
+        assert g["n_words"] == w[2]
+        assert abs(g["log_weight"] - w[3]) < 2e-6
+
+
+def test_dsir_pulls_target_like_docs(spark, tmp_path):
+    """Docs written in the target slice's vocabulary must outrank
+    docs written in a disjoint vocabulary."""
+    from gcp_datalake_utils_spark.llm import distmatch
+
+    docs = []
+    for i in range(60):
+        if i % 3 == 0:
+            lang, vocab = "en", ["tea", "cup", "pot", "jar"]
+        elif i % 3 == 1:
+            lang, vocab = "zz", ["tea", "cup", "pot", "jar"]  # en-like
+        else:
+            lang, vocab = "zz", ["rock", "iron", "sand", "clay"]
+        text = " ".join(vocab[(i + j) % 4] for j in range(10))
+        docs.append((i, text, lang, "src0", len(text)))
+    loc = str(tmp_path / "dsir")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(f"{loc}/documents.parquet")
+    out = distmatch.dsir_importance_weights(spark, loc).collect()
+    by_id = {r["doc_id"]: r["log_weight"] for r in out}
+    enlike = [by_id[i] for i in range(60) if i % 3 == 1]
+    far = [by_id[i] for i in range(60) if i % 3 == 2]
+    assert min(enlike) > max(far)
+
+
+def test_dsir_and_nb_plan_shapes(spark, sf_dir):
+    """Models broadcast; the DSIR top-K is a TakeOrdered, not a
+    global sort Exchange."""
+    from gcp_datalake_utils_spark.llm import distmatch
+
+    d = distmatch.dsir_importance_weights(spark, sf_dir)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    n = distmatch.nb_lang_classifier(spark, sf_dir)
+    nplan = n._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in nplan
+    assert "CartesianProduct" not in nplan
