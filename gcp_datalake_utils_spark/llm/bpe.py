@@ -54,6 +54,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gcp_datalake_utils_spark.session import SessionCache
 from gcp_datalake_utils_spark.sources import load_table
 
 # merge budget: deliberately below this corpus's ~108-merge saturation
@@ -62,7 +63,7 @@ from gcp_datalake_utils_spark.sources import load_table
 BPE_N_MERGES = 24
 BPE_TRAIN_MAX_WORDS = 50_000  # hard driver model row budget
 
-_MERGE_CACHE: dict[tuple, list] = {}
+_MERGE_CACHE = SessionCache()
 
 
 def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,10 +168,11 @@ def train_merges(wc: dict[str, int],
 def trained_merges(spark: SparkSession,
                    sf_dir: str) -> list[tuple[str, str]]:
     key = (id(spark), sf_dir, BPE_N_MERGES, BPE_TRAIN_MAX_WORDS)
-    if key not in _MERGE_CACHE:
-        _MERGE_CACHE[key] = train_merges(
-            budgeted_word_counts(spark, sf_dir))
-    return _MERGE_CACHE[key]
+    hit = _MERGE_CACHE.get(key)
+    if hit is None:
+        hit = _MERGE_CACHE.put(key, train_merges(
+            budgeted_word_counts(spark, sf_dir)))
+    return hit
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int],

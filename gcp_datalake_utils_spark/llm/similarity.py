@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gcp_datalake_utils_spark.session import SessionCache
 from gcp_datalake_utils_spark.sources import load_table
 
 TOP_K = 10
@@ -1416,7 +1417,7 @@ WHERE {{cos}} >= 0.95
 
 EMB_BATCH_MOD = 10
 
-_SIG_STORE: dict[tuple, tuple] = {}
+_SIG_STORE = SessionCache()
 
 
 def _ensure_corpus_sig_store(spark: SparkSession,
@@ -1424,8 +1425,9 @@ def _ensure_corpus_sig_store(spark: SparkSession,
     """Persist the corpus side's exploded band-key rows once per
     (session, sf_dir); returns (path, bits, bands)."""
     cache_key = (id(spark), sf_dir)
-    if cache_key in _SIG_STORE:
-        return _SIG_STORE[cache_key]
+    hit = _SIG_STORE.get(cache_key)
+    if hit is not None:
+        return hit
     from gcp_datalake_utils_spark.sources.scratch import pid_scratch
     e = load_table(spark, sf_dir, "embeddings")
     corpus = e.where(F.col("vec_id") % EMB_BATCH_MOD != 0)
@@ -1433,8 +1435,7 @@ def _ensure_corpus_sig_store(spark: SparkSession,
     loc = pid_scratch("/tmp/spark_graft_sigstore", sf_dir) + "/sig"
     (_band_key_rows(corpus, bits, bands)
      .write.mode("overwrite").parquet(loc))
-    _SIG_STORE[cache_key] = (loc, bits, bands)
-    return _SIG_STORE[cache_key]
+    return _SIG_STORE.put(cache_key, (loc, bits, bands))
 
 
 def embedding_incremental_dedup(spark: SparkSession,

@@ -359,7 +359,9 @@ FROM scored GROUP BY r_score, f_score, m_score
 # unique, so min/max structs are total-order exact in both engines.
 # ---------------------------------------------------------------------------
 
-_DAILY_ACT: dict[tuple, tuple] = {}
+from gcp_datalake_utils_spark.session import SessionCache
+
+_DAILY_ACT = SessionCache()
 
 
 def _ensure_daily_activity(spark: SparkSession, sf_dir: str) -> tuple:
@@ -369,8 +371,9 @@ def _ensure_daily_activity(spark: SparkSession, sf_dir: str) -> tuple:
     import hashlib
 
     key = (id(spark), sf_dir)
-    if key in _DAILY_ACT:
-        return _DAILY_ACT[key]
+    hit = _DAILY_ACT.get(key)
+    if hit is not None:
+        return hit
     from gcp_datalake_utils_spark.sources.bucketing import write_bucketed
     from gcp_datalake_utils_spark.sources.scratch import pid_scratch
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -399,8 +402,7 @@ def _ensure_daily_activity(spark: SparkSession, sf_dir: str) -> tuple:
     spark.sql(f"DROP TABLE IF EXISTS {t_intra}")
     (intra.coalesce(1).write.mode("overwrite")
      .option("path", f"{loc}/{t_intra}").saveAsTable(t_intra))
-    _DAILY_ACT[key] = (t_act, t_intra)
-    return _DAILY_ACT[key]
+    return _DAILY_ACT.put(key, (t_act, t_intra))
 
 
 def retention_cohorts_preagg(spark: SparkSession,

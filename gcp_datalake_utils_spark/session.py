@@ -61,3 +61,37 @@ def get_spark(app_name: str = "gcp-datalake-utils-spark",
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+class SessionCache:
+    """Bounded LRU for session-keyed derived artifacts (pre-agg store
+    paths, signature stores, trained driver models). Keys embed
+    ``id(spark)``, so in a one-session bench/test process this is a
+    plain memo; in a long-lived host serving many sessions, entries
+    from dead sessions age out past ``maxsize`` instead of leaking
+    (the artifacts themselves are scratch files under the Spark local
+    dirs, reclaimed by the session's own cleanup)."""
+
+    def __init__(self, maxsize: int = 16) -> None:
+        from collections import OrderedDict
+        self._d: "OrderedDict" = OrderedDict()
+        self._maxsize = maxsize
+
+    def get(self, key, default=None):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        return default
+
+    def __contains__(self, key) -> bool:
+        return key in self._d
+
+    def put(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self._maxsize:
+            self._d.popitem(last=False)
+        return value
+
+    def clear(self) -> None:
+        self._d.clear()

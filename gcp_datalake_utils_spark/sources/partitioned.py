@@ -56,7 +56,9 @@ def read_events_for_date(spark: SparkSession, out_path: str,
 # measured, reworked).
 # ---------------------------------------------------------------------------
 
-_DAY_STORE: dict[tuple, str] = {}
+from gcp_datalake_utils_spark.session import SessionCache
+
+_DAY_STORE = SessionCache()
 AUDIT_EVERY = 100_000  # every 100k-th event_id is an audit marker
 
 
@@ -64,8 +66,9 @@ def _ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
     """Write the day-partitioned events store once per session
     (pid-scoped path; in production this is the table's layout)."""
     key = (id(spark), sf_dir)
-    if key in _DAY_STORE:
-        return _DAY_STORE[key]
+    hit = _DAY_STORE.get(key)
+    if hit is not None:
+        return hit
     from gcp_datalake_utils_spark.sources.scratch import pid_scratch
     loc = pid_scratch("/tmp/spark_graft_evday", sf_dir)
     # event_day_str duplicates the partition value as a REGULAR column
@@ -78,8 +81,7 @@ def _ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
      .write.mode("overwrite")
      .partitionBy("event_day")
      .parquet(loc))
-    _DAY_STORE[key] = loc
-    return loc
+    return _DAY_STORE.put(key, loc)
 
 
 def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -641,3 +641,17 @@ def test_dsir_and_nb_plan_shapes(spark, sf_dir):
     nplan = n._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in nplan
     assert "CartesianProduct" not in nplan
+
+
+def test_session_cache_bounded_lru():
+    """r9 verdict 'What's wrong #5': session-keyed store caches must
+    evict — a long-lived host never accumulates dead-session keys."""
+    from gcp_datalake_utils_spark.session import SessionCache
+
+    c = SessionCache(maxsize=3)
+    for i in range(5):
+        c.put(("s", i), i)
+    assert ("s", 0) not in c and ("s", 1) not in c
+    assert c.get(("s", 2)) == 2
+    c.put(("s", 5), 5)          # evicts ("s", 3): 2 was touched
+    assert ("s", 3) not in c and c.get(("s", 2)) == 2
