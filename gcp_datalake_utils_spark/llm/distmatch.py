@@ -62,19 +62,26 @@ def _bucket_sql(word_expr: str, n_buckets: int) -> str:
             f"- 1) % {n_buckets}")
 
 
-def _word_buckets(spark: SparkSession, sf_dir: str,
-                  n_buckets: int) -> DataFrame:
-    """(doc_id, lang, b): one row per word occurrence. Whitespace
-    tokenization per the decontam/spandedup convention (split of an
-    empty text yields one '' token in both engines, so every document
-    has >= 1 feature row by construction — no empty-doc special
-    case downstream)."""
+def _doc_bucket_counts(spark: SparkSession, sf_dir: str,
+                       n_buckets: int) -> DataFrame:
+    """(doc_id, lang, b, n): per-document bucket histograms — the
+    SUFFICIENT STATISTICS both selectors score from, reduced
+    immediately after the word explode so the corpus-sized word frame
+    never materializes (<= n_buckets rows per document survive; the
+    groupBy partial-aggregates map-side). Whitespace tokenization per
+    the decontam/spandedup convention (split of an empty text yields
+    one '' token in both engines, so every document has >= 1 feature
+    row by construction — no empty-doc special case downstream).
+    localCheckpointed: both consumers scan it 2-4x and the pinned
+    input keeps model and scoring views consistent by construction."""
     d = load_table(spark, sf_dir, "documents")
     return (d.select("doc_id", "lang",
                      F.explode(F.split(F.trim("text"), r"\s+"))
                      .alias("w"))
-            .select("doc_id", "lang",
-                    _bucket(F.col("w"), n_buckets).alias("b")))
+            .groupBy("doc_id", "lang",
+                     _bucket(F.col("w"), n_buckets).alias("b"))
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint())
 
 
 # ---------------------------------------------------------------------------
@@ -94,8 +101,8 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~320 rows — built by one map-side-combined groupBy, broadcast to
     the scoring join; the per-(doc, class) aggregation is the only
     corpus-sized shuffle."""
-    wb = _word_buckets(spark, sf_dir, NB_BUCKETS).localCheckpoint()
-    train = wb.where(F.col("doc_id") % 2 == 0)
+    dbc = _doc_bucket_counts(spark, sf_dir, NB_BUCKETS)
+    train = dbc.where(F.col("doc_id") % 2 == 0)
 
     # priors from train DOC counts; class word totals for smoothing
     tr_docs = (train.select("doc_id", "lang").distinct()
@@ -105,9 +112,9 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("lang").alias("cls"),
                      F.log(F.col("nd") / F.col("n")).alias("logprior")))
     cls_tot = (train.groupBy("lang")
-               .agg(F.count("*").alias("tot"))
+               .agg(F.sum("n").alias("tot"))
                .select(F.col("lang").alias("cls"), "tot"))
-    cnt = (train.groupBy("lang", "b").agg(F.count("*").alias("n"))
+    cnt = (train.groupBy("lang", "b").agg(F.sum("n").alias("n"))
            .select(F.col("lang").alias("cls"), "b", "n"))
     grid = (cls_tot.crossJoin(
         spark.range(NB_BUCKETS).select(F.col("id").cast("int")
@@ -118,8 +125,8 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / (F.col("tot") + NB_BUCKETS)
                          .cast("double")).alias("logp")))
 
-    test = (wb.where(F.col("doc_id") % 2 == 1)
-            .groupBy("doc_id", "b").agg(F.count("*").alias("n")))
+    test = (dbc.where(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "b", "n"))
     scored = (test.join(F.broadcast(lik), "b")
               .groupBy("doc_id", "cls")
               .agg(F.sum(F.col("n") * F.col("logp")).alias("s"))
@@ -219,13 +226,13 @@ def dsir_importance_weights(spark: SparkSession,
     combined bucket aggs -> one broadcast table); scoring is one
     broadcast join over (doc, bucket) partials + a per-doc sum; the
     top-K is a TakeOrdered, never a global sort."""
-    wb = _word_buckets(spark, sf_dir, DSIR_BUCKETS).localCheckpoint()
-    raw = wb.groupBy("b").agg(F.count("*").alias("nr"))
-    tgt = (wb.where(F.col("lang") == DSIR_TARGET_LANG)
-           .groupBy("b").agg(F.count("*").alias("nt")))
-    tot = (wb.agg(F.count("*").alias("tr"),
-                  F.sum((F.col("lang") == DSIR_TARGET_LANG)
-                        .cast("long")).alias("tt")))
+    dbc = _doc_bucket_counts(spark, sf_dir, DSIR_BUCKETS)
+    raw = dbc.groupBy("b").agg(F.sum("n").alias("nr"))
+    tgt = (dbc.where(F.col("lang") == DSIR_TARGET_LANG)
+           .groupBy("b").agg(F.sum("n").alias("nt")))
+    tot = (dbc.agg(F.sum("n").alias("tr"),
+                   F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG,
+                                F.col("n")).otherwise(0)).alias("tt")))
     lam = (spark.range(DSIR_BUCKETS)
            .select(F.col("id").cast("int").alias("b"))
            .join(raw, "b", "left").join(tgt, "b", "left")
@@ -236,8 +243,7 @@ def dsir_importance_weights(spark: SparkSession,
                          - F.log((F.coalesce("nr", F.lit(0)) + 1)
                                  / (F.col("tr") + DSIR_BUCKETS)
                                  .cast("double"))).alias("lam")))
-    perdoc = (wb.groupBy("doc_id", "lang", "b")
-              .agg(F.count("*").alias("n"))
+    perdoc = (dbc
               .join(F.broadcast(lam), "b")
               .groupBy("doc_id", "lang")
               .agg(F.sum("n").alias("n_words"),
