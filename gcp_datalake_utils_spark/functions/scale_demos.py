@@ -211,18 +211,27 @@ def revenue_by_nation_approx(spark: SparkSession,
     pytest-bracketed: revenue/n_items bit-equal to the exact twin,
     n_orders_approx within the rsd envelope."""
     _ensure_bucketed(spark, sf_dir)
-    li = spark.table("bk_lineitem")
+    # same INT64 1e-4-unit extraction as the exact twin (its measured
+    # 4.1 -> 2.9 s agg win applies here too: the 60M-row sum runs on
+    # primitive longs, not DECIMAL(28,4) buffers) and the identical
+    # final conversion, so `revenue` stays bit-equal to the exact twin
+    units = F.expr(
+        "CAST(CAST(round(l_extendedprice * (1 - l_discount), 4)"
+        " AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+    li = (spark.table("bk_lineitem")
+          .select("l_orderkey", units.alias("u")))
     o = spark.table("bk_orders").hint("SHUFFLE_HASH")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
             .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
             .groupBy("r_name", "n_name")
-            .agg(payload._dstr(disc, 4).alias("revenue"),
+            .agg(F.expr("CAST(CAST(SUM(u) AS DECIMAL(38,4))"
+                        " / 10000 AS DECIMAL(38,6))")
+                 .cast("string").alias("revenue"),
                  F.count("*").alias("n_items"),
                  F.approx_count_distinct("o_orderkey")
                  .alias("n_orders_approx")))
