@@ -184,6 +184,7 @@ HEADLINE = [
     "contamination_span_scrub",
     "nb_lang_classifier",
     "dsir_importance_weights",
+    "training_shard_shuffle",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -311,3 +311,69 @@ FROM (SELECT *, row_number() OVER (ORDER BY es_key ASC, doc_id ASC)
       FROM keyed)
 WHERE ws_rank <= {WSAMPLE_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-shard shuffle (round 10)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 32
+SHUFFLE_SEED = 42
+_HEXD = "0123456789abcdef"
+
+
+def _shard_hash():
+    """32-bit seeded content hash: first 8 md5 hex chars of
+    'doc_id:seed'. md5-prefix (not xxhash64) so the DuckDB oracle
+    reproduces the identical ordering; 32-bit collisions are harmless
+    because every ordering below ties-breaks on doc_id."""
+    return F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                          F.lit(str(SHUFFLE_SEED)))), 1, 8),
+        16, 10).cast("long")
+
+
+def training_shard_shuffle(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """[Q] (doc_id, shard, pos): the pipeline's LAST step —
+    deterministic global shuffle of the corpus into N_SHARDS training
+    shards with a reproducible intra-shard order. shard = h % N,
+    pos = rank of (h, doc_id) inside the shard, h = seeded 32-bit
+    content hash, so the 'random' order is reproducible run-to-run,
+    engine-to-engine, and under any partitioning.
+
+    Scale shape: NO global sort anywhere — the plan is one Exchange
+    hash-partitioned on `shard` and N INDEPENDENT in-partition sorts
+    (the window's partitionBy is the shard key). Shard count is the
+    parallelism knob: production uses 10k-100k shards so each shard
+    sorts inside one task's spill budget; the demo pins N_SHARDS=32.
+    A seed change is a free full reshuffle (new epoch order) with
+    zero code path changes."""
+    d = load_table(spark, sf_dir, "documents")
+    h = _shard_hash()
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (d.select("doc_id", h.alias("h"))
+            .withColumn("shard", (F.col("h") % N_SHARDS).cast("int"))
+            .select("doc_id", "shard",
+                    F.row_number().over(w).alias("pos")))
+
+
+def _hex8_sql(expr: str) -> str:
+    """DuckDB mirror of the 8-hex-char prefix decode."""
+    terms = " + ".join(
+        f"(strpos('{_HEXD}', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}" for i in range(8))
+    return f"({terms})"
+
+
+TRAINING_SHARD_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_hex8_sql(f"doc_id || ':{SHUFFLE_SEED}'")} AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % {N_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {N_SHARDS}
+                               ORDER BY h, doc_id) AS INTEGER) AS pos
+FROM h
+"""

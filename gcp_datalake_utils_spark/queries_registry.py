@@ -215,6 +215,10 @@ register("nb_lang_classifier", distmatch.nb_lang_classifier,
          distmatch.NB_LANG_CLASSIFIER_ORACLE)
 register("dsir_importance_weights", distmatch.dsir_importance_weights,
          distmatch.DSIR_IMPORTANCE_WEIGHTS_ORACLE)
+# round 10: deterministic training-shard shuffle — the pipeline's
+# last step (N independent in-partition sorts, no global sort)
+register("training_shard_shuffle", sampling.training_shard_shuffle,
+         sampling.TRAINING_SHARD_SHUFFLE_ORACLE)
 # round 10: broadcast-vocab BPE tokenizer (r9 verdict ask #7);
 # token_stats/packing rows are rows-only by design (iterative merge
 # training is not SQL-expressible) and pytest-bracketed vs a driver
@@ -657,6 +661,7 @@ _R10_NEW = [
     "contamination_span_scrub",
     "nb_lang_classifier",
     "dsir_importance_weights",
+    "training_shard_shuffle",
     "bpe_pair_counts",
     "daily_activity_store_stream",
     "events_dpp_join_unpruned",

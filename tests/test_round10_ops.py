@@ -655,3 +655,52 @@ def test_session_cache_bounded_lru():
     assert c.get(("s", 2)) == 2
     c.put(("s", 5), 5)          # evicts ("s", 3): 2 was touched
     assert ("s", 3) not in c and c.get(("s", 2)) == 2
+
+
+# --- deterministic training-shard shuffle (round 10) -----------------------
+
+def test_training_shard_shuffle_semantics(spark, sf_dir):
+    """Total coverage, per-shard contiguous 1..k positions,
+    reproducibility, and the replica hash order."""
+    from gcp_datalake_utils_spark.llm import sampling as sm
+
+    rows = sm.training_shard_shuffle(spark, sf_dir).collect()
+    n_docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .count())
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert 0 <= shard < sm.N_SHARDS
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+    # replica: same hash, same order
+    def h(doc_id):
+        return int(hashlib.md5(
+            f"{doc_id}:{sm.SHUFFLE_SEED}".encode()).hexdigest()[:8], 16)
+
+    got = {(r["doc_id"]): (r["shard"], r["pos"]) for r in rows}
+    per_shard: dict[int, list] = {}
+    for doc_id in got:
+        per_shard.setdefault(h(doc_id) % sm.N_SHARDS, []).append(doc_id)
+    for shard, ids in per_shard.items():
+        ids.sort(key=lambda d: (h(d), d))
+        for pos, d in enumerate(ids, 1):
+            assert got[d] == (shard, pos), (d, shard, pos)
+
+    # reproducible run-to-run
+    again = {(r["doc_id"]): (r["shard"], r["pos"]) for r in
+             sm.training_shard_shuffle(spark, sf_dir).collect()}
+    assert again == got
+
+
+def test_training_shard_shuffle_plan_no_global_sort(spark, sf_dir):
+    """One hash Exchange on the shard key; never a range/global sort."""
+    from gcp_datalake_utils_spark.llm import sampling as sm
+
+    df = sm.training_shard_shuffle(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.lower().count("exchange hashpartitioning") == 1
