@@ -204,12 +204,21 @@ def revenue_by_nation_approx(spark: SparkSession,
     the whole query is the minimal plan: bucket-local fact join (zero
     Exchange), partial aggregation per bucket, ONE 25-row exchange of
     (decimal sum, count, HLL sketch) buffers — no per-order pre-agg
-    pass, no 15M-group hash state anywhere. This is the shipped scale
-    shape when exact order counts are not required; the exact preagg
-    twin remains the exact-distinct floor (itemized in BASELINE).
+    pass, no 15M-group hash state anywhere.
     No DuckDB oracle (sketch estimates are engine-specific) —
     pytest-bracketed: revenue/n_items bit-equal to the exact twin,
-    n_orders_approx within the rsd envelope."""
+    n_orders_approx within the rsd envelope.
+
+    Round-10 disposition (MEASURED, BASELINE round 10): at TPC-H
+    fan-out (~4 items/order) this sketch shape LOSES to the exact
+    preagg twin (8.0 vs 6.7 s sf10) — it probes the broadcast dims
+    with all 60M item rows and pays an HLL update per row, while the
+    exact twin first collapses to 15M per-order rows on a
+    bucket-local primitive-long agg. approx_count_distinct pays off
+    when fan-in per distinct key is large (100s+ rows/key, the
+    profile_orders_approx territory), so the exact preagg IS the
+    shipped scale shape here and this twin is the documented
+    high-fan-in escape."""
     _ensure_bucketed(spark, sf_dir)
     # same INT64 1e-4-unit extraction as the exact twin (its measured
     # 4.1 -> 2.9 s agg win applies here too: the 60M-row sum runs on
