@@ -182,6 +182,7 @@ HEADLINE = [
     # distribution-matching selection family (hashed-feature NB
     # classifier + DSIR importance weights)
     "contamination_span_scrub",
+    "contamination_scrub_rollup",
     "nb_lang_classifier",
     "dsir_importance_weights",
     "training_shard_shuffle",

@@ -224,7 +224,7 @@ def dsir_importance_weights(spark: SparkSession,
     """[Q] (doc_id, lang, n_words, log_weight): the DSIR selection —
     per-document hashed-feature log importance weight
     sum_w [ln p_target(b(w)) - ln p_raw(b(w))] with Laplace-smoothed
-    bucket distributions (target = the '{DSIR_TARGET_LANG}' slice,
+    bucket distributions (target = the DSIR_TARGET_LANG slice,
     raw = the whole corpus), returning the TOP_K documents by
     (rounded weight DESC, doc_id ASC) — the deterministic stand-in
     for DSIR's Gumbel resampling step.

@@ -200,6 +200,24 @@ def contamination_span_scrub(spark: SparkSession,
             .mapInPandas(_sweep_kernel, _OUT_SCHEMA))
 
 
+def contamination_scrub_rollup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """[Q] one-row corpus summary of the scrub transform — the number
+    a decontamination report leads with: how much benchmark-overlap
+    text the corpus was carrying. Same shape as span_dedup_rollup."""
+    per = contamination_span_scrub(spark, sf_dir)
+    return per.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_removed_tokens") > 0).cast("long"))
+        .alias("n_docs_scrubbed"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_removed_tokens").alias("removed_tokens"),
+        F.round(F.sum("n_removed_tokens")
+                / F.sum("n_tokens").cast("double"), 6)
+        .alias("removed_token_rate"),
+        F.sum("n_removed_runs").alias("removed_runs"))
+
+
 # Per-document oracle CTE chain shared by both oracles. Covered word
 # j: some duplicated-gram offset i satisfies i <= j <= i+4.
 _SPAN_PERDOC_SQL = r"""
@@ -322,4 +340,27 @@ SELECT p.doc_id, p.n_tokens, p.n_removed_tokens,
        CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_removed_runs,
        p.kept_text_md5
 FROM perdoc p LEFT JOIN runs r ON p.doc_id = r.doc_id
+"""
+
+# rollup shares the scrub's per-doc CTE chain (everything up to the
+# final SELECT in CONTAMINATION_SPAN_SCRUB_ORACLE)
+_SCRUB_PERDOC_CTE = CONTAMINATION_SPAN_SCRUB_ORACLE.rsplit(
+    "SELECT p.doc_id", 1)[0] + """,
+scrub_report AS (
+  SELECT p.doc_id, p.n_tokens, p.n_removed_tokens,
+         CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_removed_runs
+  FROM perdoc p LEFT JOIN runs r ON p.doc_id = r.doc_id
+)"""
+
+CONTAMINATION_SCRUB_ROLLUP_ORACLE = f"""
+{_SCRUB_PERDOC_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_removed_tokens > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_scrubbed,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_removed_tokens) AS BIGINT) AS removed_tokens,
+       round(sum(n_removed_tokens) / CAST(sum(n_tokens) AS DOUBLE), 6)
+         AS removed_token_rate,
+       CAST(sum(n_removed_runs) AS BIGINT) AS removed_runs
+FROM scrub_report
 """

@@ -209,6 +209,9 @@ register("span_dedup_rollup", spandedup.span_dedup_rollup,
 # sweep + the broadcast benchmark gram set
 register("contamination_span_scrub", spandedup.contamination_span_scrub,
          spandedup.CONTAMINATION_SPAN_SCRUB_ORACLE)
+register("contamination_scrub_rollup",
+         spandedup.contamination_scrub_rollup,
+         spandedup.CONTAMINATION_SCRUB_ROLLUP_ORACLE)
 # round 10: distribution-matching selection — hashed-feature NB
 # quality/domain classifier + DSIR importance weights (Xie et al.)
 register("nb_lang_classifier", distmatch.nb_lang_classifier,
@@ -659,6 +662,7 @@ _R10_NEW = [
     "span_dedup_removal",
     "span_dedup_rollup",
     "contamination_span_scrub",
+    "contamination_scrub_rollup",
     "nb_lang_classifier",
     "dsir_importance_weights",
     "training_shard_shuffle",

@@ -704,3 +704,17 @@ def test_training_shard_shuffle_plan_no_global_sort(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
     assert plan.lower().count("exchange hashpartitioning") == 1
+
+
+def test_contamination_scrub_rollup_consistent(spark, sf_dir):
+    per = spandedup.contamination_span_scrub(spark, sf_dir).collect()
+    roll = spandedup.contamination_scrub_rollup(
+        spark, sf_dir).collect()[0]
+    assert roll["n_docs"] == len(per)
+    assert roll["total_tokens"] == sum(r["n_tokens"] for r in per)
+    assert roll["removed_tokens"] == sum(
+        r["n_removed_tokens"] for r in per)
+    assert roll["removed_runs"] == sum(
+        r["n_removed_runs"] for r in per)
+    assert roll["n_docs_scrubbed"] == sum(
+        r["n_removed_tokens"] > 0 for r in per)
