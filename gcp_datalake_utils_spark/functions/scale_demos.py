@@ -24,6 +24,7 @@ from gcp_datalake_utils_spark.functions.skew import (
 from gcp_datalake_utils_spark.operators import payload
 from gcp_datalake_utils_spark.sources import load_events, load_table
 from gcp_datalake_utils_spark.sources.bucketing import write_bucketed
+from gcp_datalake_utils_spark.session import session_key
 
 
 def revenue_by_nation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +84,7 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
     sorted buckets let a merge join read both sides in key order — no
     per-query Sort under the SMJ (at 100 TB the sort, like the
     shuffle, belongs in the write-time layout, not in every query)."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key in _BUCKETED:
         return
     from gcp_datalake_utils_spark.sources.scratch import pid_scratch

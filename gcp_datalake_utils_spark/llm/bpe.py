@@ -54,7 +54,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gcp_datalake_utils_spark.session import SessionCache
+from gcp_datalake_utils_spark.session import (SessionCache,
+                                               session_key)
 from gcp_datalake_utils_spark.sources import load_table
 
 # merge budget: deliberately below this corpus's ~108-merge saturation
@@ -167,7 +168,8 @@ def train_merges(wc: dict[str, int],
 
 def trained_merges(spark: SparkSession,
                    sf_dir: str) -> list[tuple[str, str]]:
-    key = (id(spark), sf_dir, BPE_N_MERGES, BPE_TRAIN_MAX_WORDS)
+    key = (session_key(spark), sf_dir, BPE_N_MERGES,
+           BPE_TRAIN_MAX_WORDS)
     hit = _MERGE_CACHE.get(key)
     if hit is None:
         hit = _MERGE_CACHE.put(key, train_merges(

@@ -28,7 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_datalake_utils_spark.session import SessionCache
+from gcp_datalake_utils_spark.session import (SessionCache,
+                                               session_key)
 from gcp_datalake_utils_spark.sources import load_table
 
 TOP_K = 10
@@ -1424,7 +1425,7 @@ def _ensure_corpus_sig_store(spark: SparkSession,
                              sf_dir: str) -> tuple[str, int, int]:
     """Persist the corpus side's exploded band-key rows once per
     (session, sf_dir); returns (path, bits, bands)."""
-    cache_key = (id(spark), sf_dir)
+    cache_key = (session_key(spark), sf_dir)
     hit = _SIG_STORE.get(cache_key)
     if hit is not None:
         return hit

@@ -183,7 +183,16 @@ def contamination_span_scrub(spark: SparkSession,
     hit test is a ZERO-SHUFFLE broadcast semi join on 8-byte hashes;
     only hit offsets — the contaminated sliver — shuffle to the
     doc-keyed assembly, and the interval-union sweep reuses
-    :func:`_sweep_kernel` unchanged."""
+    :func:`_sweep_kernel` unchanged.
+
+    Collision bound (same contract as the span_dedup family): the
+    Spark side matches grams by 64-bit xxhash64 keys while the oracle
+    matches gram strings, so a hash collision between a corpus gram
+    and a benchmark gram would over-scrub one 5-word window. With a
+    benchmark set of b distinct grams the per-gram false-hit odds are
+    b / 2^64 — ~5e-14 at b=1M; at 100 TB (~1e12 grams vs ~1e8
+    benchmark grams) the expected extra scrubbed windows are ~5,
+    indistinguishable from the benchmark-set noise floor."""
     occ = _hashed_gram_occurrences(spark, sf_dir)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench_grams = (occ.where(is_bench).select("gh").distinct()
@@ -287,11 +296,13 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM report
 """
 
-# Scrub oracle: same per-document tail, but `dup` = corpus occurrences
-# whose gram STRING appears anywhere in the benchmark slice, and the
-# reconstructed population is corpus docs only.
-CONTAMINATION_SPAN_SCRUB_ORACLE = rf"""
-WITH toks AS (
+# Scrub per-document CTE chain: same tail as _SPAN_PERDOC_SQL, but
+# `dup` = corpus occurrences whose gram STRING appears anywhere in the
+# benchmark slice, and the reconstructed population is corpus docs
+# only. Named so BOTH the scrub oracle and its rollup compose from one
+# constant (mirroring _SPAN_PERDOC_SQL) instead of string surgery.
+_SCRUB_PERDOC_SQL = rf"""
+toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
   FROM documents
 ),
@@ -336,16 +347,17 @@ perdoc AS (
     ON w.doc_id = c.doc_id AND w.j = c.j
   GROUP BY w.doc_id
 )
+"""
+
+CONTAMINATION_SPAN_SCRUB_ORACLE = f"""
+WITH {_SCRUB_PERDOC_SQL}
 SELECT p.doc_id, p.n_tokens, p.n_removed_tokens,
        CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_removed_runs,
        p.kept_text_md5
 FROM perdoc p LEFT JOIN runs r ON p.doc_id = r.doc_id
 """
 
-# rollup shares the scrub's per-doc CTE chain (everything up to the
-# final SELECT in CONTAMINATION_SPAN_SCRUB_ORACLE)
-_SCRUB_PERDOC_CTE = CONTAMINATION_SPAN_SCRUB_ORACLE.rsplit(
-    "SELECT p.doc_id", 1)[0] + """,
+_SCRUB_PERDOC_CTE = f"""WITH {_SCRUB_PERDOC_SQL},
 scrub_report AS (
   SELECT p.doc_id, p.n_tokens, p.n_removed_tokens,
          CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_removed_runs

@@ -359,7 +359,8 @@ FROM scored GROUP BY r_score, f_score, m_score
 # unique, so min/max structs are total-order exact in both engines.
 # ---------------------------------------------------------------------------
 
-from gcp_datalake_utils_spark.session import SessionCache
+from gcp_datalake_utils_spark.session import (SessionCache,
+                                               session_key)
 
 _DAILY_ACT = SessionCache()
 
@@ -370,7 +371,7 @@ def _ensure_daily_activity(spark: SparkSession, sf_dir: str) -> tuple:
     session never read each other's store)."""
     import hashlib
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     hit = _DAILY_ACT.get(key)
     if hit is not None:
         return hit

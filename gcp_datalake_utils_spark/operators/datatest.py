@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_datalake_utils_spark.sources import load_table
+from gcp_datalake_utils_spark.session import session_key
 
 # (src_table, src_col, tgt_table, tgt_col) relationship specs tested by
 # the canonical data-test report — the TPC-H star-schema edges plus one
@@ -200,7 +201,7 @@ def data_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     enhancement and are cached with it): the metrics are immutable for a
     given snapshot, so consumers get the materialized 5-row report
     instead of re-deriving the frequency-join plan."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _REPORT_CACHE:
         _REPORT_CACHE[key] = _report_for_specs(
             spark, sf_dir, DATA_TEST_SPECS).localCheckpoint()

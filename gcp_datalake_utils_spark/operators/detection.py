@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from gcp_datalake_utils_spark.catalog import fixtures as fx
 from gcp_datalake_utils_spark.operators.classify import classified_columns
 from gcp_datalake_utils_spark.rules import compiler as rc
+from gcp_datalake_utils_spark.session import session_key
 
 # strategy union order in detect_relationships
 # (relationship_detector.py:58-77) — the tie-break the reference gets from
@@ -499,7 +500,8 @@ def detect_all(spark: SparkSession,
     quality / formatter layers, and the catalog is immutable within a
     session — consumers get a materialized metadata-sized DataFrame
     instead of re-deriving the five-strategy plan."""
-    memo_key = (id(spark), filtered) if cls is None else None
+    memo_key = ((session_key(spark), filtered)
+                if cls is None else None)
     if memo_key is not None and memo_key in _DETECT_CACHE:
         return _DETECT_CACHE[memo_key]
     c = cls if cls is not None else classified_columns(spark)

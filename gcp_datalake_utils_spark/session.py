@@ -63,35 +63,56 @@ def get_spark(app_name: str = "gcp-datalake-utils-spark",
     return builder.getOrCreate()
 
 
+def session_key(spark: SparkSession) -> str:
+    """Stable identity for session-keyed caches.
+
+    ``applicationId`` is assigned once per SparkContext and never reused
+    within a process, unlike ``id(spark)`` which CPython can recycle
+    after a session is garbage-collected — an id-reuse would let a
+    surviving LRU entry serve a NEW session stale scratch paths. Derived
+    artifacts (scratch parquet, signature stores) are context-scoped, so
+    keying on the context's applicationId is exactly the right grain."""
+    return spark.sparkContext.applicationId
+
+
 class SessionCache:
     """Bounded LRU for session-keyed derived artifacts (pre-agg store
     paths, signature stores, trained driver models). Keys embed
-    ``id(spark)``, so in a one-session bench/test process this is a
-    plain memo; in a long-lived host serving many sessions, entries
-    from dead sessions age out past ``maxsize`` instead of leaking
-    (the artifacts themselves are scratch files under the Spark local
-    dirs, reclaimed by the session's own cleanup)."""
+    ``session_key(spark)`` (the SparkContext applicationId), so in a
+    one-session bench/test process this is a plain memo; in a
+    long-lived host serving many sessions, entries from dead sessions
+    age out past ``maxsize`` instead of leaking (the artifacts
+    themselves are scratch files under the Spark local dirs, reclaimed
+    by the session's own cleanup). All mutating/reading paths hold a
+    lock, so concurrent get/put/evict from a multi-threaded driver host
+    cannot race the underlying OrderedDict."""
 
     def __init__(self, maxsize: int = 16) -> None:
+        import threading
         from collections import OrderedDict
         self._d: "OrderedDict" = OrderedDict()
         self._maxsize = maxsize
+        self._lock = threading.Lock()
 
     def get(self, key, default=None):
-        if key in self._d:
-            self._d.move_to_end(key)
-            return self._d[key]
-        return default
+        with self._lock:
+            if key in self._d:
+                self._d.move_to_end(key)
+                return self._d[key]
+            return default
 
     def __contains__(self, key) -> bool:
-        return key in self._d
+        with self._lock:
+            return key in self._d
 
     def put(self, key, value):
-        self._d[key] = value
-        self._d.move_to_end(key)
-        while len(self._d) > self._maxsize:
-            self._d.popitem(last=False)
-        return value
+        with self._lock:
+            self._d[key] = value
+            self._d.move_to_end(key)
+            while len(self._d) > self._maxsize:
+                self._d.popitem(last=False)
+            return value
 
     def clear(self) -> None:
-        self._d.clear()
+        with self._lock:
+            self._d.clear()

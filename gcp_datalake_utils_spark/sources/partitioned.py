@@ -56,7 +56,8 @@ def read_events_for_date(spark: SparkSession, out_path: str,
 # measured, reworked).
 # ---------------------------------------------------------------------------
 
-from gcp_datalake_utils_spark.session import SessionCache
+from gcp_datalake_utils_spark.session import (SessionCache,
+                                               session_key)
 
 _DAY_STORE = SessionCache()
 AUDIT_EVERY = 100_000  # every 100k-th event_id is an audit marker
@@ -65,7 +66,7 @@ AUDIT_EVERY = 100_000  # every 100k-th event_id is an audit marker
 def _ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
     """Write the day-partitioned events store once per session
     (pid-scoped path; in production this is the table's layout)."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     hit = _DAY_STORE.get(key)
     if hit is not None:
         return hit
