@@ -36,6 +36,7 @@ from gcp_datalake_utils_spark.llm import (
     distmatch,
     domains,
     forget,
+    fuzzydedup,
     index,
     lm,
     paradedup,
@@ -241,6 +242,13 @@ register("revenue_by_nation_approx", scale_demos.revenue_by_nation_approx,
 # Spark delta as the row's headline
 register("events_dpp_join_unpruned", partitioned.events_dpp_join_unpruned,
          partitioned.EVENTS_DPP_JOIN_ORACLE)
+# round 11: fuzzy dedup as ONE restartable pipeline (r10 verdict ask
+# #1) — shingle->LSH->CC->canonicalize->remove with durable stage +
+# per-iteration checkpoints; doc-level verdict + removal ledger
+register("fuzzy_dedup_removal", fuzzydedup.fuzzy_dedup_removal,
+         fuzzydedup.FUZZY_DEDUP_REMOVAL_ORACLE)
+register("fuzzy_dedup_rollup", fuzzydedup.fuzzy_dedup_rollup,
+         fuzzydedup.FUZZY_DEDUP_ROLLUP_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,

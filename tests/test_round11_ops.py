@@ -1,0 +1,90 @@
+"""Round-11 additions: the composed restartable fuzzy-dedup pipeline
+(crash/replay semantics) and its removal ledger."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from gcp_datalake_utils_spark.llm import fuzzydedup as fz
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def fresh_verdict(spark, tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("fz_fresh"))
+    df = fz.fuzzy_dedup_removal(spark, SF, run_dir=run_dir)
+    return _sorted_rows(df)
+
+
+def test_verdict_consistency(spark, fresh_verdict):
+    rows = fresh_verdict
+    n_docs = len(rows)
+    assert n_docs == 500
+    by_group: dict = {}
+    for doc_id, group_id, group_size, kept in rows:
+        by_group.setdefault(group_id, []).append((doc_id, kept))
+        assert group_id <= doc_id  # label = min doc_id in component
+    for gid, members in by_group.items():
+        # exactly one survivor per group, group_size is the real size
+        assert sum(1 for _, k in members if k) == 1
+        sizes = {s for d, g, s, k in rows if g == gid}
+        assert sizes == {len(members)}
+
+
+def test_crash_replay_resumes_and_matches(spark, fresh_verdict,
+                                          tmp_path):
+    """Kill the job after CC round 1 commits, restart from the same
+    run_dir: the restart must (a) reuse the committed edge stage,
+    (b) resume from round 1 instead of round 0, and (c) produce the
+    byte-identical verdict of an uninterrupted run."""
+    run_dir = str(tmp_path / "fz_crash")
+    with pytest.raises(fz.FuzzyDedupInterrupted):
+        fz.cc_labels_restartable(spark, SF, run_dir,
+                                 crash_after_iter=1)
+    assert os.path.exists(os.path.join(run_dir, "edges", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(run_dir, "CONVERGED"))
+
+    labels, info = fz.cc_labels_restartable(spark, SF, run_dir)
+    assert info["edges_cached"], "restart recomputed the edge stage"
+    assert info["resumed_from_iter"] >= 1, \
+        "restart replayed from round 0"
+    assert info["converged"]
+
+    resumed = _sorted_rows(
+        fz.fuzzy_dedup_removal(spark, SF, run_dir=run_dir))
+    assert resumed == fresh_verdict
+
+
+def test_converged_run_replays_nothing(spark, tmp_path):
+    run_dir = str(tmp_path / "fz_idem")
+    fz.cc_labels_restartable(spark, SF, run_dir)
+    _, info = fz.cc_labels_restartable(spark, SF, run_dir)
+    assert info["converged"] and info["iters_run"] == 0
+    assert info["edges_cached"]
+
+
+def test_rollup_reconciles_with_verdict(spark, fresh_verdict,
+                                        tmp_path):
+    run_dir = str(tmp_path / "fz_roll")
+    roll = fz.fuzzy_dedup_rollup(spark, SF, run_dir=run_dir).collect()
+    assert len(roll) == 1
+    r = roll[0]
+    n_removed = sum(1 for *_ , kept in fresh_verdict if not kept)
+    assert r["n_docs"] == len(fresh_verdict)
+    assert r["n_removed"] == n_removed
+    assert r["n_kept"] == len(fresh_verdict) - n_removed
+    assert r["removed_tokens"] > 0
+    assert 0.0 < r["removed_token_rate"] < 1.0
+
+
+def test_nonconvergence_raises(spark, tmp_path):
+    run_dir = str(tmp_path / "fz_cap")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        fz.cc_labels_restartable(spark, SF, run_dir, max_iter=1)
