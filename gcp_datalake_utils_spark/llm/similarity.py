@@ -722,26 +722,13 @@ QUALIFY row_number() OVER (PARTITION BY vec_id
 KMEANS_ITERATE_ORACLE = _kmeans_oracle()
 
 
-def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[Q] symmetric int8 quantization per vector — the storage/transfer
-    form a 100 TB embedding store actually ships (4x smaller, SIMD
-    dot-products downstream). scale = max|x| / 127 per vector;
-    q[i] = round(x[i] / scale) clamped to [-127, 127]. A fully narrow
-    codegen projection (no shuffle, no UDF); the recon_err column
-    round-trips the quantization so the oracle proves the exact same
-    grid on both engines. Zero vectors carry scale 0 and all-zero
-    codes (the 1e-30 guard divides only by a nonzero scale)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    # STAGING ORDER MATTERS: scale and qarr become real attributes
-    # before any lambda references them — an un-staged scale inside the
-    # recon lambda is re-evaluated PER ELEMENT (the array_max subtree
-    # makes that O(dims^2) per row; the r2 lambda-re-inlining class)
+def _staged_quantized(e: DataFrame) -> DataFrame:
+    """(vec_id, label, embedding, scale_raw, qarr): the symmetric-int8
+    staging shared by embedding_quantize (which presents it) and the
+    quantized near-dup prefilter (which ships qarr instead of floats).
+    See embedding_quantize for the staging-order rationale."""
     absmax = F.array_max(F.transform(
         "embedding", lambda x: F.abs(x.cast("double"))))
-    # the staged column is named scale_raw, NOT scale: the final select
-    # aliases round(...) AS scale, and Spark's lateral-column-alias
-    # resolution would make recon's F.col("scale") silently read the
-    # ROUNDED value (observed: recon off in the 5th decimal)
     s1 = e.select("vec_id", "label", "embedding",
                   (absmax / F.lit(127.0)).alias("scale_raw"))
     q = F.transform(
@@ -753,8 +740,29 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     / F.col("scale_raw"))
                                             .cast("int"))))
         .otherwise(F.lit(0)))
-    s2 = s1.select("vec_id", "label", "embedding", "scale_raw",
-                   q.alias("qarr"))
+    return s1.select("vec_id", "label", "embedding", "scale_raw",
+                     q.alias("qarr"))
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] symmetric int8 quantization per vector — the storage/transfer
+    form a 100 TB embedding store actually ships (4x smaller, SIMD
+    dot-products downstream). scale = max|x| / 127 per vector;
+    q[i] = round(x[i] / scale) clamped to [-127, 127]. A fully narrow
+    codegen projection (no shuffle, no UDF); the recon_err column
+    round-trips the quantization so the oracle proves the exact same
+    grid on both engines. Zero vectors carry scale 0 and all-zero
+    codes (the 1e-30 guard divides only by a nonzero scale)."""
+    # STAGING ORDER MATTERS (inside _staged_quantized): scale and qarr
+    # become real attributes before any lambda references them — an
+    # un-staged scale inside the recon lambda is re-evaluated PER
+    # ELEMENT (the array_max subtree makes that O(dims^2) per row; the
+    # r2 lambda-re-inlining class). The staged column is named
+    # scale_raw, NOT scale: the final select aliases round(...) AS
+    # scale, and Spark's lateral-column-alias resolution would make
+    # recon's F.col("scale") silently read the ROUNDED value
+    # (observed: recon off in the 5th decimal).
+    s2 = _staged_quantized(load_table(spark, sf_dir, "embeddings"))
     recon_err = F.round(F.sqrt(F.aggregate(
         F.zip_with("embedding", "qarr",
                    lambda x, qi: F.pow(x.cast("double")
@@ -1164,11 +1172,13 @@ def embedding_near_dups64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _near_dups64_from(load_table(spark, sf_dir, "embeddings"))
 
 
-def _near_dups64_from(e: DataFrame) -> DataFrame:
-    # checkpoint the signatures before the a/b self-join: both sides
-    # reference the same Arrow-bucketizer subtree and Spark has no
-    # DataFrame-level CSE — without it the 64-plane GEMV pass runs
-    # twice (the dedup_groups lesson, same bug class)
+def _cand64_from(e: DataFrame) -> DataFrame:
+    """Banded candidate pairs from the 64-plane signature (8x8-bit
+    bands): the generation stage shared by the float and quantized
+    verify paths. Checkpoints the signatures before the a/b self-join:
+    both sides reference the same Arrow-bucketizer subtree and Spark
+    has no DataFrame-level CSE — without it the 64-plane GEMV pass
+    runs twice (the dedup_groups lesson, same bug class)."""
     sig = _with_bucket64_arrow(e).select("vec_id", "label",
                                          "b_hi", "b_lo") \
         .localCheckpoint()
@@ -1186,11 +1196,14 @@ def _near_dups64_from(e: DataFrame) -> DataFrame:
                      "band", "key")
     b = bands.select(F.col("vec_id").alias("vec_b"), "label",
                      "band", "key")
-    cand = (a.join(b, ["label", "band", "key"])
+    return (a.join(b, ["label", "band", "key"])
             .where(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b", "label")
             .distinct())
-    return _verify_pairs_arrow(cand, e, 0.95)
+
+
+def _near_dups64_from(e: DataFrame) -> DataFrame:
+    return _verify_pairs_arrow(_cand64_from(e), e, 0.95)
 
 
 EMBEDDING_NEAR_DUP64_ORACLE = f"""
@@ -1216,6 +1229,165 @@ cand AS (
 )
 SELECT c.vec_a, c.vec_b, c.label, {{cos}} AS cosine
 FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {{cos}} >= 0.95
+""".format(cos=(
+    "round((" + _DOT_SQL.format(a="ea.embedding", b="eb.embedding")
+    + ") / ((" + _NORM_SQL.format(a="ea.embedding") + ") * ("
+    + _NORM_SQL.format(a="eb.embedding") + ")), 6)"))
+
+
+# ---------------------------------------------------------------------------
+# Quantized verify (r10 verdict ask #2): the near-dup verify is the
+# pipeline's dominant shuffle — the label-cogrouped kernel ships every
+# label's EMBEDDINGS to the verifier tasks. Shipping the int8 codes
+# instead cuts those bytes 4x (embedding floats are 4 B/dim; codes are
+# 1 B/dim), and the per-vector scale CANCELS in the cosine:
+#   cos(q_a*s_a, q_b*s_b) = (q_a.q_b * s_a*s_b)/(|q_a|s_a * |q_b|s_b)
+#                         = q_a.q_b / (|q_a| |q_b|)
+# so the prefilter is a pure INTEGER dot over int8 codes — exactly
+# reproducible in DuckDB (the quantization grid itself is the proven
+# EMBEDDING_QUANTIZE contract). Quantization perturbs a true cosine by
+# O(1/127) at 64 dims, so the prefilter admits at 0.94 and only the
+# SURVIVORS — the near-dup sliver, not the candidate mass — fetch
+# float vectors for the exact >= 0.95 rescore. Both stages are
+# mirrored in the oracle, so cross-engine parity is exact (no
+# tolerance story beyond the repo-wide round-6 contract).
+# ---------------------------------------------------------------------------
+
+ND_Q_PREFILTER = 0.94
+
+
+def _quantized_codes(e: DataFrame) -> DataFrame:
+    """(vec_id, label, q8): int8 codes as array<tinyint> — the 1 B/dim
+    transfer form the prefilter cogroup actually shuffles."""
+    return _staged_quantized(e).select(
+        "vec_id", "label",
+        F.col("qarr").cast("array<tinyint>").alias("q8"))
+
+
+def _prefilter_pairs_quantized(cand: DataFrame,
+                               qt: DataFrame) -> DataFrame:
+    """Survivor pairs of the int8-cosine prefilter, label-cogrouped
+    like _verify_pairs_arrow but over codes: each label's code matrix
+    crosses the Arrow boundary once at 1/4 the float bytes. Pairs with
+    a zero quantized norm (all-zero vectors) cannot pass — their exact
+    cosine is undefined and the exact verifier would never emit them."""
+    import numpy as np
+    import pandas as pd
+
+    def prefilter(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf) or not len(qpdf):
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="int32")})
+        m = np.stack(qpdf["q8"].to_numpy()).astype(np.int32)
+        norm = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+        idx = pd.Series(np.arange(len(qpdf)),
+                        index=qpdf["vec_id"].to_numpy())
+        out = []
+        ia_all = idx[cpdf["vec_a"].to_numpy()].to_numpy()
+        ib_all = idx[cpdf["vec_b"].to_numpy()].to_numpy()
+        for lo in range(0, len(cpdf), 500_000):
+            ia = ia_all[lo:lo + 500_000]
+            ib = ib_all[lo:lo + 500_000]
+            na, nb = norm[ia], norm[ib]
+            dot = (m[ia] * m[ib]).sum(axis=1).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(dot / (na * nb), 6)
+            keep = (na > 0) & (nb > 0) & (cos >= ND_Q_PREFILTER)
+            out.append(pd.DataFrame({
+                "vec_a": cpdf["vec_a"].to_numpy()[lo:lo + 500_000][keep]
+                .astype("int64"),
+                "vec_b": cpdf["vec_b"].to_numpy()[lo:lo + 500_000][keep]
+                .astype("int64"),
+                "label": cpdf["label"].to_numpy()[lo:lo + 500_000][keep]
+                .astype("int32"),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return (cand.groupBy("label")
+            .cogroup(qt.groupBy("label"))
+            .applyInPandas(prefilter, "vec_a long, vec_b long, label int"))
+
+
+def embedding_near_dups_quantized(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """[Q] embedding near-dups with the quantized verify path: same
+    64-plane 8x8-bit banded candidate generation as
+    embedding_near_dups64, but candidates are screened on int8 codes
+    (4x fewer shuffle bytes into the verify cogroup) and only the
+    prefilter's survivors touch float vectors for the exact >= 0.95
+    rescore. Output schema and semantics match the float-path row up
+    to the prefilter's documented 0.94 admission margin, which the
+    oracle mirrors stage-for-stage."""
+    return _near_dups_quantized_from(
+        load_table(spark, sf_dir, "embeddings"))
+
+
+def _near_dups_quantized_from(e: DataFrame) -> DataFrame:
+    survivors = _prefilter_pairs_quantized(_cand64_from(e),
+                                           _quantized_codes(e))
+    return _verify_pairs_arrow(survivors, e, 0.95)
+
+
+_Q8_CODES_SQL = """
+SELECT vec_id, label,
+       CASE WHEN scale > 1e-30
+            THEN list_transform(embedding, x ->
+                 CAST(greatest(-127, least(127,
+                      round(CAST(x AS DOUBLE) / scale, 0))) AS INTEGER))
+            ELSE list_transform(embedding, x -> 0) END AS q8
+FROM (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+)
+"""
+
+_Q8_NORM_SQL = ("sqrt(list_sum(list_transform({q}, "
+                "x -> CAST(x AS BIGINT) * x)))")
+_Q8_DOT_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
+               "p -> CAST(p[1] AS BIGINT) * p[2]))")
+
+EMBEDDING_NEAR_DUP_QUANTIZED_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id, label,
+         {_bucket32_duck('embedding', 32)} AS b_hi,
+         {_bucket32_duck('embedding', 0)} AS b_lo
+  FROM embeddings
+),
+bands AS (
+  SELECT vec_id, label, j AS band,
+         CASE WHEN j < 4
+              THEN (b_lo >> ({ND64_BITS} * j)) & {_ND64_MASK}
+              ELSE (b_hi >> ({ND64_BITS} * (j - 4))) & {_ND64_MASK}
+         END AS key
+  FROM sig, unnest(range({ND64_BANDS})) AS t(j)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+  FROM bands a
+  JOIN bands b ON a.label = b.label AND a.band = b.band
+              AND a.key = b.key AND a.vec_id < b.vec_id
+),
+q AS ({_Q8_CODES_SQL}),
+pre AS (
+  SELECT c.vec_a, c.vec_b, c.label
+  FROM cand c
+  JOIN q qa ON qa.vec_id = c.vec_a
+  JOIN q qb ON qb.vec_id = c.vec_b
+  WHERE ({_Q8_NORM_SQL.format(q='qa.q8')}) > 0
+    AND ({_Q8_NORM_SQL.format(q='qb.q8')}) > 0
+    AND round(({_Q8_DOT_SQL.format(a='qa.q8', b='qb.q8')})
+              / (({_Q8_NORM_SQL.format(q='qa.q8')})
+                 * ({_Q8_NORM_SQL.format(q='qb.q8')})), 6)
+        >= {ND_Q_PREFILTER}
+)
+SELECT c.vec_a, c.vec_b, c.label, {{cos}} AS cosine
+FROM pre c
 JOIN embeddings ea ON ea.vec_id = c.vec_a
 JOIN embeddings eb ON eb.vec_id = c.vec_b
 WHERE {{cos}} >= 0.95

@@ -249,6 +249,12 @@ register("fuzzy_dedup_removal", fuzzydedup.fuzzy_dedup_removal,
          fuzzydedup.FUZZY_DEDUP_REMOVAL_ORACLE)
 register("fuzzy_dedup_rollup", fuzzydedup.fuzzy_dedup_rollup,
          fuzzydedup.FUZZY_DEDUP_ROLLUP_ORACLE)
+# round 11: quantized ANN at rest (r10 verdict ask #2) — int8-code
+# prefilter feeds the banded near-dup verify; only survivors touch
+# float vectors
+register("embedding_near_dups_quantized",
+         similarity.embedding_near_dups_quantized,
+         similarity.EMBEDDING_NEAR_DUP_QUANTIZED_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,

@@ -88,3 +88,33 @@ def test_nonconvergence_raises(spark, tmp_path):
     run_dir = str(tmp_path / "fz_cap")
     with pytest.raises(RuntimeError, match="did not converge"):
         fz.cc_labels_restartable(spark, SF, run_dir, max_iter=1)
+
+
+def test_quantized_near_dups_match_float_path(spark):
+    """Planted 0.95+ pairs among fillers: the int8-prefiltered verify
+    must report the same pairs (and the same round-6 exact cosines) as
+    the float path — the 0.94 admission margin swallows the O(1/127)
+    quantization perturbation at cosine >= 0.95."""
+    import random
+    from gcp_datalake_utils_spark.llm import similarity
+    rng = random.Random(11)
+    rows = []
+    for pair in range(3):
+        base = [rng.uniform(-1, 1) for _ in range(similarity.N_DIMS)]
+        bumped = list(base)
+        bumped[0] += 0.01
+        rows.append((100 + 2 * pair, base, 1))
+        rows.append((101 + 2 * pair, bumped, 1))
+    for i in range(40):
+        rows.append((200 + i,
+                     [rng.uniform(-1, 1)
+                      for _ in range(similarity.N_DIMS)], 1))
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v], lbl) for i, v, lbl in rows],
+        "vec_id long, embedding array<float>, label int")
+    quant = {(r.vec_a, r.vec_b): r.cosine
+             for r in similarity._near_dups_quantized_from(e).collect()}
+    exact = {(r.vec_a, r.vec_b): r.cosine
+             for r in similarity._near_dups64_from(e).collect()}
+    assert {(100, 101), (102, 103), (104, 105)} <= set(quant)
+    assert quant == exact
