@@ -43,12 +43,25 @@ FORMATS = {"mermaid": (mermaid_erd, ".mmd"),
 def generate_erd(spark: SparkSession,
                  fmt: str = "mermaid",
                  layout: str = "auto",
-                 config: PatternConfig | None = None) -> str:
-    """Run the full pipeline and return the diagram text."""
+                 config: PatternConfig | None = None,
+                 include_views: bool = False,
+                 include_external: bool = False,
+                 show_column_types: bool = True,
+                 show_column_nullable: bool = True,
+                 drawio_theme: str = "default") -> str:
+    """Run the full pipeline and return the diagram text.
+
+    Toggle defaults mirror the reference CLI (main.py:49-63 /
+    config.py:48-56): views and external tables excluded, column
+    types and nullable markers shown, drawio theme "default"."""
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; one of {list(FORMATS)}")
-    cls = classified_columns(spark, config=config).cache()
-    rels = detect_all(spark, cls=None if config is None else cls)
+    filtered = not (include_views and include_external)
+    cls = classified_columns(spark, config=config,
+                             include_views=include_views,
+                             include_external=include_external).cache()
+    rels = detect_all(
+        spark, cls=None if (config is None and not filtered) else cls)
     if layout == "auto":
         n_tables = cls.select("table_id").distinct().count()
         n_rels = rels.count()
@@ -63,7 +76,11 @@ def generate_erd(spark: SparkSession,
     elif layout == "force":
         force_positions(spark, rels)
     fn, _ext = FORMATS[fmt]
-    return fn(spark, cls, rels)
+    if fmt == "drawio":
+        return fn(spark, cls, rels, theme=drawio_theme)
+    return fn(spark, cls, rels,
+              show_column_types=show_column_types,
+              show_column_nullable=show_column_nullable)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -75,6 +92,21 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["auto", "grid", "hierarchical", "force"])
     p.add_argument("--config", default=None,
                    help="reference-format relationship_patterns.json")
+    p.add_argument("--include-views", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="include VIEW tables in the ERD")
+    p.add_argument("--include-external-tables", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="include EXTERNAL tables in the ERD")
+    p.add_argument("--show-column-types", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="show column data types")
+    p.add_argument("--show-column-nullable", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="show nullable indicators")
+    p.add_argument("--drawio-theme", default=None,
+                   choices=sorted(settings.DRAWIO_THEMES),
+                   help="draw.io table-cell theme")
     p.add_argument("--output", default=None,
                    help="output file (default: stdout)")
     p.add_argument("--env-file", default=".env",
@@ -83,9 +115,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="print the resolved configuration and exit")
     args = p.parse_args(argv)
 
+    def b2s(v):
+        return None if v is None else str(v).lower()
+
     eff = settings.resolve(
         cli={"OUTPUT_FORMAT": args.format, "TABLE_LAYOUT": args.layout,
-             "OUTPUT_FILE": args.output, "PATTERN_CONFIG": args.config},
+             "OUTPUT_FILE": args.output, "PATTERN_CONFIG": args.config,
+             "INCLUDE_VIEWS": b2s(args.include_views),
+             "INCLUDE_EXTERNAL_TABLES": b2s(args.include_external_tables),
+             "SHOW_COLUMN_TYPES": b2s(args.show_column_types),
+             "SHOW_COLUMN_NULLABLE": b2s(args.show_column_nullable),
+             "DRAWIO_THEME": args.drawio_theme},
         env_file=args.env_file)
     if args.dry_run:
         for k in sorted(eff):
@@ -97,7 +137,16 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel(eff["LOG_LEVEL"] or "ERROR")
     cfg = (PatternConfig.from_json(eff["PATTERN_CONFIG"])
            if eff["PATTERN_CONFIG"] else None)
-    doc = generate_erd(spark, eff["OUTPUT_FORMAT"], eff["TABLE_LAYOUT"], cfg)
+    doc = generate_erd(
+        spark, eff["OUTPUT_FORMAT"], eff["TABLE_LAYOUT"], cfg,
+        include_views=settings.parse_bool(eff["INCLUDE_VIEWS"]),
+        include_external=settings.parse_bool(
+            eff["INCLUDE_EXTERNAL_TABLES"]),
+        show_column_types=settings.parse_bool(
+            eff["SHOW_COLUMN_TYPES"], default=True),
+        show_column_nullable=settings.parse_bool(
+            eff["SHOW_COLUMN_NULLABLE"], default=True),
+        drawio_theme=eff["DRAWIO_THEME"] or "default")
     if eff["OUTPUT_FILE"]:
         with open(eff["OUTPUT_FILE"], "w", encoding="utf-8") as f:
             f.write(doc + "\n")

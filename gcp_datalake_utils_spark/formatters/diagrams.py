@@ -44,8 +44,16 @@ def _numbered(parts: list[DataFrame]) -> DataFrame:
 
 def mermaid_lines(spark: SparkSession,
                   cls: DataFrame | None = None,
-                  rels: DataFrame | None = None) -> DataFrame:
-    """[Q] (line_no, line) rows of the Mermaid ERD."""
+                  rels: DataFrame | None = None,
+                  show_column_types: bool = True,
+                  show_column_nullable: bool = True) -> DataFrame:
+    """[Q] (line_no, line) rows of the Mermaid ERD.
+
+    Display toggles (reference semantics): ``show_column_types=False``
+    renders the literal default type ``string`` in place of the real
+    type (mermaid_formatter.py:56-60); ``show_column_nullable=False``
+    drops the NOT NULL marker (the base_formatter.py:120-124 nullable
+    gate mapped onto this grammar)."""
     cls = cls if cls is not None else classified_columns(spark)
     rels = rels if rels is not None else detect_all(spark)
     header = spark.range(1).select(
@@ -60,10 +68,14 @@ def mermaid_lines(spark: SparkSession,
         F.lit(1).alias("k1"), F.col("table_ord").alias("k2"),
         F.col("ordinal").alias("k3"),
         F.concat(
-            F.lit("        "), F.lower("data_type"), F.lit(" "), "name",
+            F.lit("        "),
+            F.lower("data_type") if show_column_types
+            else F.lit("string"),
+            F.lit(" "), "name",
             F.when(F.col("is_pk"), " PK").otherwise(""),
             F.when(F.col("is_fk"), " FK").otherwise(""),
-            F.when(F.col("mode") == "REQUIRED", " NOT NULL").otherwise(""))
+            (F.when(F.col("mode") == "REQUIRED", " NOT NULL")
+             .otherwise("")) if show_column_nullable else F.lit(""))
         .alias("line"))
     t_close = cls.select("table_ord").distinct().select(
         F.lit(1).alias("k1"), F.col("table_ord").alias("k2"),
@@ -85,18 +97,27 @@ def mermaid_lines(spark: SparkSession,
 
 def mermaid_erd(spark: SparkSession,
                 cls: DataFrame | None = None,
-                rels: DataFrame | None = None) -> str:
+                rels: DataFrame | None = None,
+                show_column_types: bool = True,
+                show_column_nullable: bool = True) -> str:
     """Driver-facing sink: the full Mermaid document."""
-    rows = mermaid_lines(spark, cls, rels).orderBy("line_no").collect()
+    rows = mermaid_lines(spark, cls, rels, show_column_types,
+                         show_column_nullable) \
+        .orderBy("line_no").collect()
     return "\n".join(r["line"] for r in rows)
 
 
 def plantuml_lines(spark: SparkSession,
                    cls: DataFrame | None = None,
-                   rels: DataFrame | None = None) -> DataFrame:
+                   rels: DataFrame | None = None,
+                   show_column_types: bool = True,
+                   show_column_nullable: bool = True) -> DataFrame:
     """[Q] (line_no, line) rows of the PlantUML ERD (entity names
     sanitized per ``plantuml_formatter.py:48-58``: -/space -> _,
-    lowercased)."""
+    lowercased). ``show_column_types=False`` drops the `` : type``
+    suffix (plantuml_formatter.py:83-84); ``show_column_nullable=
+    False`` drops the NOT NULL marker (base_formatter.py:120-124
+    gate)."""
     cls = cls if cls is not None else classified_columns(spark)
     rels = rels if rels is not None else detect_all(spark)
     ent = F.lower(F.translate(F.col("table_id"), "- ", "__"))
@@ -122,8 +143,11 @@ def plantuml_lines(spark: SparkSession,
             F.lit("    "),
             F.when(F.col("is_pk"), "* ").otherwise(""),
             F.when(F.col("is_fk"), "~ ").otherwise(""),
-            F.when(F.col("mode") == "REQUIRED", "NOT NULL ").otherwise(""),
-            F.col("name"), F.lit(" : "), "data_type").alias("line"))
+            (F.when(F.col("mode") == "REQUIRED", "NOT NULL ")
+             .otherwise("")) if show_column_nullable else F.lit(""),
+            F.col("name"),
+            F.concat(F.lit(" : "), F.col("data_type"))
+            if show_column_types else F.lit("")).alias("line"))
     t_close = cls.select("table_ord").distinct().select(
         F.lit(1).alias("k1"), F.col("table_ord").alias("k2"),
         F.lit(9998).alias("k3"), F.lit("}").alias("line"))
@@ -146,10 +170,25 @@ def plantuml_lines(spark: SparkSession,
                       t_blank, rel_lines, footer])
 
 
+def mermaid_lines_noviews(spark: SparkSession) -> DataFrame:
+    """[Q] the --no-include-views/--no-include-external-tables CLI
+    path: VIEW/EXTERNAL tables never enter classification, so
+    detection runs on (and validates against) the reduced catalog —
+    reference connector semantics (bigquery_connector.py:224), not a
+    post-hoc line filter."""
+    cls = classified_columns(spark, include_views=False,
+                             include_external=False)
+    return mermaid_lines(spark, cls, detect_all(spark, cls=cls))
+
+
 def plantuml_erd(spark: SparkSession,
                  cls: DataFrame | None = None,
-                 rels: DataFrame | None = None) -> str:
-    rows = plantuml_lines(spark, cls, rels).orderBy("line_no").collect()
+                 rels: DataFrame | None = None,
+                 show_column_types: bool = True,
+                 show_column_nullable: bool = True) -> str:
+    rows = plantuml_lines(spark, cls, rels, show_column_types,
+                          show_column_nullable) \
+        .orderBy("line_no").collect()
     return "\n".join(r["line"] for r in rows)
 
 
@@ -164,18 +203,32 @@ def _xesc(col_sql: str):
     return F.expr(_XML_ESC.format(col_sql))
 
 
+DRAWIO_THEME_STYLES = {
+    # reference drawio_formatter.py:223-239 table-cell fill/stroke/font
+    "default": "fillColor=#dae8fc;strokeColor=#6c8ebf;fontColor=#000000;",
+    "dark": "fillColor=#2d2d2d;strokeColor=#666666;fontColor=#ffffff;",
+    "minimal": "fillColor=#ffffff;strokeColor=#000000;fontColor=#000000;",
+}
+
+
 def drawio_lines(spark: SparkSession,
                  cls: DataFrame | None = None,
                  rels: DataFrame | None = None,
                  grid_cols: int = 4,
                  cell_w: int = 200, cell_h: int = 40,
-                 gap_x: int = 60, gap_y: int = 60) -> DataFrame:
+                 gap_x: int = 60, gap_y: int = 60,
+                 theme: str = "default") -> DataFrame:
     """[Q] (line_no, line) rows of the Draw.io mxGraph XML
     (``drawio_formatter.py:26-294`` grammar: one table vertex per
     entity on a deterministic grid, one edge per relationship, solid
     arrows for confidence >= 0.8, dashed otherwise). Same
     DataFrame-native line generation as the Mermaid/PlantUML sinks,
-    closing F12 symmetrically — the XML body is oracle-checkable."""
+    closing F12 symmetrically — the XML body is oracle-checkable.
+    ``theme`` picks the table-cell color triple per
+    ``drawio_formatter.py:231-238`` (default/dark/minimal)."""
+    if theme not in DRAWIO_THEME_STYLES:
+        raise ValueError(f"unknown drawio theme {theme!r}; "
+                         f"one of {sorted(DRAWIO_THEME_STYLES)}")
     cls = cls if cls is not None else classified_columns(spark)
     rels = rels if rels is not None else detect_all(spark)
     hdr = [
@@ -203,7 +256,8 @@ def drawio_lines(spark: SparkSession,
         F.concat(F.lit('      <mxCell id="tbl_'), tid,
                  F.lit('" value="'), tid,
                  F.lit('" vertex="1" parent="1" '
-                       'style="shape=table;startSize=30;">'
+                       'style="shape=table;startSize=30;'
+                       + DRAWIO_THEME_STYLES[theme] + '">'
                        '<mxGeometry x="'), gx.cast("long").cast("string"),
                  F.lit('" y="'), gy.cast("long").cast("string"),
                  F.lit(f'" width="{cell_w}" height="'),
@@ -236,11 +290,12 @@ def drawio_erd(spark: SparkSession,
                rels: DataFrame | None = None,
                grid_cols: int = 4,
                cell_w: int = 200, cell_h: int = 40,
-               gap_x: int = 60, gap_y: int = 60) -> str:
+               gap_x: int = 60, gap_y: int = 60,
+               theme: str = "default") -> str:
     """Draw.io XML sink (``drawio_formatter.py`` shape): entity boxes on
     a deterministic grid (G5 layout: position by table_ord), one edge per
     relationship. Assembled from the oracle-checked ``drawio_lines``
     rows; only the final (diagram-scale) collect leaves the engine."""
     rows = drawio_lines(spark, cls, rels, grid_cols, cell_w, cell_h,
-                        gap_x, gap_y).orderBy("line_no").collect()
+                        gap_x, gap_y, theme).orderBy("line_no").collect()
     return "\n".join(r["line"] for r in rows)

@@ -13,18 +13,24 @@ _CONNECTOR = (
     "ELSE '||--o{' END")
 
 
-def mermaid_lines_oracle() -> str:
-    return do._preamble() + f"""
+def mermaid_lines_oracle(show_column_types: bool = True,
+                         show_column_nullable: bool = True,
+                         include_views: bool = True,
+                         include_external: bool = True) -> str:
+    type_tok = "lower(data_type)" if show_column_types else "'string'"
+    nn = ("CASE WHEN mode = 'REQUIRED' THEN ' NOT NULL' ELSE '' END"
+          if show_column_nullable else "''")
+    return do._preamble(include_views, include_external) + f"""
 , mlines AS (
   SELECT 0 AS k1, 0 AS k2, 0 AS k3, 'erDiagram' AS line
   UNION ALL
   SELECT 1, table_ord, 0, '    ' || table_id || ' {{' FROM tabs
   UNION ALL
   SELECT 1, table_ord, ordinal,
-         '        ' || lower(data_type) || ' ' || name
+         '        ' || {type_tok} || ' ' || name
          || CASE WHEN is_pk THEN ' PK' ELSE '' END
          || CASE WHEN is_fk THEN ' FK' ELSE '' END
-         || CASE WHEN mode = 'REQUIRED' THEN ' NOT NULL' ELSE '' END
+         || {nn}
   FROM cls
   UNION ALL
   SELECT 1, table_ord, 9998, '    }}' FROM tabs
@@ -47,7 +53,11 @@ FROM mlines
 
 def drawio_lines_oracle(grid_cols: int = 4, cell_w: int = 200,
                         cell_h: int = 40, gap_x: int = 60,
-                        gap_y: int = 60) -> str:
+                        gap_y: int = 60,
+                        theme: str = "default") -> str:
+    from gcp_datalake_utils_spark.formatters.diagrams import (
+        DRAWIO_THEME_STYLES)
+    theme_style = DRAWIO_THEME_STYLES[theme]
     esc = ("replace(replace(replace(replace({0}, '&', '&amp;'), "
            "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;')")
     tid = esc.format("table_id")
@@ -68,7 +78,8 @@ def drawio_lines_oracle(grid_cols: int = 4, cell_w: int = 200,
   SELECT 1, table_ord, 0,
          '      <mxCell id="tbl_' || {tid} || '" value="' || {tid}
          || '" vertex="1" parent="1" '
-         || 'style="shape=table;startSize=30;"><mxGeometry x="'
+         || 'style="shape=table;startSize=30;{theme_style}">'
+         || '<mxGeometry x="'
          || CAST(((table_ord - 1) % {grid_cols})
                  * {cell_w + gap_x} AS BIGINT)
          || '" y="'
@@ -103,9 +114,15 @@ FROM dlines
 """
 
 
-def plantuml_lines_oracle() -> str:
+def plantuml_lines_oracle(show_column_types: bool = True,
+                          show_column_nullable: bool = True,
+                          include_views: bool = True,
+                          include_external: bool = True) -> str:
     ent = "lower(translate({0}, '- ', '__'))"
-    return do._preamble() + f"""
+    type_sfx = "' : ' || data_type" if show_column_types else "''"
+    nn = ("CASE WHEN mode = 'REQUIRED' THEN 'NOT NULL ' ELSE '' END"
+          if show_column_nullable else "''")
+    return do._preamble(include_views, include_external) + f"""
 , plines AS (
   SELECT 0 AS k1, 0 AS k2, 0 AS k3, '@startuml ERD' AS line
   UNION ALL SELECT 0, 1, 0, '!theme plain'
@@ -119,8 +136,8 @@ def plantuml_lines_oracle() -> str:
   SELECT 1, table_ord, ordinal,
          '    ' || CASE WHEN is_pk THEN '* ' ELSE '' END
          || CASE WHEN is_fk THEN '~ ' ELSE '' END
-         || CASE WHEN mode = 'REQUIRED' THEN 'NOT NULL ' ELSE '' END
-         || name || ' : ' || data_type
+         || {nn}
+         || name || {type_sfx}
   FROM cls
   UNION ALL
   SELECT 1, table_ord, 9998, '}}' FROM tabs

@@ -20,8 +20,9 @@ from gcp_datalake_utils_spark.rules import compiler as rc
 def classified_columns(spark: SparkSession,
                        columns_df: DataFrame | None = None,
                        tables_df: DataFrame | None = None,
-                       config: "rc.PatternConfig | None" = None
-                       ) -> DataFrame:
+                       config: "rc.PatternConfig | None" = None,
+                       include_views: bool = True,
+                       include_external: bool = True) -> DataFrame:
     """meta_columns enriched with classification flags + table order.
 
     Output columns: table_id, table_ord, ordinal, name, data_type, mode,
@@ -30,11 +31,22 @@ def classified_columns(spark: SparkSession,
     ``config`` takes a :class:`rules.config.PatternConfig` — e.g.
     ``PatternConfig.from_json(path)`` with a reference-format
     ``relationship_patterns.json`` — and defaults to the shipped rules.
+
+    ``include_views`` / ``include_external`` mirror the reference
+    connector's table-type gate (bigquery_connector.py:224,
+    config.py:48-49): excluded tables never enter classification, so
+    downstream detection/formatting behaves as if they don't exist.
+    The engine-level default keeps every table (the established [Q]
+    row semantics); the CLI applies the reference's false defaults.
     """
     from gcp_datalake_utils_spark.rules.config import DEFAULT
     cfg = config or DEFAULT
     cols = columns_df if columns_df is not None else fx.meta_columns_df(spark)
     tabs = tables_df if tables_df is not None else fx.meta_tables_df(spark)
+    if not include_views:
+        tabs = tabs.where(F.col("table_type") != "VIEW")
+    if not include_external:
+        tabs = tabs.where(F.col("table_type") != "EXTERNAL")
     d = "spark"
     enriched = (
         cols.join(F.broadcast(tabs.select("table_id", "table_ord")),

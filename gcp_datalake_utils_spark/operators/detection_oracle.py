@@ -25,7 +25,17 @@ REL_FIELDS = ("source_table, source_column, target_table, target_column, "
               "relationship_type, confidence, detection_method, is_custom")
 
 
-def _preamble() -> str:
+def _type_filter(include_views: bool, include_external: bool,
+                 col: str = "table_type") -> str:
+    """SQL predicate for the reference's table-type gate; TRUE when
+    nothing is excluded so default oracles keep their semantics."""
+    excl = ([] if include_views else ["'VIEW'"]) + \
+        ([] if include_external else ["'EXTERNAL'"])
+    return f"{col} NOT IN ({', '.join(excl)})" if excl else "TRUE"
+
+
+def _preamble(include_views: bool = True,
+              include_external: bool = True) -> str:
     strip = rc.strip_key_suffix_sql("lower(name)", D)
     score = ("(CASE WHEN lower(name) IN ('id','key','pk') THEN 10 ELSE 0 END"
              " + CASE WHEN mode = 'REQUIRED' THEN 5 ELSE 0 END)")
@@ -95,8 +105,11 @@ WITH cls AS (
          {rc.type_compat_group_sql()} AS type_group
   FROM {fx.meta_columns_values('c')}
   JOIN {fx.meta_tables_values('t')} USING (table_id)
+  WHERE {_type_filter(include_views, include_external, 't.table_type')}
 ),
-tabs AS (SELECT table_id, table_ord FROM {fx.meta_tables_values('mt')}),
+tabs AS (SELECT table_id, table_ord FROM {fx.meta_tables_values('mt')}
+         WHERE {_type_filter(include_views, include_external,
+                             'mt.table_type')}),
 pk_first AS (
   SELECT table_id AS t_table, name AS pk_name FROM cls WHERE is_pk
   QUALIFY row_number() OVER (PARTITION BY table_id ORDER BY ordinal) = 1

@@ -255,6 +255,22 @@ register("fuzzy_dedup_rollup", fuzzydedup.fuzzy_dedup_rollup,
 register("embedding_near_dups_quantized",
          similarity.embedding_near_dups_quantized,
          similarity.EMBEDDING_NEAR_DUP_QUANTIZED_ORACLE)
+# round 11: CLI display-toggle golden-line delta rows (r10 verdict ask
+# #6) — one oracled row per reference main.py:49-63 toggle
+register("mermaid_erd_lines_untyped",
+         lambda s, d: diagrams.mermaid_lines(s, show_column_types=False),
+         fmt_oracles.mermaid_lines_oracle(show_column_types=False))
+register("plantuml_erd_lines_nonull",
+         lambda s, d: diagrams.plantuml_lines(
+             s, show_column_nullable=False),
+         fmt_oracles.plantuml_lines_oracle(show_column_nullable=False))
+register("mermaid_erd_lines_noviews",
+         lambda s, d: diagrams.mermaid_lines_noviews(s),
+         fmt_oracles.mermaid_lines_oracle(include_views=False,
+                                          include_external=False))
+register("drawio_erd_lines_dark",
+         lambda s, d: diagrams.drawio_lines(s, theme="dark"),
+         fmt_oracles.drawio_lines_oracle(theme="dark"))
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,

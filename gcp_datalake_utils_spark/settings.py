@@ -25,8 +25,15 @@ DEFAULTS: dict[str, str | None] = {
     "PATTERN_CONFIG": None,
     "INCLUDE_VIEWS": "false",
     "INCLUDE_EXTERNAL_TABLES": "false",
+    # display toggles (reference main.py:49-63 / config.py:53-56):
+    # column-type and nullable markers default ON, theme "default"
+    "SHOW_COLUMN_TYPES": "true",
+    "SHOW_COLUMN_NULLABLE": "true",
+    "DRAWIO_THEME": "default",
     "LOG_LEVEL": "ERROR",
 }
+
+DRAWIO_THEMES = ("default", "dark", "minimal")
 
 _TRUE = {"true", "1", "yes", "on"}
 

@@ -90,6 +90,61 @@ def test_nonconvergence_raises(spark, tmp_path):
         fz.cc_labels_restartable(spark, SF, run_dir, max_iter=1)
 
 
+def test_erd_display_toggles(spark):
+    """Reference main.py:49-63 toggle semantics through generate_erd:
+    type tokens, nullable markers, view exclusion, drawio theme."""
+    from gcp_datalake_utils_spark import settings
+    from gcp_datalake_utils_spark.erd import generate_erd
+
+    assert settings.DEFAULTS["SHOW_COLUMN_TYPES"] == "true"
+    assert settings.DEFAULTS["SHOW_COLUMN_NULLABLE"] == "true"
+    assert settings.DEFAULTS["DRAWIO_THEME"] == "default"
+
+    # include toggles: the CLI default (False) drops the fixture VIEW
+    # and EXTERNAL tables from the diagram; True restores them
+    doc = generate_erd(spark, "mermaid")
+    assert "v_order_summary" not in doc
+    assert "ext_events_raw" not in doc
+    full = generate_erd(spark, "mermaid", include_views=True,
+                        include_external=True)
+    assert "v_order_summary {" in full
+    assert "ext_events_raw {" in full
+
+    # column-type toggle: off -> the literal default type "string"
+    # replaces every real type (mermaid_formatter.py:56-60)
+    untyped = generate_erd(spark, "mermaid", include_views=True,
+                           include_external=True,
+                           show_column_types=False)
+    assert "int64" in full and "int64" not in untyped
+    assert "        string o_orderkey" in untyped
+
+    # nullable toggle: off -> NOT NULL markers vanish
+    nonull = generate_erd(spark, "mermaid", include_views=True,
+                          include_external=True,
+                          show_column_nullable=False)
+    assert " NOT NULL" in full and " NOT NULL" not in nonull
+
+    # drawio theme: table-cell color triple per drawio_formatter.py
+    dflt = generate_erd(spark, "drawio")
+    dark = generate_erd(spark, "drawio", drawio_theme="dark")
+    assert "fillColor=#dae8fc" in dflt
+    assert "fillColor=#2d2d2d" in dark and "#dae8fc" not in dark
+    with pytest.raises(ValueError, match="unknown drawio theme"):
+        generate_erd(spark, "drawio", drawio_theme="neon")
+
+
+def test_cli_dry_run_resolves_toggles(capsys):
+    from gcp_datalake_utils_spark.erd import main
+    rc = main(["--dry-run", "--no-show-column-types",
+               "--include-views", "--drawio-theme", "dark"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "SHOW_COLUMN_TYPES=false" in out
+    assert "SHOW_COLUMN_NULLABLE=true" in out
+    assert "INCLUDE_VIEWS=true" in out
+    assert "DRAWIO_THEME=dark" in out
+
+
 def test_quantized_near_dups_match_float_path(spark):
     """Planted 0.95+ pairs among fillers: the int8-prefiltered verify
     must report the same pairs (and the same round-6 exact cosines) as
