@@ -90,6 +90,110 @@ def test_nonconvergence_raises(spark, tmp_path):
         fz.cc_labels_restartable(spark, SF, run_dir, max_iter=1)
 
 
+def _chunked_event_source(spark, tmp_path, n_chunks=6):
+    """Write the sf0.001 events as n time-ordered parquet chunk files
+    so the file stream runs one micro-batch per chunk (watermark
+    advances between batches, append mode emits progressively)."""
+    import shutil
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+    from gcp_datalake_utils_spark.sources.registry import load_events
+
+    e = load_events(spark, SF).select("user_id", "ts", "event_id",
+                                      "event_type")
+    # chunk on the day so chunks are time-contiguous and the
+    # watermark advances monotonically between micro-batches
+    days = sorted(r[0] for r in
+                  e.select(F.to_date("ts").alias("d")).distinct()
+                  .collect())
+    cuts = [days[int(len(days) * i / n_chunks)]
+            for i in range(1, n_chunks)]
+    src = str(tmp_path / "chunks")
+    import os
+    os.makedirs(src, exist_ok=True)
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        part = e.where(
+            (F.lit(True) if lo is None else (F.to_date("ts") >= lo))
+            & (F.lit(True) if hi is None else (F.to_date("ts") < hi)))
+        tmp_out = str(tmp_path / f"_w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        f = _glob.glob(tmp_out + "/part-*.parquet")[0]
+        shutil.move(f, os.path.join(src, f"chunk_{i:02d}.parquet"))
+        lo = hi
+    return src, e
+
+
+def _store_maintainer_query(spark, src, sink, ckpt):
+    from pyspark.sql import functions as F
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, event_id long, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    ev = F.struct("ts", "event_id", "event_type")
+    agg = (stream.withWatermark("ts", "2 days")
+           .groupBy("user_id", F.window("ts", "1 day").alias("w"))
+           .agg(F.min(ev).alias("mn"), F.max(ev).alias("mx"),
+                F.count("*").alias("n_events")))
+    out = agg.select(
+        "user_id", F.col("w.start").cast("date").alias("day"),
+        F.col("mn")["event_type"].alias("first_type"),
+        F.col("mx")["event_type"].alias("last_type"),
+        F.col("n_events").cast("long").alias("n_events"))
+    return (out.writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start())
+
+
+def test_store_maintainer_crash_replay_exactly_once(spark, tmp_path):
+    """r10 verdict ask #7: kill the checkpointed store-maintainer
+    drain mid-stream, restart from the same checkpoint, and assert
+    the sink holds exactly the uninterrupted run's finalized windows
+    — no lost and no duplicated (user, day) rows. The parquet sink's
+    per-batch transaction log + the checkpointed offsets are what
+    make the append idempotent across the crash."""
+    import time
+
+    src, e = _chunked_event_source(spark, tmp_path)
+
+    # control: uninterrupted drain
+    q = _store_maintainer_query(spark, src, str(tmp_path / "sink_a"),
+                                str(tmp_path / "ckpt_a"))
+    q.awaitTermination()
+    control = {tuple(r) for r in
+               spark.read.parquet(str(tmp_path / "sink_a")).collect()}
+    assert control, "control drain emitted nothing — test is vacuous"
+
+    # crashed run: stop as soon as at least one batch has committed
+    q2 = _store_maintainer_query(spark, src, str(tmp_path / "sink_b"),
+                                 str(tmp_path / "ckpt_b"))
+    deadline = time.time() + 120
+    while time.time() < deadline and q2.isActive:
+        if any(p["numInputRows"] > 0 for p in q2.recentProgress):
+            break
+        time.sleep(0.05)
+    stopped_early = q2.isActive
+    q2.stop()
+    q2.awaitTermination()
+
+    # restart from the same checkpoint; must resume, not replay
+    q3 = _store_maintainer_query(spark, src, str(tmp_path / "sink_b"),
+                                 str(tmp_path / "ckpt_b"))
+    q3.awaitTermination()
+    if stopped_early:
+        resumed_ids = [p["batchId"] for p in q3.recentProgress]
+        assert resumed_ids and min(resumed_ids) > 0, \
+            "restart replayed from batch 0 — checkpoint ignored"
+
+    replayed = {tuple(r) for r in
+                spark.read.parquet(str(tmp_path / "sink_b")).collect()}
+    assert replayed == control
+    keys = [(u, d) for (u, d, *_rest) in replayed]
+    assert len(keys) == len(set(keys)), "duplicate (user, day) windows"
+
+
 def test_erd_display_toggles(spark):
     """Reference main.py:49-63 toggle semantics through generate_erd:
     type tokens, nullable markers, view exclusion, drawio theme."""
