@@ -186,6 +186,16 @@ HEADLINE = [
     "nb_lang_classifier",
     "dsir_importance_weights",
     "training_shard_shuffle",
+    # round-11 additions: the composed restartable fuzzy-dedup
+    # transform (doc-level verdict + removal ledger; the per-round CC
+    # checkpoint parquet writes are part of the measured pipeline —
+    # they ARE the operator's restartability contract) and the
+    # int8-prefiltered near-dup verify benched NEXT TO its float
+    # anchor (embedding_near_dups64). The four formatter toggle rows
+    # are excluded: metadata-scale, constant-time (drawio rule).
+    "fuzzy_dedup_removal",
+    "fuzzy_dedup_rollup",
+    "embedding_near_dups_quantized",
 ]
 
 # results larger than this row count are executed via the noop sink

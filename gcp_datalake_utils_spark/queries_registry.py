@@ -789,6 +789,92 @@ _r10_fill = _R10_R7_QUEUE[: 50 - len(_r10_head)]
 _rotate_window([*_r10_head, *_r10_fill],
                _R10_R7_QUEUE[50 - len(_r10_head):])
 
+# ---------------------------------------------------------------------------
+# ROUND-11 WINDOW ROTATION (r10 verdict ask #5). Superseding the r10
+# rotation above (kept as the r10 evidence record). The r11 window:
+#   (1) the round-11 additions the driver has never hashed (the
+#       composed fuzzy-dedup transform + ledger, the int8-prefiltered
+#       near-dup verify, the four CLI display-toggle delta rows);
+#   (2) drawio_erd_lines — r9-green, but round 11 added the default
+#       theme color triple to BOTH engines' line grammar, so the r9
+#       hash is stale evidence;
+#   (3) ALL 35 rows whose newest driver green is round 7 (computed
+#       from CORRECTNESS_r01-r10 at rotation time — the r10 fill took
+#       the first 13 of the 48-row r7 queue; these are the rest);
+#   (4) backfill to 50 with the oldest round-8 rows in registry order.
+# After this round no oracled row's newest driver green is older than
+# round 8.
+# ---------------------------------------------------------------------------
+
+_R11_NEW = [
+    "fuzzy_dedup_removal",
+    "fuzzy_dedup_rollup",
+    "embedding_near_dups_quantized",
+    "mermaid_erd_lines_untyped",
+    "plantuml_erd_lines_nonull",
+    "mermaid_erd_lines_noviews",
+    "drawio_erd_lines_dark",
+    "drawio_erd_lines",
+]
+
+_R11_R7_STALE = [
+    "forget_propagation",
+    "corpus_budget_selection",
+    "admission_pipeline",
+    "ingest_screen_stream",
+    "retention_cohorts",
+    "path_transitions",
+    "active_users_rolling7",
+    "jsonl_roundtrip",
+    "csv_roundtrip",
+    "user_sessions",
+    "windowed_counts_stream",
+    "dedup_stream",
+    "sliding_counts_stream",
+    "closed_sessions_stream",
+    "enriched_segment_stream",
+    "click_attribution_stream",
+    "dedup_near_pairs",
+    "dedup_groups",
+    "dedup_simhash",
+    "simhash_near_pairs",
+    "decontamination",
+    "text_token_stats",
+    "text_fingerprints",
+    "repetition_flags",
+    "vocab_entropy",
+    "doc_chunks",
+    "asof_last_order",
+    "scd2_history",
+    "corpus_curation",
+    "train_val_split",
+    "pii_redaction",
+    "boilerplate_flags",
+    "multimodal_features",
+    "similarity_kmeans_assign",
+    "value_percentiles",
+]
+
+# oldest round-8 rows in registry order; head backfills the window,
+# tail is the r12 rotation's queue
+_R11_R8_QUEUE = [
+    "grid_layout_coords",
+    "rules_file_source",
+    "revenue_by_nation",
+    "revenue_by_nation_bucketed",
+    "revenue_by_nation_preagg",
+    "revenue_by_nation_salted",
+    "profile_orders",
+    "paragraph_dedup",
+    "kmeans_iterate",
+    "funnel_conversion",
+]
+
+_r11_head = [*_R11_NEW, *_R11_R7_STALE]
+_r11_fill = _R11_R8_QUEUE[: 50 - len(_r11_head)]
+_rotate_window([*_r11_head, *_r11_fill],
+               _R11_R8_QUEUE[50 - len(_r11_head):])
+
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detection.detect_all(spark)
