@@ -1317,11 +1317,25 @@ def embedding_near_dups_quantized(spark: SparkSession,
     """[Q] embedding near-dups with the quantized verify path: same
     64-plane 8x8-bit banded candidate generation as
     embedding_near_dups64, but candidates are screened on int8 codes
-    (4x fewer shuffle bytes into the verify cogroup) and only the
+    (4x fewer VECTOR bytes into the verify cogroup) and only the
     prefilter's survivors touch float vectors for the exact >= 0.95
     rescore. Output schema and semantics match the float-path row up
     to the prefilter's documented 0.94 admission margin, which the
-    oracle mirrors stage-for-stage."""
+    oracle mirrors stage-for-stage.
+
+    Measured crossover (round 11, tmp/sf10 = 200k 64-dim vectors,
+    zero-true-pair worst case): total shuffle 1,323 MB quantized vs
+    1,308 MB float, wall 169 vs 148 s — NO savings, because at this
+    shape the verify exchange is CANDIDATE-PAIR-dominated (~1.5 kB of
+    (vec_a, vec_b, label) pair rows per vector at block mass ~61 vs
+    256 B of float32 vector per vector), so quartering the minor term
+    while adding a second cogroup exchange loses. The twin pays when
+    per-label vector mass rivals pair mass: at production dims the
+    vector term is dims x 4 B/vec (3 kB at dims=768 > the 1.5 kB pair
+    term), so int8 removes ~2.3 kB/vec — the crossover is
+    dims >~ 8 x block_mass x pair_row_bytes / (3 x 4) ~ 370 dims at
+    the measured band plan. Ship the float path below that, this twin
+    above it; both verify stages stay oracle-exact either way."""
     return _near_dups_quantized_from(
         load_table(spark, sf_dir, "embeddings"))
 
