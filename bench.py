@@ -196,6 +196,8 @@ HEADLINE = [
     "fuzzy_dedup_removal",
     "fuzzy_dedup_rollup",
     "embedding_near_dups_quantized",
+    "semantic_dedup",
+    "semantic_dedup_rollup",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -442,7 +442,10 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy argmax (shuffle carries one row per vector, not K). Cosine
     is rounded before the argmax so ties break identically on both
     engines (then lowest cluster id wins)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    return _kmeans_assign_from(load_table(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_assign_from(e: DataFrame) -> DataFrame:
     seeds = (e.orderBy("vec_id").limit(N_CLUSTERS)
              .select(F.col("vec_id").alias("cluster"),
                      F.col("embedding").alias("seed")))

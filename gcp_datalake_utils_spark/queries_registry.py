@@ -49,6 +49,7 @@ from gcp_datalake_utils_spark.llm import (
     ngramdup,
     overlap,
     sampling,
+    semdedup,
     similarity,
     similarity_arrow,
     sketches,
@@ -271,6 +272,13 @@ register("mermaid_erd_lines_noviews",
 register("drawio_erd_lines_dark",
          lambda s, d: diagrams.drawio_lines(s, theme="dark"),
          fmt_oracles.drawio_lines_oracle(theme="dark"))
+# round 11: SemDeDup (Abbas et al. 2023) — k-means quantizer ->
+# cluster-banded eps-pairs -> CC -> keep the least-centroid-similar
+# representative per semantic group
+register("semantic_dedup", semdedup.semantic_dedup,
+         semdedup.SEMANTIC_DEDUP_ORACLE)
+register("semantic_dedup_rollup", semdedup.semantic_dedup_rollup,
+         semdedup.SEMANTIC_DEDUP_ROLLUP_ORACLE)
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,
@@ -809,6 +817,8 @@ _rotate_window([*_r10_head, *_r10_fill],
 _R11_NEW = [
     "fuzzy_dedup_removal",
     "fuzzy_dedup_rollup",
+    "semantic_dedup",
+    "semantic_dedup_rollup",
     "embedding_near_dups_quantized",
     "mermaid_erd_lines_untyped",
     "plantuml_erd_lines_nonull",

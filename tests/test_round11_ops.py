@@ -90,6 +90,47 @@ def test_nonconvergence_raises(spark, tmp_path):
         fz.cc_labels_restartable(spark, SF, run_dir, max_iter=1)
 
 
+def test_semantic_dedup_planted_bundles(spark):
+    """SemDeDup on a corpus with planted semantic bundles: two tight
+    bundles (tiny perturbations of a base direction) among diffuse
+    fillers. Each bundle must collapse to ONE kept representative —
+    the member LEAST similar to its cluster seed (ties -> lowest
+    vec_id) — and every filler keeps itself."""
+    import random
+    from gcp_datalake_utils_spark.llm import semdedup, similarity
+    rng = random.Random(23)
+    rows = []
+    # fillers take the LOW vec_ids: kmeans_assign seeds on the K
+    # lowest ids, and a planted bundle must not BE the seed set (each
+    # member would seed its own cluster and never pair)
+    for i in range(30):
+        rows.append((i, [rng.uniform(-1, 1)
+                         for _ in range(similarity.N_DIMS)]))
+    for b, base_id in enumerate((100, 200)):
+        base = [rng.uniform(-1, 1) for _ in range(similarity.N_DIMS)]
+        for j in range(4):
+            v = list(base)
+            v[j] += 0.01 * (j + 1)
+            rows.append((base_id + j, v))
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in
+           semdedup._semantic_dedup_from(e).collect()}
+    assert len(out) == len(rows)
+    for base_id in (100, 200):
+        members = [out[base_id + j] for j in range(4)]
+        gids = {m.group_id for m in members}
+        assert len(gids) == 1, f"bundle {base_id} not one group"
+        kept = [m for m in members if m.kept]
+        assert len(kept) == 1
+        want = min(members,
+                   key=lambda m: (m.centroid_cosine, m.vec_id))
+        assert kept[0].vec_id == want.vec_id
+    for i in range(30):
+        assert out[i].kept
+
+
 def _chunked_event_source(spark, tmp_path, n_chunks=6):
     """Write the sf0.001 events as n time-ordered parquet chunk files
     so the file stream runs one micro-batch per chunk (watermark
