@@ -198,6 +198,8 @@ HEADLINE = [
     "embedding_near_dups_quantized",
     "semantic_dedup",
     "semantic_dedup_rollup",
+    "curation_funnel",
+    "curation_funnel_rollup",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -22,7 +22,9 @@ from gcp_datalake_utils_spark.llm.text import (
     MIN_STOP_RATIO,
     MIN_TOKENS,
     STOPWORDS,
+    TOKEN_STATS_ORACLE,
     stop_ratio_col,
+    token_stats,
 )
 from gcp_datalake_utils_spark.sources import load_table
 
@@ -379,3 +381,141 @@ def source_length_deciles_approx(spark: SparkSession,
             .agg(F.count("*").alias("n_docs"),
                  F.percentile_approx(
                      "nw", pcts, 10_000).alias("cuts")))
+
+
+# ---------------------------------------------------------------------------
+# The full dedup FUNNEL (round 11): exact -> fuzzy -> quality, as one
+# per-document stage ledger. admission_pipeline composes exact dedup +
+# quality + budget; production curation (RefinedWeb/FineWeb ordering)
+# additionally runs MinHash-LSH fuzzy dedup BETWEEN those stages, and
+# reports per-source survival at every stage. Stage semantics:
+#
+#   exact_kept  = the doc is its exact-dup group's canonical member
+#   fuzzy_kept  = exact_kept AND the doc survives keep-best over the
+#                 near-dup components of the EXACT-SURVIVOR subgraph
+#                 (restricting the verified pair graph to survivor
+#                 endpoints is exactly equivalent to re-running LSH on
+#                 the survivor corpus: banding is per-doc and the
+#                 Jaccard verify is pairwise)
+#   final_kept  = fuzzy_kept AND the token_stats quality gate
+#
+# so the flags are monotone (a doc dropped at stage k is dropped at
+# every later stage) — the rollup reads as a funnel by construction.
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] per-document verdict of the exact -> fuzzy -> quality
+    funnel: (doc_id, source, exact_kept, fuzzy_kept, final_kept)."""
+    from gcp_datalake_utils_spark.llm import dedup
+    from gcp_datalake_utils_spark.llm.cc import cc_min_label
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ex = dedup.exact_dup_groups(spark, sf_dir).select(
+        "doc_id", (~F.col("is_duplicate")).alias("exact_kept"))
+    stats = token_stats(spark, sf_dir).select(
+        "doc_id", "quality_score", "quality_pass")
+    surv = ex.where("exact_kept").select("doc_id")
+    pairs = (dedup.near_dup_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b")
+             .join(surv.withColumnRenamed("doc_id", "doc_a"),
+                   "doc_a", "leftsemi")
+             .join(surv.withColumnRenamed("doc_id", "doc_b"),
+                   "doc_b", "leftsemi"))
+    labels = cc_min_label(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id"))
+    fz = (labels.join(stats.select("doc_id", "quality_score"), "doc_id")
+          .withColumn("fz_kept", F.row_number().over(w) == 1)
+          .select("doc_id", "fz_kept"))
+    return (d.join(ex, "doc_id")
+            .join(stats.select("doc_id", "quality_pass"), "doc_id")
+            .join(fz, "doc_id", "left")
+            .select(
+                "doc_id", "source", "exact_kept",
+                (F.col("exact_kept")
+                 & F.coalesce("fz_kept", F.lit(True)))
+                .alias("fuzzy_kept"),
+                (F.col("exact_kept")
+                 & F.coalesce("fz_kept", F.lit(True))
+                 & F.col("quality_pass")).alias("final_kept")))
+
+
+def _funnel_oracle() -> str:
+    from gcp_datalake_utils_spark.llm import dedup
+    return f"""
+WITH RECURSIVE ex AS ({dedup.EXACT_DUP_ORACLE}),
+stats AS ({TOKEN_STATS_ORACLE}),
+pairs_all AS MATERIALIZED ({dedup.NEAR_DUP_ORACLE}),
+surv AS (SELECT doc_id FROM ex WHERE NOT is_duplicate),
+pairs AS (
+  SELECT p.doc_a, p.doc_b FROM pairs_all p
+  SEMI JOIN surv sa ON p.doc_a = sa.doc_id
+  SEMI JOIN surv sb ON p.doc_b = sb.doc_id
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.v
+),
+groups AS (SELECT v AS doc_id, min(r) AS group_id FROM reach
+           GROUP BY v),
+fz AS (
+  SELECT g.doc_id,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY s.quality_score DESC, g.doc_id)
+           = 1 AS fz_kept
+  FROM groups g JOIN stats s USING (doc_id)
+)
+SELECT d.doc_id, d.source,
+       NOT e.is_duplicate AS exact_kept,
+       (NOT e.is_duplicate) AND coalesce(k.fz_kept, TRUE)
+         AS fuzzy_kept,
+       (NOT e.is_duplicate) AND coalesce(k.fz_kept, TRUE)
+         AND s.quality_pass AS final_kept
+FROM documents d
+JOIN ex e USING (doc_id)
+JOIN stats s USING (doc_id)
+LEFT JOIN fz k USING (doc_id)
+"""
+
+
+def curation_funnel_rollup(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """[Q] the per-source funnel report — the table a curation run
+    ships: how many documents each source brought in and how many
+    survived each stage."""
+    per = curation_funnel(spark, sf_dir)
+    return (per.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("exact_kept").cast("long"))
+                 .alias("n_after_exact"),
+                 F.sum(F.col("fuzzy_kept").cast("long"))
+                 .alias("n_after_fuzzy"),
+                 F.sum(F.col("final_kept").cast("long"))
+                 .alias("n_final"),
+                 F.round(F.sum(F.col("final_kept").cast("long"))
+                         / F.count("*").cast("double"), 6)
+                 .alias("final_rate")))
+
+
+def _funnel_rollup_oracle() -> str:
+    return f"""
+WITH verdict AS MATERIALIZED ({_funnel_oracle()})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN exact_kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_exact,
+       CAST(sum(CASE WHEN fuzzy_kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_fuzzy,
+       CAST(sum(CASE WHEN final_kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_final,
+       round(sum(CASE WHEN final_kept THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS final_rate
+FROM verdict GROUP BY source
+"""

@@ -61,32 +61,10 @@ def _cluster_labeled(e: DataFrame, assign: DataFrame) -> DataFrame:
 
 def _eps_groups(pairs: DataFrame) -> DataFrame:
     """(vec_id, group_id): connected components of the eps-pair graph
-    via hash-to-min propagation (the dedup_groups recipe; per-round
-    localCheckpoint cuts lineage, rounds bound by component
-    diameter)."""
-    pairs = pairs.select("vec_a", "vec_b").localCheckpoint()
-    edges = (pairs.select(F.col("vec_a").alias("src"),
-                          F.col("vec_b").alias("dst"))
-             .union(pairs.select(F.col("vec_b").alias("src"),
-                                 F.col("vec_a").alias("dst")))
-             .localCheckpoint())
-    labels = (edges.select(F.col("src").alias("vec_id")).distinct()
-              .withColumn("group_id", F.col("vec_id"))
-              .localCheckpoint())
-    for _ in range(SEMDEDUP_CC_MAX_ITER):
-        prop = (edges.join(labels, edges["src"] == labels["vec_id"])
-                .select(F.col("dst").alias("vec_id"), "group_id"))
-        new_labels = (labels.union(prop)
-                      .groupBy("vec_id")
-                      .agg(F.min("group_id").alias("group_id"))
-                      .localCheckpoint())
-        changed = (new_labels.join(
-            labels.withColumnRenamed("group_id", "old"), "vec_id")
-            .where(F.col("group_id") != F.col("old")).count())
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    (shared hash-to-min kernel, llm/cc.py)."""
+    from gcp_datalake_utils_spark.llm.cc import cc_min_label
+    return cc_min_label(pairs, "vec_a", "vec_b", vertex="vec_id",
+                        max_iter=SEMDEDUP_CC_MAX_ITER)
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -279,6 +279,13 @@ register("semantic_dedup", semdedup.semantic_dedup,
          semdedup.SEMANTIC_DEDUP_ORACLE)
 register("semantic_dedup_rollup", semdedup.semantic_dedup_rollup,
          semdedup.SEMANTIC_DEDUP_ROLLUP_ORACLE)
+# round 11: the production curation FUNNEL — exact -> fuzzy(LSH over
+# exact survivors) -> quality, per-doc monotone verdict + per-source
+# stage ledger
+register("curation_funnel", curation.curation_funnel,
+         curation._funnel_oracle())
+register("curation_funnel_rollup", curation.curation_funnel_rollup,
+         curation._funnel_rollup_oracle())
 register("jsonl_roundtrip", interop.jsonl_roundtrip,
          interop.JSONL_ROUNDTRIP_ORACLE)
 register("csv_roundtrip", interop.csv_roundtrip,
@@ -819,6 +826,8 @@ _R11_NEW = [
     "fuzzy_dedup_rollup",
     "semantic_dedup",
     "semantic_dedup_rollup",
+    "curation_funnel",
+    "curation_funnel_rollup",
     "embedding_near_dups_quantized",
     "mermaid_erd_lines_untyped",
     "plantuml_erd_lines_nonull",

@@ -318,3 +318,29 @@ def test_quantized_near_dups_match_float_path(spark):
              for r in similarity._near_dups64_from(e).collect()}
     assert {(100, 101), (102, 103), (104, 105)} <= set(quant)
     assert quant == exact
+
+
+def test_curation_funnel_monotone_and_reconciles(spark):
+    """Funnel flags must be monotone (dropped at stage k => dropped
+    later) and the fuzzy stage must act only on exact survivors."""
+    from gcp_datalake_utils_spark.llm import curation
+    rows = curation.curation_funnel(spark, SF).collect()
+    assert len(rows) == 500
+    n_exact = n_fuzzy = n_final = 0
+    for r in rows:
+        if not r.exact_kept:
+            assert not r.fuzzy_kept and not r.final_kept
+        if not r.fuzzy_kept:
+            assert not r.final_kept
+        n_exact += r.exact_kept
+        n_fuzzy += r.fuzzy_kept
+        n_final += r.final_kept
+    assert n_exact >= n_fuzzy >= n_final
+    assert n_final > 0
+    # the fuzzy stage must remove something on this corpus (planted
+    # near-dups exist at sf0.001) and the rollup must reconcile
+    assert n_fuzzy < n_exact
+    roll = {r.source: r for r in
+            curation.curation_funnel_rollup(spark, SF).collect()}
+    assert sum(r.n_final for r in roll.values()) == n_final
+    assert sum(r.n_docs for r in roll.values()) == 500
