@@ -200,6 +200,7 @@ HEADLINE = [
     "semantic_dedup_rollup",
     "curation_funnel",
     "curation_funnel_rollup",
+    "token_balanced_shards",
 ]
 
 # results larger than this row count are executed via the noop sink

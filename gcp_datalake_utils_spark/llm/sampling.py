@@ -377,3 +377,105 @@ SELECT doc_id, CAST(h % {N_SHARDS} AS INTEGER) AS shard,
                                ORDER BY h, doc_id) AS INTEGER) AS pos
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# token-balanced contiguous sharding (round 11): the count-balanced
+# twin above (training_shard_shuffle) gives every shard ~n/N documents;
+# heterogeneous doc lengths then skew TOKEN mass per shard by the
+# length variance, and token mass — not doc count — is what sizes a
+# training step. This operator cuts the SAME deterministic (h, doc_id)
+# shuffle order into N contiguous ranges of ~equal token mass.
+# ---------------------------------------------------------------------------
+
+
+def token_balanced_shards(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """[Q] (doc_id, shard, n_tokens, cum_before): shard k holds the
+    docs whose running token total (exclusive, in seeded-hash order)
+    falls in [k*width, (k+1)*width), width = ceil(total/N) — every
+    shard within one document of equal token mass, reproducible
+    run-to-run and engine-to-engine.
+
+    Scale shape: NO global window. The frame range-partitions on the
+    seeded (h, doc_id) order and sorts within partitions; one
+    _RANK_PARTS-row driver collect of ACTUAL per-partition token sums
+    yields exact partition offsets; the running sum inside each
+    partition is an Arrow kernel that streams the partition's batches
+    in order (mapInPandas generator — state crosses batches within a
+    task, never between tasks), so the only corpus-sized exchange is
+    the range partition itself. The same recipe as
+    functions/ranking.py distributed_ntile with a SUM instead of a
+    COUNT; a no-partition SQL window here would plan the
+    SinglePartition exchange that recipe exists to avoid."""
+    import pandas as pd
+
+    from gcp_datalake_utils_spark.functions.ranking import _RANK_PARTS
+    from gcp_datalake_utils_spark.llm.text import token_stats
+
+    toks = token_stats(spark, sf_dir).select("doc_id", "n_tokens")
+    keyed = (toks.withColumn("h", _shard_hash())
+             .select("doc_id", "h", "n_tokens"))
+    ranked = (keyed.repartitionByRange(_RANK_PARTS, "h", "doc_id")
+              .sortWithinPartitions("h", "doc_id")
+              .withColumn("_mid", F.monotonically_increasing_id())
+              .localCheckpoint())
+    stats = (ranked
+             .groupBy(F.shiftright("_mid", 33).cast("int").alias("_p"))
+             .agg(F.sum("n_tokens").alias("s"))
+             .collect())
+    sums = {r["_p"]: r["s"] for r in stats}
+    total = sum(sums.values())
+    width = max(1, (total + N_SHARDS - 1) // N_SHARDS)
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    def cumsum(batches):
+        run = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if run is None:  # first batch of THIS task's partition
+                run = offsets[int(pdf["_mid"].iloc[0]) >> 33]
+            cum = pdf["n_tokens"].cumsum() + run - pdf["n_tokens"]
+            run += int(pdf["n_tokens"].sum())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "n_tokens": pdf["n_tokens"],
+                                "cum_before": cum.astype("int64")})
+
+    out = ranked.mapInPandas(
+        cumsum, "doc_id long, n_tokens long, cum_before long")
+    shard = F.least(F.lit(N_SHARDS - 1),
+                    F.floor(F.col("cum_before") / F.lit(width)))
+    return out.select("doc_id", shard.cast("int").alias("shard"),
+                      "n_tokens", "cum_before")
+
+
+def _token_balanced_oracle() -> str:
+    from gcp_datalake_utils_spark.llm.text import TOKEN_STATS_ORACLE
+    return f"""
+WITH stats AS ({TOKEN_STATS_ORACLE}),
+j AS (
+  SELECT s.doc_id,
+         {_hex8_sql(f"s.doc_id || ':{SHUFFLE_SEED}'")} AS h,
+         s.n_tokens
+  FROM stats s
+),
+tot AS (SELECT sum(n_tokens) AS total FROM j),
+o AS (
+  SELECT doc_id, h, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id) - n_tokens
+           AS cum_before
+  FROM j
+)
+SELECT o.doc_id,
+       CAST(least({N_SHARDS - 1},
+                  cum_before // greatest(1, (t.total + {N_SHARDS - 1})
+                                            // {N_SHARDS}))
+            AS INTEGER) AS shard,
+       CAST(o.n_tokens AS BIGINT) AS n_tokens,
+       CAST(o.cum_before AS BIGINT) AS cum_before
+FROM o, tot t
+"""

@@ -224,6 +224,10 @@ register("dsir_importance_weights", distmatch.dsir_importance_weights,
 # last step (N independent in-partition sorts, no global sort)
 register("training_shard_shuffle", sampling.training_shard_shuffle,
          sampling.TRAINING_SHARD_SHUFFLE_ORACLE)
+# round 11: token-balanced contiguous sharding — the count-balanced
+# shuffle's token-mass twin (distributed cumsum, no global window)
+register("token_balanced_shards", sampling.token_balanced_shards,
+         sampling._token_balanced_oracle())
 # round 10: broadcast-vocab BPE tokenizer (r9 verdict ask #7);
 # token_stats/packing rows are rows-only by design (iterative merge
 # training is not SQL-expressible) and pytest-bracketed vs a driver
@@ -828,6 +832,7 @@ _R11_NEW = [
     "semantic_dedup_rollup",
     "curation_funnel",
     "curation_funnel_rollup",
+    "token_balanced_shards",
     "embedding_near_dups_quantized",
     "mermaid_erd_lines_untyped",
     "plantuml_erd_lines_nonull",

@@ -344,3 +344,35 @@ def test_curation_funnel_monotone_and_reconciles(spark):
             curation.curation_funnel_rollup(spark, SF).collect()}
     assert sum(r.n_final for r in roll.values()) == n_final
     assert sum(r.n_docs for r in roll.values()) == 500
+
+
+def test_token_balanced_shards_properties(spark):
+    """Every doc lands in exactly one shard; shards are contiguous
+    ranges of the seeded order; per-shard token mass differs by at
+    most max(n_tokens) + width rounding (the contiguity bound)."""
+    from gcp_datalake_utils_spark.llm import sampling
+    rows = sampling.token_balanced_shards(spark, SF).collect()
+    assert len(rows) == 500
+    assert len({r.doc_id for r in rows}) == 500
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(range(sampling.N_SHARDS))
+    # contiguity: cum_before ranges of consecutive shards must not
+    # interleave
+    spans = {s: (min(x.cum_before for x in v),
+                 max(x.cum_before + x.n_tokens for x in v))
+             for s, v in by_shard.items()}
+    for s in range(1, sampling.N_SHARDS):
+        assert spans[s - 1][1] <= spans[s][0] + 0, \
+            f"shards {s-1},{s} interleave"
+    tok = {s: sum(x.n_tokens for x in v) for s, v in by_shard.items()}
+    max_doc = max(r.n_tokens for r in rows)
+    total = sum(tok.values())
+    width = max(1, (total + sampling.N_SHARDS - 1) // sampling.N_SHARDS)
+    assert max(tok.values()) <= width + max_doc
+    # reproducibility
+    again = {(r.doc_id, r.shard, r.cum_before)
+             for r in sampling.token_balanced_shards(spark, SF)
+             .collect()}
+    assert again == {(r.doc_id, r.shard, r.cum_before) for r in rows}
