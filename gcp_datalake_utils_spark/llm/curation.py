@@ -404,9 +404,33 @@ def source_length_deciles_approx(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 
+_FUNNEL_CACHE = None  # lazy SessionCache (import cycle guard)
+
+
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] per-document verdict of the exact -> fuzzy -> quality
-    funnel: (doc_id, source, exact_kept, fuzzy_kept, final_kept)."""
+    funnel: (doc_id, source, exact_kept, fuzzy_kept, final_kept).
+
+    Memoized per (session, corpus) as an eager checkpoint — the
+    verdict is deterministic for a corpus and is the shared input of
+    the rollup ledger (the detect_all / signature-store precedent),
+    so consumers after the first pay a materialized-scan, not a
+    second LSH pipeline."""
+    global _FUNNEL_CACHE
+    from gcp_datalake_utils_spark.session import (SessionCache,
+                                                  session_key)
+    if _FUNNEL_CACHE is None:
+        _FUNNEL_CACHE = SessionCache()
+    key = (session_key(spark), sf_dir)
+    hit = _FUNNEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _curation_funnel_uncached(spark, sf_dir).localCheckpoint()
+    return _FUNNEL_CACHE.put(key, out)
+
+
+def _curation_funnel_uncached(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
     from gcp_datalake_utils_spark.llm import dedup
     from gcp_datalake_utils_spark.llm.cc import cc_min_label
 

@@ -46,6 +46,7 @@ from gcp_datalake_utils_spark.sources import load_table
 
 SEMDEDUP_EPS = 0.9
 SEMDEDUP_CC_MAX_ITER = 30
+_SEM_CACHE = None  # lazy SessionCache; verdict memo (see curation_funnel)
 
 
 def _cluster_labeled(e: DataFrame, assign: DataFrame) -> DataFrame:
@@ -73,8 +74,18 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LOWEST centroid cosine (ties -> lowest vec_id — a total
     order); singletons (no eps-neighbor in their cluster) keep
     themselves."""
-    return _semantic_dedup_from(
-        load_table(spark, sf_dir, "embeddings"))
+    global _SEM_CACHE
+    from gcp_datalake_utils_spark.session import (SessionCache,
+                                                  session_key)
+    if _SEM_CACHE is None:
+        _SEM_CACHE = SessionCache()
+    key = (session_key(spark), sf_dir)
+    hit = _SEM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _semantic_dedup_from(
+        load_table(spark, sf_dir, "embeddings")).localCheckpoint()
+    return _SEM_CACHE.put(key, out)
 
 
 def _semantic_dedup_from(e: DataFrame) -> DataFrame:
