@@ -376,3 +376,18 @@ def test_token_balanced_shards_properties(spark):
              for r in sampling.token_balanced_shards(spark, SF)
              .collect()}
     assert again == {(r.doc_id, r.shard, r.cum_before) for r in rows}
+
+
+def test_token_balanced_shards_no_single_partition(spark):
+    """The scale contract: no stage of the cumsum plans a
+    SinglePartition exchange (the global-window shape this operator
+    exists to avoid). The range exchange is pinned inside the eager
+    checkpoint; the post-checkpoint plan is checked here."""
+    import io
+    import contextlib
+    from gcp_datalake_utils_spark.llm import sampling
+    df = sampling.token_balanced_shards(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
