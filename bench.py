@@ -201,6 +201,7 @@ HEADLINE = [
     "curation_funnel",
     "curation_funnel_rollup",
     "token_balanced_shards",
+    "wav_decode_features",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -93,15 +93,20 @@ FROM documents
 
 
 def decode_media(assets: DataFrame, target_kind: str = "image") -> DataFrame:
-    """Codec-backed decode (resize / frame-sample / spectrogram). The
-    container ships no image/audio libraries, so this is an explicit
-    stub: the plumbing above (schema, Arrow batching, partition flow) is
-    what a codec plugs into."""
+    """Codec-backed decode for COMPRESSED formats (JPEG/MP4/FLAC/
+    spectrograms). The container ships no codec libraries, so this is
+    an explicit stub for that format class; the plumbing above
+    (schema, Arrow batching, partition flow) is what a codec plugs
+    into. Codec-FREE containers are decoded for real: see the
+    round-11 RIFF/PCM WAV section below (parse_wav +
+    wav_decode_features — chunk-walking parser, stdlib-`wave`
+    cross-validated, oracle-gated audio features)."""
     raise NotImplementedError(
-        "media decoding requires codec libraries (PIL/ffmpeg) not present "
-        "in this environment; use extract_features for the byte-level "
-        "pipeline or register a codec-backed featurizer with the same "
-        "mapInPandas signature")
+        "compressed-media decoding requires codec libraries (PIL/ffmpeg) "
+        "not present in this environment; raw RIFF/PCM audio decodes via "
+        "parse_wav/wav_decode_features, and extract_features covers the "
+        "byte-level pipeline — register a codec-backed featurizer with "
+        "the same mapInPandas signature for compressed formats")
 
 
 # ---------------------------------------------------------------------------
@@ -220,4 +225,163 @@ FROM (
            i -> substr(text, i, 1)), '') AS r
   FROM documents
 )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 11: a REAL codec for the container-codec-free format class.
+# The decode boundary was stubbed because PIL/ffmpeg are absent — but
+# RIFF/PCM WAV needs NO codec library: the container is a fixed
+# header grammar and the samples are raw little-endian integers. This
+# section synthesizes genuine WAV bytes per document (deterministic:
+# sample_j = (byte_j - 80) * 256 at 8 kHz mono 16-bit), then decodes
+# them with a real chunk-walking RIFF parser (not a fixed-offset
+# peek: it validates the RIFF/WAVE magic, walks chunks honoring their
+# declared+padded sizes, reads fmt's PCM tag/rate/width/channels, and
+# only then interprets the data chunk) and extracts real audio
+# features (duration, RMS, zero-crossing rate). The oracle recomputes
+# the features straight from the generative formula in SQL, so a
+# parser that mis-reads any header field or mis-frames the samples
+# hash-mismatches; tests/test_round11_ops.py additionally round-trips
+# the bytes through the stdlib `wave` module (an independent RIFF
+# implementation) in both directions. decode_media's
+# NotImplementedError now covers only COMPRESSED codecs (JPEG/MP4/
+# FLAC), which genuinely need libraries this container lacks.
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+_WAV_CENTER = 80  # sample = (payload byte - 80) * 256: letters land
+# positive, spaces negative, so zero crossings track word boundaries
+# (a centered corpus would make zcr vacuously 0)
+
+_WAV_FEATURES_SCHEMA = ("asset_id long, sample_rate int, n_samples "
+                        "long, duration_ms double, rms double, "
+                        "zcr double")
+
+
+def build_wav(samples, rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Genuine RIFF/WAVE PCM bytes (mono, 16-bit LE) — stdlib struct
+    only; `wave.open` reads the result (pytest-verified)."""
+    import struct
+
+    import numpy as np
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data))
+    return hdr + data
+
+
+def parse_wav(b: bytes):
+    """Real RIFF chunk walker -> (rate, n_channels, bits, int16
+    samples). Raises on malformed containers instead of guessing."""
+    import struct
+
+    import numpy as np
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, pos)
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            tag, ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0)
+            if tag != 1:
+                raise ValueError(f"compressed WAV (format tag {tag}) "
+                                 f"needs a codec library")
+            fmt = (rate, ch, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    rate, ch, bits = fmt
+    if bits != 16 or ch != 1:
+        raise ValueError("demo decoder handles mono 16-bit PCM")
+    return rate, ch, bits, np.frombuffer(data, dtype="<i2")
+
+
+def wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(asset_id, payload): one genuine WAV per document, samples
+    derived deterministically from the text bytes."""
+    import numpy as np
+
+    def _encode(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "payload": pdf["payload"].map(
+                    lambda b: build_wav(
+                        (np.frombuffer(bytes(b), dtype=np.uint8)
+                         .astype(np.int16) - _WAV_CENTER) * 256)),
+            })
+
+    return (binary_assets(spark, sf_dir)
+            .select("asset_id", "payload")
+            .mapInPandas(_encode, "asset_id long, payload binary"))
+
+
+def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] encode -> DECODE -> featurize, all through Arrow kernels:
+    (asset_id, sample_rate, n_samples, duration_ms, rms, zcr). The
+    oracle derives the same features directly from the generative
+    formula, so any header/framing error in the parser is a hash
+    mismatch, not a silent skew. Zero crossing counts sign-bit flips
+    ((s >= 0) != (prev >= 0)) over n-1 adjacent pairs, rounded 6."""
+    import numpy as np
+
+    def _decode(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, durs, rmss, zcrs = [], [], [], [], [], []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                rate, _ch, _bits, s = parse_wav(bytes(b))
+                n = len(s)
+                x = s.astype(np.float64)
+                ids.append(aid)
+                rates.append(rate)
+                ns.append(n)
+                durs.append(round(n * 1000.0 / rate, 6))
+                rmss.append(round(float(np.sqrt((x * x).mean())), 6)
+                            if n else 0.0)
+                nz = ((s[1:] >= 0) != (s[:-1] >= 0)).sum() if n > 1 else 0
+                zcrs.append(round(float(nz) / (n - 1), 6)
+                            if n > 1 else 0.0)
+            yield pd.DataFrame({
+                "asset_id": ids,
+                "sample_rate": pd.Series(rates, dtype="int32"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "duration_ms": durs, "rms": rmss, "zcr": zcrs})
+
+    return wav_assets(spark, sf_dir).mapInPandas(
+        _decode, _WAV_FEATURES_SCHEMA)
+
+
+WAV_DECODE_FEATURES_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(1, length(text) + 1),
+           j -> (ascii(substr(text, CAST(j AS INTEGER), 1))
+                 - {_WAV_CENTER}) * 256) AS smp
+  FROM documents
+)
+SELECT asset_id,
+       {WAV_SAMPLE_RATE} AS sample_rate,
+       CAST(len(smp) AS BIGINT) AS n_samples,
+       round(len(smp) * 1000.0 / {WAV_SAMPLE_RATE}, 6) AS duration_ms,
+       CASE WHEN len(smp) > 0
+            THEN round(sqrt(list_sum(list_transform(smp,
+                 x -> CAST(x AS DOUBLE) * x)) / len(smp)), 6)
+            ELSE 0.0 END AS rms,
+       CASE WHEN len(smp) > 1
+            THEN round(len(list_filter(range(2, len(smp) + 1),
+                 j -> (smp[CAST(j AS INTEGER)] >= 0)
+                      <> (smp[CAST(j AS INTEGER) - 1] >= 0)))
+                 / CAST(len(smp) - 1 AS DOUBLE), 6)
+            ELSE 0.0 END AS zcr
+FROM s
 """

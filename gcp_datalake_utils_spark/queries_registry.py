@@ -228,6 +228,10 @@ register("training_shard_shuffle", sampling.training_shard_shuffle,
 # shuffle's token-mass twin (distributed cumsum, no global window)
 register("token_balanced_shards", sampling.token_balanced_shards,
          sampling._token_balanced_oracle())
+# round 11: real RIFF/PCM WAV codec (encode -> chunk-walking decode ->
+# audio features); the codec stub now covers compressed formats only
+register("wav_decode_features", multimodal.wav_decode_features,
+         multimodal.WAV_DECODE_FEATURES_ORACLE)
 # round 10: broadcast-vocab BPE tokenizer (r9 verdict ask #7);
 # token_stats/packing rows are rows-only by design (iterative merge
 # training is not SQL-expressible) and pytest-bracketed vs a driver
@@ -833,6 +837,7 @@ _R11_NEW = [
     "curation_funnel",
     "curation_funnel_rollup",
     "token_balanced_shards",
+    "wav_decode_features",
     "embedding_near_dups_quantized",
     "mermaid_erd_lines_untyped",
     "plantuml_erd_lines_nonull",

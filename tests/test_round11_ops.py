@@ -391,3 +391,48 @@ def test_token_balanced_shards_no_single_partition(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "SinglePartition" not in buf.getvalue()
+
+
+def test_wav_codec_cross_validates_with_stdlib():
+    """The RIFF/PCM builder and parser against the stdlib `wave`
+    module — an independent RIFF implementation — in BOTH directions,
+    plus malformed-container rejection."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+    from gcp_datalake_utils_spark.llm import multimodal as mm
+
+    s = (np.arange(-300, 300, 7)).astype("<i2")
+    # ours -> stdlib
+    b = mm.build_wav(s, 8000)
+    w = wave.open(io.BytesIO(b))
+    assert (w.getframerate(), w.getnchannels(),
+            w.getsampwidth(), w.getnframes()) == (8000, 1, 2, len(s))
+    assert np.frombuffer(w.readframes(len(s)), "<i2").tolist() \
+        == s.tolist()
+    # stdlib -> ours (stdlib writes its own header layout)
+    buf = io.BytesIO()
+    ww = wave.open(buf, "wb")
+    ww.setnchannels(1)
+    ww.setsampwidth(2)
+    ww.setframerate(16000)
+    ww.writeframes(s.tobytes())
+    ww.close()
+    rate, ch, bits, out = mm.parse_wav(buf.getvalue())
+    assert (rate, ch, bits) == (16000, 1, 16)
+    assert out.tolist() == s.tolist()
+    # odd-sized chunk padding: a 1-sample data chunk still parses
+    rate, _, _, one = mm.parse_wav(mm.build_wav(
+        np.array([123], dtype="<i2"), 8000))
+    assert one.tolist() == [123]
+    # malformed containers raise, never guess
+    with _pytest.raises(ValueError, match="RIFF/WAVE"):
+        mm.parse_wav(b"not a wav at all")
+    with _pytest.raises(ValueError, match="fmt/data"):
+        mm.parse_wav(b"RIFF\x04\x00\x00\x00WAVE")
+    bad = bytearray(b)
+    bad[20] = 85  # format tag -> 0x55 (MP3): compressed, refuse
+    with _pytest.raises(ValueError, match="codec"):
+        mm.parse_wav(bytes(bad))
