@@ -202,6 +202,7 @@ HEADLINE = [
     "curation_funnel_rollup",
     "token_balanced_shards",
     "wav_decode_features",
+    "pgm_resize_features",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -385,3 +385,153 @@ SELECT asset_id,
             ELSE 0.0 END AS zcr
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (continued): the image half of the codec-free class — PGM
+# (P5), the binary grayscale Netpbm container. Like WAV, P5 is header
+# grammar + raw bytes: a real parser and a REAL 2x2 box-filter
+# downsample (integer mean of each 2x2 block) replace media_resize's
+# byte-stride stand-in for this format. Pixels derive from text bytes
+# (ASCII < 128), so the DuckDB mirror's chr()/md5 string arithmetic
+# is byte-exact (codepoints < 128 encode to one UTF-8 byte).
+# ---------------------------------------------------------------------------
+
+PGM_WIDTH = 32
+
+_PGM_FEATURES_SCHEMA = ("asset_id long, width int, height int, "
+                        "out_width int, out_height int, "
+                        "mean_luma double, resized_md5 string")
+
+
+def build_pgm(pix) -> bytes:
+    """Genuine P5 bytes: 'P5\\n{w} {h}\\n255\\n' + raw rows."""
+    import numpy as np
+    a = np.asarray(pix, dtype=np.uint8)
+    h, w = a.shape
+    return f"P5\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def parse_pgm(b: bytes):
+    """Real P5 parser: magic, whitespace/comment-tolerant header
+    tokens (the Netpbm grammar allows '#' comments between tokens),
+    maxval gate, exact payload length check. Returns an (h, w) uint8
+    array."""
+    import numpy as np
+    if b[:2] != b"P5":
+        raise ValueError("not a P5 PGM")
+    toks, pos = [], 2
+    while len(toks) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(b) and b[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        toks.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError("demo decoder handles 8-bit PGM")
+    raster = b[pos:pos + w * h]
+    if len(raster) != w * h:
+        raise ValueError("truncated raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+
+
+def pgm_resize_features(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """[Q] encode -> PARSE -> box-downsample -> featurize: each doc's
+    first H*32 bytes (H = largest even row count) become a genuine
+    32-wide P5 image; the parser re-reads the bytes; the resize is a
+    REAL 2x2 integer-mean box filter; output fingerprints the
+    resized P5 bytes and reports its mean luminance. Docs under two
+    full rows (len < 64) have no image — excluded on both engines."""
+    import hashlib
+
+    import numpy as np
+
+    def _kernel(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "width", "height",
+                                   "out_width", "out_height",
+                                   "mean_luma", "resized_md5")}
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(b)
+                h = len(b) // PGM_WIDTH
+                h -= h % 2
+                if h < 2:
+                    continue
+                img = parse_pgm(build_pgm(
+                    np.frombuffer(b[:h * PGM_WIDTH], dtype=np.uint8)
+                    .reshape(h, PGM_WIDTH)))
+                x = img.astype(np.int32)
+                small = ((x[0::2, 0::2] + x[0::2, 1::2]
+                          + x[1::2, 0::2] + x[1::2, 1::2]) // 4) \
+                    .astype(np.uint8)
+                sb = build_pgm(small)
+                out["asset_id"].append(aid)
+                out["width"].append(PGM_WIDTH)
+                out["height"].append(h)
+                out["out_width"].append(PGM_WIDTH // 2)
+                out["out_height"].append(h // 2)
+                # raw double; rounded JVM-side below (F.round is
+                # HALF_UP like DuckDB round(); Python round() banker's-
+                # rounds exact .5s the other way — observed at 6 dp)
+                out["mean_luma"].append(float(small.mean()))
+                out["resized_md5"].append(
+                    hashlib.md5(sb).hexdigest())
+            yield pd.DataFrame(out)
+
+    out = (binary_assets(spark, sf_dir)
+           .select("asset_id", "payload")
+           .mapInPandas(_kernel, _PGM_FEATURES_SCHEMA))
+    return out.withColumn("mean_luma", F.round("mean_luma", 6))
+
+
+PGM_RESIZE_FEATURES_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id AS asset_id,
+         ((length(text) // {PGM_WIDTH})
+          - (length(text) // {PGM_WIDTH}) % 2) AS h,
+         text
+  FROM documents
+  WHERE (length(text) // {PGM_WIDTH})
+        - (length(text) // {PGM_WIDTH}) % 2 >= 2
+),
+pix AS (
+  SELECT asset_id, h,
+         list_transform(range(1, h * {PGM_WIDTH} + 1),
+           j -> ascii(substr(text, CAST(j AS INTEGER), 1))) AS p
+  FROM img
+),
+small AS (
+  SELECT asset_id, h,
+         list_transform(range(0, (h // 2) * {PGM_WIDTH // 2}),
+           i -> (p[CAST((i // {PGM_WIDTH // 2}) * 2 * {PGM_WIDTH}
+                        + (i % {PGM_WIDTH // 2}) * 2 + 1 AS INTEGER)]
+               + p[CAST((i // {PGM_WIDTH // 2}) * 2 * {PGM_WIDTH}
+                        + (i % {PGM_WIDTH // 2}) * 2 + 2 AS INTEGER)]
+               + p[CAST(((i // {PGM_WIDTH // 2}) * 2 + 1) * {PGM_WIDTH}
+                        + (i % {PGM_WIDTH // 2}) * 2 + 1 AS INTEGER)]
+               + p[CAST(((i // {PGM_WIDTH // 2}) * 2 + 1) * {PGM_WIDTH}
+                        + (i % {PGM_WIDTH // 2}) * 2 + 2 AS INTEGER)])
+                // 4) AS q
+  FROM pix
+)
+SELECT asset_id,
+       {PGM_WIDTH} AS width, CAST(h AS INTEGER) AS height,
+       {PGM_WIDTH // 2} AS out_width,
+       CAST(h // 2 AS INTEGER) AS out_height,
+       round(list_sum(list_transform(q, x -> CAST(x AS DOUBLE)))
+             / len(q), 6) AS mean_luma,
+       md5('P5' || chr(10) || '{PGM_WIDTH // 2} ' || (h // 2)
+           || chr(10) || '255' || chr(10)
+           || list_reduce(list_transform(q, v -> chr(CAST(v AS INTEGER))),
+                          (a, b) -> a || b)) AS resized_md5
+FROM small
+"""

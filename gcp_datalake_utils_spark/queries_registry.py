@@ -232,6 +232,8 @@ register("token_balanced_shards", sampling.token_balanced_shards,
 # audio features); the codec stub now covers compressed formats only
 register("wav_decode_features", multimodal.wav_decode_features,
          multimodal.WAV_DECODE_FEATURES_ORACLE)
+register("pgm_resize_features", multimodal.pgm_resize_features,
+         multimodal.PGM_RESIZE_FEATURES_ORACLE)
 # round 10: broadcast-vocab BPE tokenizer (r9 verdict ask #7);
 # token_stats/packing rows are rows-only by design (iterative merge
 # training is not SQL-expressible) and pytest-bracketed vs a driver
@@ -838,6 +840,7 @@ _R11_NEW = [
     "curation_funnel_rollup",
     "token_balanced_shards",
     "wav_decode_features",
+    "pgm_resize_features",
     "embedding_near_dups_quantized",
     "mermaid_erd_lines_untyped",
     "plantuml_erd_lines_nonull",

@@ -436,3 +436,23 @@ def test_wav_codec_cross_validates_with_stdlib():
     bad[20] = 85  # format tag -> 0x55 (MP3): compressed, refuse
     with _pytest.raises(ValueError, match="codec"):
         mm.parse_wav(bytes(bad))
+
+
+def test_pgm_codec_roundtrip_and_grammar():
+    """The P5 builder/parser round-trips, honors Netpbm comment
+    grammar, and rejects malformed rasters."""
+    import numpy as np
+    import pytest as _pytest
+    from gcp_datalake_utils_spark.llm import multimodal as mm
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 128
+    assert (mm.parse_pgm(mm.build_pgm(img)) == img).all()
+    # comment between header tokens (Netpbm grammar)
+    b = b"P5\n# a comment\n8 # widths too\n8\n255\n" + img.tobytes()
+    assert (mm.parse_pgm(b) == img).all()
+    with _pytest.raises(ValueError, match="not a P5"):
+        mm.parse_pgm(b"P6\n1 1\n255\n\x00")
+    with _pytest.raises(ValueError, match="truncated"):
+        mm.parse_pgm(b"P5\n8 8\n255\n" + img.tobytes()[:-1])
+    with _pytest.raises(ValueError, match="8-bit"):
+        mm.parse_pgm(b"P5\n1 1\n65535\n\x00\x00")
