@@ -826,7 +826,9 @@ _rotate_window([*_r10_head, *_r10_fill],
 #   (3) ALL 35 rows whose newest driver green is round 7 (computed
 #       from CORRECTNESS_r01-r10 at rotation time — the r10 fill took
 #       the first 13 of the 48-row r7 queue; these are the rest);
-#   (4) backfill to 50 with the oldest round-8 rows in registry order.
+#   (4) backfill to 50 with the oldest round-8 rows in registry order
+#       (the round-11 additions grew to 15, so the computed fill is
+#       EMPTY and _R11_R8_QUEUE is carried intact as the r12 queue).
 # After this round no oracled row's newest driver green is older than
 # round 8.
 # ---------------------------------------------------------------------------
