@@ -170,9 +170,7 @@ def trained_merges(spark: SparkSession,
                    sf_dir: str) -> list[tuple[str, str]]:
     key = (session_key(spark), sf_dir, BPE_N_MERGES,
            BPE_TRAIN_MAX_WORDS)
-    hit = _MERGE_CACHE.get(key)
-    if hit is None:
-        hit = _MERGE_CACHE.put(key, train_merges(
+    hit = _MERGE_CACHE.get_or_build(key, lambda: train_merges(
             budgeted_word_counts(spark, sf_dir)))
     return hit
 

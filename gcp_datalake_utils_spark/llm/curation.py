@@ -421,12 +421,10 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                   session_key)
     if _FUNNEL_CACHE is None:
         _FUNNEL_CACHE = SessionCache()
-    key = (session_key(spark), sf_dir)
-    hit = _FUNNEL_CACHE.get(key)
-    if hit is not None:
-        return hit
-    out = _curation_funnel_uncached(spark, sf_dir).localCheckpoint()
-    return _FUNNEL_CACHE.put(key, out)
+    return _FUNNEL_CACHE.get_or_build(
+        (session_key(spark), sf_dir),
+        lambda: _curation_funnel_uncached(spark, sf_dir)
+        .localCheckpoint())
 
 
 def _curation_funnel_uncached(spark: SparkSession,

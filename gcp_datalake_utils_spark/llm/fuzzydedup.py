@@ -167,13 +167,11 @@ def _default_run_dir(spark: SparkSession, sf_dir: str) -> str:
     full pipeline; later callers in the same session (e.g. the rollup
     after the doc-level row) find the CONVERGED marker and replay
     nothing. pid_scratch wipes only on this first acquisition."""
-    key = (session_key(spark), sf_dir)
-    hit = _RUN_DIRS.get(key)
-    if hit is None:
+    def _build() -> str:
         from gcp_datalake_utils_spark.sources.scratch import pid_scratch
-        hit = _RUN_DIRS.put(
-            key, pid_scratch("/tmp/spark_graft_fuzzydedup", sf_dir))
-    return hit
+        return pid_scratch("/tmp/spark_graft_fuzzydedup", sf_dir)
+
+    return _RUN_DIRS.get_or_build((session_key(spark), sf_dir), _build)
 
 
 def fuzzy_dedup_removal(spark: SparkSession, sf_dir: str,

@@ -79,13 +79,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                   session_key)
     if _SEM_CACHE is None:
         _SEM_CACHE = SessionCache()
-    key = (session_key(spark), sf_dir)
-    hit = _SEM_CACHE.get(key)
-    if hit is not None:
-        return hit
-    out = _semantic_dedup_from(
-        load_table(spark, sf_dir, "embeddings")).localCheckpoint()
-    return _SEM_CACHE.put(key, out)
+    return _SEM_CACHE.get_or_build(
+        (session_key(spark), sf_dir),
+        lambda: _semantic_dedup_from(
+            load_table(spark, sf_dir, "embeddings")).localCheckpoint())
 
 
 def _semantic_dedup_from(e: DataFrame) -> DataFrame:

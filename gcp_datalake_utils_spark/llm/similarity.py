@@ -1614,18 +1614,18 @@ def _ensure_corpus_sig_store(spark: SparkSession,
                              sf_dir: str) -> tuple[str, int, int]:
     """Persist the corpus side's exploded band-key rows once per
     (session, sf_dir); returns (path, bits, bands)."""
-    cache_key = (session_key(spark), sf_dir)
-    hit = _SIG_STORE.get(cache_key)
-    if hit is not None:
-        return hit
-    from gcp_datalake_utils_spark.sources.scratch import pid_scratch
-    e = load_table(spark, sf_dir, "embeddings")
-    corpus = e.where(F.col("vec_id") % EMB_BATCH_MOD != 0)
-    bits, bands = _auto_band_plan(corpus.count())
-    loc = pid_scratch("/tmp/spark_graft_sigstore", sf_dir) + "/sig"
-    (_band_key_rows(corpus, bits, bands)
-     .write.mode("overwrite").parquet(loc))
-    return _SIG_STORE.put(cache_key, (loc, bits, bands))
+    def _build() -> tuple[str, int, int]:
+        from gcp_datalake_utils_spark.sources.scratch import pid_scratch
+        e = load_table(spark, sf_dir, "embeddings")
+        corpus = e.where(F.col("vec_id") % EMB_BATCH_MOD != 0)
+        bits, bands = _auto_band_plan(corpus.count())
+        loc = pid_scratch("/tmp/spark_graft_sigstore", sf_dir) + "/sig"
+        (_band_key_rows(corpus, bits, bands)
+         .write.mode("overwrite").parquet(loc))
+        return (loc, bits, bands)
+
+    return _SIG_STORE.get_or_build((session_key(spark), sf_dir),
+                                   _build)
 
 
 def embedding_incremental_dedup(spark: SparkSession,

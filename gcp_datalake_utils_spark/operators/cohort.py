@@ -368,13 +368,17 @@ _DAILY_ACT = SessionCache()
 def _ensure_daily_activity(spark: SparkSession, sf_dir: str) -> tuple:
     """Materialize (act_user_day, act_trans_intra) once per session;
     returns the two table names (sf_dir-suffixed so two corpora in one
-    session never read each other's store)."""
+    session never read each other's store). Builds are serialized
+    per key (SessionCache.get_or_build), so concurrent consumers in a
+    threaded host cannot race the bucketed-store write."""
+    key = (session_key(spark), sf_dir)
+    return _DAILY_ACT.get_or_build(
+        key, lambda: _build_daily_activity(spark, sf_dir))
+
+
+def _build_daily_activity(spark: SparkSession, sf_dir: str) -> tuple:
     import hashlib
 
-    key = (session_key(spark), sf_dir)
-    hit = _DAILY_ACT.get(key)
-    if hit is not None:
-        return hit
     from gcp_datalake_utils_spark.sources.bucketing import write_bucketed
     from gcp_datalake_utils_spark.sources.scratch import pid_scratch
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -403,7 +407,7 @@ def _ensure_daily_activity(spark: SparkSession, sf_dir: str) -> tuple:
     spark.sql(f"DROP TABLE IF EXISTS {t_intra}")
     (intra.coalesce(1).write.mode("overwrite")
      .option("path", f"{loc}/{t_intra}").saveAsTable(t_intra))
-    return _DAILY_ACT.put(key, (t_act, t_intra))
+    return (t_act, t_intra)
 
 
 def retention_cohorts_preagg(spark: SparkSession,

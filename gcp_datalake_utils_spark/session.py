@@ -93,6 +93,7 @@ class SessionCache:
         self._d: "OrderedDict" = OrderedDict()
         self._maxsize = maxsize
         self._lock = threading.Lock()
+        self._building: dict = {}  # key -> per-key build gate
 
     def get(self, key, default=None):
         with self._lock:
@@ -116,3 +117,31 @@ class SessionCache:
     def clear(self) -> None:
         with self._lock:
             self._d.clear()
+            self._building.clear()
+
+    def get_or_build(self, key, builder):
+        """Memoized build with PER-KEY serialization: two threads
+        asking for the same key run ``builder`` once (the loser
+        blocks, then reads the winner's value); different keys build
+        concurrently. This is what makes the ``_ensure_*`` store
+        builders safe in a multi-threaded driver host — without it,
+        two concurrent misses would both run the builder and race the
+        same scratch table/path. The main lock is never held during
+        ``builder()`` (which may run Spark jobs for minutes)."""
+        import threading
+        with self._lock:
+            if key in self._d:
+                self._d.move_to_end(key)
+                return self._d[key]
+            gate = self._building.get(key)
+            if gate is None:
+                gate = self._building[key] = threading.Lock()
+        with gate:
+            with self._lock:  # double-check after winning the gate
+                if key in self._d:
+                    self._d.move_to_end(key)
+                    return self._d[key]
+            value = builder()
+            with self._lock:
+                self._building.pop(key, None)
+            return self.put(key, value)

@@ -67,9 +67,11 @@ def _ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
     """Write the day-partitioned events store once per session
     (pid-scoped path; in production this is the table's layout)."""
     key = (session_key(spark), sf_dir)
-    hit = _DAY_STORE.get(key)
-    if hit is not None:
-        return hit
+    return _DAY_STORE.get_or_build(
+        key, lambda: _build_events_by_day(spark, sf_dir))
+
+
+def _build_events_by_day(spark: SparkSession, sf_dir: str) -> str:
     from gcp_datalake_utils_spark.sources.scratch import pid_scratch
     loc = pid_scratch("/tmp/spark_graft_evday", sf_dir)
     # event_day_str duplicates the partition value as a REGULAR column
@@ -82,7 +84,7 @@ def _ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
      .write.mode("overwrite")
      .partitionBy("event_day")
      .parquet(loc))
-    return _DAY_STORE.put(key, loc)
+    return loc
 
 
 def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -456,3 +456,43 @@ def test_pgm_codec_roundtrip_and_grammar():
         mm.parse_pgm(b"P5\n8 8\n255\n" + img.tobytes()[:-1])
     with _pytest.raises(ValueError, match="8-bit"):
         mm.parse_pgm(b"P5\n1 1\n65535\n\x00\x00")
+
+
+def test_session_cache_get_or_build_serializes_per_key():
+    """8 concurrent misses on one key run the builder ONCE; distinct
+    keys build concurrently (no global build lock)."""
+    import threading
+    import time
+
+    from gcp_datalake_utils_spark.session import SessionCache
+
+    c = SessionCache()
+    calls = []
+
+    def builder():
+        calls.append(1)
+        time.sleep(0.15)
+        return "v"
+
+    ts = [threading.Thread(target=lambda: c.get_or_build("k", builder))
+          for _ in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(calls) == 1
+    assert c.get("k") == "v"
+
+    t0 = time.time()
+
+    def slow():
+        time.sleep(0.25)
+        return 1
+
+    ts = [threading.Thread(target=lambda k=k: c.get_or_build(k, slow))
+          for k in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert time.time() - t0 < 0.8, "distinct keys serialized"
