@@ -141,7 +141,13 @@ class SessionCache:
                 if key in self._d:
                     self._d.move_to_end(key)
                     return self._d[key]
-            value = builder()
-            with self._lock:
-                self._building.pop(key, None)
+            try:
+                value = builder()
+            finally:
+                # pop on failure too: a raising builder() must not leave
+                # its gate entry behind, or _building grows monotonically
+                # under repeated distinct-key failures (the next caller
+                # for the same key re-creates a gate and retries)
+                with self._lock:
+                    self._building.pop(key, None)
             return self.put(key, value)
