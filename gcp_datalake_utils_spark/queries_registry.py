@@ -234,6 +234,12 @@ register("wav_decode_features", multimodal.wav_decode_features,
          multimodal.WAV_DECODE_FEATURES_ORACLE)
 register("pgm_resize_features", multimodal.pgm_resize_features,
          multimodal.PGM_RESIZE_FEATURES_ORACLE)
+# round 12: real PNG codec via stdlib zlib (CRC-verified chunk walk,
+# multi-IDAT inflate, all five scanline unfilters) — the first
+# COMPRESSED format decoded for real; the stub now covers only
+# formats whose codecs the container genuinely lacks (JPEG/MP4/FLAC)
+register("png_decode_features", multimodal.png_decode_features,
+         multimodal.PNG_DECODE_FEATURES_ORACLE)
 # round 10: broadcast-vocab BPE tokenizer (r9 verdict ask #7);
 # token_stats/packing rows are rows-only by design (iterative merge
 # training is not SQL-expressible) and pytest-bracketed vs a driver

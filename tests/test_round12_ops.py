@@ -1,0 +1,149 @@
+"""Round-12 additions: the real PNG codec (stdlib-zlib inflate + the
+five scanline unfilters), the non-vacuous planted quantized near-dup
+gate, the incremental curation funnel, and session-cache hygiene."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from gcp_datalake_utils_spark.llm import multimodal as M
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- PNG codec ------------------------------------------------------------
+
+
+def test_png_roundtrip_all_shapes():
+    """decode(encode(x)) == x across shapes that exercise every filter
+    type (h >= 5 hits none/sub/up/average/paeth) and both the single-
+    and multi-IDAT paths."""
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 32), (2, 5), (4, 1), (5, 32), (7, 32), (9, 3),
+                 (64, 64)]:
+        pix = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        img, n_idat = M.parse_png(M.build_png(pix))
+        assert img.shape == (h, w)
+        assert (img == pix).all(), (h, w)
+    # gradient + constant images (filter-friendly extremes)
+    for pix in (np.tile(np.arange(32, dtype=np.uint8), (6, 1)),
+                np.full((6, 32), 200, dtype=np.uint8)):
+        img, _ = M.parse_png(M.build_png(pix))
+        assert (img == pix).all()
+
+
+def test_png_multi_idat_and_ancillary_skip():
+    """Normal-document-sized images deflate past _PNG_IDAT_CHUNK, so
+    the stream spans >= 2 IDAT chunks the walker must concatenate; the
+    tEXt ancillary chunk is present in the bytes and skipped."""
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, (16, 32)).astype(np.uint8)
+    b = M.build_png(pix)
+    assert b.count(b"IDAT") >= 2
+    assert b"tEXt" in b
+    img, n_idat = M.parse_png(b)
+    assert n_idat >= 2
+    assert (img == pix).all()
+
+
+def test_png_filter_bytes_cover_all_five():
+    """The encoder's r % 5 schedule must materialize as real filter
+    bytes in the deflated stream — peek the inflated scanlines."""
+    pix = np.random.default_rng(3).integers(0, 256, (10, 8)) \
+        .astype(np.uint8)
+    b = M.build_png(pix)
+    # concat IDAT data the same way the parser does
+    pos, idat = 8, bytearray()
+    while pos + 8 <= len(b):
+        size, ctype = struct.unpack_from(">I4s", b, pos)
+        if ctype == b"IDAT":
+            idat += b[pos + 8:pos + 8 + size]
+        pos += 12 + size
+    raw = zlib.decompress(bytes(idat))
+    filters = [raw[r * 9] for r in range(10)]
+    assert filters == [r % 5 for r in range(10)]
+
+
+def test_png_known_pixels_hand_checked():
+    """2x2 image decoded equals the hand-derived raster (row 0 filter
+    none, row 1 filter sub: [10, 250] -> filtered [10, 240]; decode
+    must prefix-sum mod 256)."""
+    pix = np.array([[7, 9], [10, 250]], dtype=np.uint8)
+    b = M.build_png(pix)
+    img, _ = M.parse_png(b)
+    assert img.tolist() == [[7, 9], [10, 250]]
+
+
+def test_png_malformed_raise():
+    pix = np.random.default_rng(5).integers(0, 256, (5, 32)) \
+        .astype(np.uint8)
+    b = M.build_png(pix)
+    with pytest.raises(ValueError, match="signature"):
+        M.parse_png(b"nope" + b[4:])
+    bad = bytearray(b)
+    bad[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        M.parse_png(bytes(bad))
+    with pytest.raises(ValueError, match="IHDR|IDAT|IEND"):
+        M.parse_png(b[:-12])  # drop IEND
+    # color type 2 (RGB) must be rejected, not misread
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    rgb = (M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+           + M._png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+           + M._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="grayscale"):
+        M.parse_png(rgb)
+    # truncated IDAT payload vs declared length
+    with pytest.raises(ValueError):
+        M.parse_png(b[:len(b) // 2])
+
+
+def test_png_features_match_pixel_arithmetic(spark):
+    """The [Q] row's features recomputed directly from the text bytes
+    (the oracle's generative formula) equal the decoded-path output."""
+    import hashlib
+
+    df = M.png_decode_features(spark, SF)
+    rows = {r["asset_id"]: r for r in df.collect()}
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").collect())
+    n_checked = 0
+    for d in docs[:40]:
+        raw = d["text"].encode()
+        h = len(raw) // M.PNG_WIDTH
+        if h < 1:
+            assert d["doc_id"] not in rows
+            continue
+        pix = np.frombuffer(raw[:h * M.PNG_WIDTH], dtype=np.uint8) \
+            .reshape(h, M.PNG_WIDTH)
+        r = rows[d["doc_id"]]
+        assert r["width"] == M.PNG_WIDTH and r["height"] == h
+        assert r["pixel_md5"] == hashlib.md5(pix.tobytes()).hexdigest()
+        x = pix.astype(np.float64)
+        assert r["mean_luma"] == pytest.approx(x.mean(), abs=1e-6)
+        assert r["mean_abs_dx"] == pytest.approx(
+            np.abs(np.diff(x, axis=1)).mean(), abs=1e-6)
+        n_checked += 1
+    assert n_checked >= 30
+
+
+# --- session-cache hygiene --------------------------------------------------
+
+
+def test_session_cache_pops_gate_on_builder_failure():
+    """A raising builder() must not leave its per-key gate behind
+    (monotonic _building growth under repeated distinct-key failures);
+    the next caller for the key retries and can succeed."""
+    from gcp_datalake_utils_spark.session import SessionCache
+
+    c = SessionCache()
+    for k in range(20):
+        with pytest.raises(RuntimeError):
+            c.get_or_build(k, lambda: (_ for _ in ()).throw(
+                RuntimeError("boom")))
+    assert not c._building, "gate entries leaked on failure"
+    assert c.get_or_build(3, lambda: "ok") == "ok"
