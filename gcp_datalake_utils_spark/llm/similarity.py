@@ -1338,9 +1338,19 @@ def embedding_near_dups_quantized(spark: SparkSession,
     term), so int8 removes ~2.3 kB/vec — the crossover is
     dims >~ 8 x block_mass x pair_row_bytes / (3 x 4) ~ 370 dims at
     the measured band plan. Ship the float path below that, this twin
-    above it; both verify stages stay oracle-exact either way."""
-    return _near_dups_quantized_from(
-        load_table(spark, sf_dir, "embeddings"))
+    above it; both verify stages stay oracle-exact either way.
+
+    Round 12 (r11 verdict "what's wrong" #1): the corpus is planted
+    with deterministic near-dup twins (see _with_planted_twins) so
+    the driver gate verifies a NON-EMPTY pair set at sf0.01 — the r11
+    row was a hash match on the empty set. Even-id twins are exact
+    copies (identical signature -> guaranteed band collision, cosine
+    1.0); odd-id twins bump element 0 by +0.25, landing at cosine
+    ~0.96-0.99 — above the 0.95 verify threshold but NOT at the int8
+    prefilter's trivial fixed point, so the quantized dot/norm
+    arithmetic is exercised on a value the oracle must reproduce."""
+    return _near_dups_quantized_from(_with_planted_twins(
+        load_table(spark, sf_dir, "embeddings")))
 
 
 def _near_dups_quantized_from(e: DataFrame) -> DataFrame:
@@ -1349,7 +1359,55 @@ def _near_dups_quantized_from(e: DataFrame) -> DataFrame:
     return _verify_pairs_arrow(survivors, e, 0.95)
 
 
-_Q8_CODES_SQL = """
+# Planted near-dup twins (round 12): the sf0.01 corpus is 500 random
+# unit vectors — zero true pairs, so the driver hash was evidence on
+# the empty set. Twins of the first ND_PLANT_N vectors make the gate
+# non-vacuous. The bump is computed IN DOUBLE and cast back to float32
+# on both engines (IEEE round-to-nearest both ways), so the twin's
+# float bits — and therefore every downstream signature/band/int8/
+# cosine stage — are bit-identical across Spark and DuckDB.
+ND_PLANT_N = 12
+ND_PLANT_OFFSET = 1_000_000
+ND_PLANT_BUMP = 0.25
+
+
+def _with_planted_twins(e: DataFrame) -> DataFrame:
+    """Corpus + deterministic near-dup twins of the first ND_PLANT_N
+    vectors (twin id = vec_id + ND_PLANT_OFFSET, same label): even ids
+    duplicate exactly (cosine 1.0, identical band signature — the
+    guaranteed-capture anchor), odd ids bump element 0 by
+    +ND_PLANT_BUMP (cosine ~0.96-0.99 on unit vectors — verified
+    above threshold, non-trivial for the int8 prefilter)."""
+    bumped = F.concat(
+        F.array((F.element_at("embedding", 1).cast("double")
+                 + F.lit(ND_PLANT_BUMP)).cast("float")),
+        F.slice("embedding", 2, N_DIMS - 1))
+    twins = (e.where(F.col("vec_id") < ND_PLANT_N)
+             .select((F.col("vec_id") + F.lit(ND_PLANT_OFFSET))
+                     .alias("vec_id"),
+                     F.when(F.col("vec_id") % 2 == 0,
+                            F.col("embedding"))
+                     .otherwise(bumped).alias("embedding"),
+                     "label"))
+    return e.select("vec_id", "embedding", "label").unionByName(twins)
+
+
+_PLANTED_SQL = f"""
+SELECT vec_id, embedding, label FROM embeddings
+UNION ALL
+SELECT vec_id + {ND_PLANT_OFFSET} AS vec_id,
+       CASE WHEN vec_id % 2 = 0 THEN embedding
+            ELSE list_concat(
+              [CAST(CAST(embedding[1] AS DOUBLE) + {ND_PLANT_BUMP}
+                    AS REAL)],
+              embedding[2:]) END AS embedding,
+       label
+FROM embeddings WHERE vec_id < {ND_PLANT_N}
+"""
+
+
+def _q8_codes_sql(tbl: str = "embeddings") -> str:
+    return f"""
 SELECT vec_id, label,
        CASE WHEN scale > 1e-30
             THEN list_transform(embedding, x ->
@@ -1360,9 +1418,12 @@ FROM (
   SELECT vec_id, label, embedding,
          list_max(list_transform(embedding,
                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-  FROM embeddings
+  FROM {tbl}
 )
 """
+
+
+_Q8_CODES_SQL = _q8_codes_sql()
 
 _Q8_NORM_SQL = ("sqrt(list_sum(list_transform({q}, "
                 "x -> CAST(x AS BIGINT) * x)))")
@@ -1370,11 +1431,12 @@ _Q8_DOT_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
                "p -> CAST(p[1] AS BIGINT) * p[2]))")
 
 EMBEDDING_NEAR_DUP_QUANTIZED_ORACLE = f"""
-WITH sig AS (
+WITH pl AS ({_PLANTED_SQL}),
+sig AS (
   SELECT vec_id, label,
          {_bucket32_duck('embedding', 32)} AS b_hi,
          {_bucket32_duck('embedding', 0)} AS b_lo
-  FROM embeddings
+  FROM pl
 ),
 bands AS (
   SELECT vec_id, label, j AS band,
@@ -1390,7 +1452,7 @@ cand AS (
   JOIN bands b ON a.label = b.label AND a.band = b.band
               AND a.key = b.key AND a.vec_id < b.vec_id
 ),
-q AS ({_Q8_CODES_SQL}),
+q AS ({_q8_codes_sql('pl')}),
 pre AS (
   SELECT c.vec_a, c.vec_b, c.label
   FROM cand c
@@ -1405,8 +1467,8 @@ pre AS (
 )
 SELECT c.vec_a, c.vec_b, c.label, {{cos}} AS cosine
 FROM pre c
-JOIN embeddings ea ON ea.vec_id = c.vec_a
-JOIN embeddings eb ON eb.vec_id = c.vec_b
+JOIN pl ea ON ea.vec_id = c.vec_a
+JOIN pl eb ON eb.vec_id = c.vec_b
 WHERE {{cos}} >= 0.95
 """.format(cos=(
     "round((" + _DOT_SQL.format(a="ea.embedding", b="eb.embedding")

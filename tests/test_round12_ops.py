@@ -147,3 +147,24 @@ def test_session_cache_pops_gate_on_builder_failure():
                 RuntimeError("boom")))
     assert not c._building, "gate entries leaked on failure"
     assert c.get_or_build(3, lambda: "ok") == "ok"
+
+
+# --- planted quantized near-dup gate ----------------------------------------
+
+
+def test_quantized_gate_planted_pairs_nonvacuous(spark):
+    """The [Q] row verifies a NON-EMPTY set: every planted twin pair
+    (i, i + ND_PLANT_OFFSET) for i < ND_PLANT_N appears; even anchors
+    at cosine exactly 1.0, odd bumped twins strictly inside
+    (0.95, 1.0) — i.e. the prefilter admitted a non-trivial value."""
+    from gcp_datalake_utils_spark.llm import similarity as S
+
+    rows = S.embedding_near_dups_quantized(spark, SF).collect()
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in rows}
+    assert len(got) >= S.ND_PLANT_N
+    for i in range(S.ND_PLANT_N):
+        cos = got[(i, i + S.ND_PLANT_OFFSET)]
+        if i % 2 == 0:
+            assert cos == pytest.approx(1.0, abs=1e-6)
+        else:
+            assert 0.95 <= cos < 0.9999, (i, cos)
