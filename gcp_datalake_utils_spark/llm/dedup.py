@@ -67,14 +67,21 @@ _SHINGLES_SQL = (
     f"i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2]))")
 
 
+def content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content_md5): the exact-dedup normalization — shared by
+    exact_dup_groups and the incremental curation funnel so both
+    screens agree byte-for-byte on what "the same document" means."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm.cast("binary"))
+                    .alias("content_md5"))
+
+
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] exact dedup: normalized-content hash groups with canonical
     (min) doc id — the hash-groupBy pattern that scales to any corpus."""
-    d = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
-    h = F.md5(norm.cast("binary"))
     w = Window.partitionBy("content_md5")
-    return (d.select("doc_id", h.alias("content_md5"))
+    return (content_hashes(spark, sf_dir)
             .withColumn("group_size",
                         F.count("*").over(w).cast("long"))
             .withColumn("canonical_doc_id", F.min("doc_id").over(w))

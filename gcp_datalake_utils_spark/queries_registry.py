@@ -240,6 +240,12 @@ register("pgm_resize_features", multimodal.pgm_resize_features,
 # formats whose codecs the container genuinely lacks (JPEG/MP4/FLAC)
 register("png_decode_features", multimodal.png_decode_features,
          multimodal.PNG_DECODE_FEATURES_ORACLE)
+# round 12: incremental curation funnel — admit a new batch against
+# the CONVERGED store (store-precedence near-dup screen + batch
+# exact/fuzzy/quality), oracle = from-scratch SQL recompute of the
+# same semantics (the dedup_incremental / daily_activity_cdc pattern)
+register("curation_incremental", curation.curation_incremental,
+         curation._curation_incremental_oracle())
 # round 10: broadcast-vocab BPE tokenizer (r9 verdict ask #7);
 # token_stats/packing rows are rows-only by design (iterative merge
 # training is not SQL-expressible) and pytest-bracketed vs a driver

@@ -168,3 +168,58 @@ def test_quantized_gate_planted_pairs_nonvacuous(spark):
             assert cos == pytest.approx(1.0, abs=1e-6)
         else:
             assert 0.95 <= cos < 0.9999, (i, cos)
+
+
+# --- incremental curation funnel ---------------------------------------------
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_curation_incremental_monotone_and_store_precedence(spark):
+    """Verdict flags are monotone per doc; any batch doc with an exact
+    twin in the admitted store is dropped at the exact stage."""
+    from gcp_datalake_utils_spark.llm import curation as C
+
+    rows = C.curation_incremental(spark, SF).collect()
+    assert rows, "batch verdict is empty"
+    for r in rows:
+        assert r["doc_id"] % 10 == 0
+        # monotone: dropped at stage k stays dropped
+        assert not (r["fuzzy_kept"] and not r["exact_kept"])
+        assert not (r["final_kept"] and not r["fuzzy_kept"])
+
+
+def test_curation_store_replay_reproduces_verdict(spark, tmp_path):
+    """The persisted-store path equals the in-memory [Q] row; a second
+    call after 'restart' skips the store build (parquet untouched) and
+    reproduces the verdict byte-for-byte; a crash mid-build (no
+    CONVERGED marker, partial files present) rebuilds cleanly."""
+    import os
+
+    from gcp_datalake_utils_spark.llm import curation as C
+
+    store = str(tmp_path / "store")
+    expected = _rows(C.curation_incremental(spark, SF))
+
+    got1 = _rows(C.admit_batch_against_store(spark, SF, store))
+    assert got1 == expected
+    assert os.path.exists(os.path.join(store, "CONVERGED"))
+
+    # replay: store must NOT be rebuilt (mtimes frozen), verdict equal
+    mtimes = {p: os.path.getmtime(os.path.join(store, p))
+              for p in ("hashes", "bands", "shingles")}
+    got2 = _rows(C.admit_batch_against_store(spark, SF, store))
+    assert got2 == expected
+    for p, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(store, p)) == t, \
+            f"{p} rebuilt on replay"
+
+    # crash mid-build: marker gone, partial artifacts remain
+    os.remove(os.path.join(store, "CONVERGED"))
+    import shutil
+    shutil.rmtree(os.path.join(store, "shingles"))
+    got3 = _rows(C.admit_batch_against_store(spark, SF, store))
+    assert got3 == expected
+    assert os.path.exists(os.path.join(store, "CONVERGED"))
