@@ -921,6 +921,89 @@ _r11_fill = _R11_R8_QUEUE[: 50 - len(_r11_head)]
 _rotate_window([*_r11_head, *_r11_fill],
                _R11_R8_QUEUE[50 - len(_r11_head):])
 
+# ---------------------------------------------------------------------------
+# ROUND-12 WINDOW ROTATION (r11 verdict ask #5). Superseding the r11
+# rotation above (kept as the r11 evidence record). The r12 window:
+#   (1) the round-12 additions the driver has never hashed
+#       (png_decode_features, curation_incremental);
+#   (2) embedding_near_dups_quantized — green r11, but that hash was a
+#       match on the EMPTY set (r11 verdict "what's wrong" #1) and
+#       round 12 planted near-dup twins into the row's corpus AND its
+#       oracle, so both the contract and the evidence need a fresh
+#       non-vacuous driver hash;
+#   (3) 47 of the 49 rows whose newest driver green is round 8
+#       (recomputed from CORRECTNESS_r01-r11 at rotation time).
+# The 50-slot window cannot hold 49 + 3: the two rows deferred to the
+# r13 queue head are grid_layout_coords and rules_file_source — both
+# re-verified green at HEAD by the r11 judge's own sampled gate (the
+# freshest manual evidence among the 49), so deferring them one round
+# loses the least. After this round at most those two oracled rows
+# have driver evidence older than r9.
+# ---------------------------------------------------------------------------
+
+_R12_NEW = [
+    "png_decode_features",
+    "curation_incremental",
+    "embedding_near_dups_quantized",
+]
+
+# the 49 rows whose newest driver green is r8, in CORRECTNESS_r08
+# order; the last two (judge-re-verified at r11 HEAD) defer to r13
+_R12_R8_STALE = [
+    "detect_foreign_key",
+    "pricing_summary",
+    "revenue_by_nation",
+    "similarity_embedding_near_dups",
+    "tfidf_top_terms",
+    "similarity_rp_lsh_topk",
+    "label_centroids",
+    "stratified_sample",
+    "snapshot_diff",
+    "restore_summary",
+    "events_in_type_windows",
+    "kmeans_iterate",
+    "corpus_mixture",
+    "pagerank_tables",
+    "corpus_vocabulary",
+    "batch_ann_topk",
+    "simhash64_near_pairs",
+    "batch_ann64_topk",
+    "order_lines_nested",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "bloom_prefilter_audit",
+    "prefix_filter_pairs",
+    "funnel_conversion",
+    "robust_outliers",
+    "funnel_completions_stream",
+    "hll_grouped",
+    "value_drift_psi",
+    "pmi_collocations",
+    "revenue_by_nation_salted",
+    "events_by_type_two_phase",
+    "revenue_by_nation_bucketed",
+    "inverted_index",
+    "embedding_quantize",
+    "paragraph_dedup",
+    "ann_recall_audit",
+    "cosine_topk_arrow",
+    "ann_rerank",
+    "embedding_near_dups64",
+    "profile_orders",
+    "evolving_read",
+    "events_pivot",
+    "events_rolling",
+    "zorder_layout",
+    "revenue_by_nation_preagg",
+    "lm_doc_scores_pruned",
+    "order_lines_nested_bucketed",
+    "grid_layout_coords",
+    "rules_file_source",
+]
+
+_r12_head = [*_R12_NEW, *_R12_R8_STALE[:50 - len(_R12_NEW)]]
+_rotate_window(_r12_head, _R12_R8_STALE[50 - len(_R12_NEW):])
+
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detection.detect_all(spark)
