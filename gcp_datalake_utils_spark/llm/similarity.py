@@ -176,13 +176,17 @@ def _plane_sign_sql(j: int, d: str) -> str:
     return _plane_sign_sql_expr(str(j), d)
 
 
-def _plane_matrix(n_planes: int):
+def _plane_matrix(n_planes: int, dims: int = N_DIMS):
     """The same ±1 plane matrix for the numpy (Arrow-kernel) twins —
-    bit-identical to the SQL hash above (pytest-asserted)."""
+    bit-identical to the SQL hash above (pytest-asserted). ``dims``
+    generalizes the family to non-64-dim corpora (the 768-dim
+    crossover fixture); at dims=64 the matrix is bit-identical to the
+    historical one (k = j*dims + d degenerates to j*64 + d). Integer-
+    hash safety holds to k ~ 3.5e5 (k^2 * PA < 2^63)."""
     import numpy as np
     j = np.arange(n_planes, dtype=np.int64)[:, None]
-    d = np.arange(N_DIMS, dtype=np.int64)[None, :]
-    k = j * N_DIMS + d
+    d = np.arange(dims, dtype=np.int64)[None, :]
+    k = j * dims + d
     return np.where(((k * k * _PA + k * _PB) % _PM) % 2 == 0, 1.0, -1.0)
 
 
@@ -1546,14 +1550,16 @@ def _auto_band_plan(n: int) -> tuple[int, int]:
     return bits, ND_BANDS_AUTO + ND_EXTRA_BANDS_PER_BIT * max(0, bits - 16)
 
 
-def _band_key_rows(e: DataFrame, bits: int, bands: int) -> DataFrame:
+def _band_key_rows(e: DataFrame, bits: int, bands: int,
+                   dims: int = N_DIMS) -> DataFrame:
     """(vec_id, label, band, key): one exploded RP-LSH band-key row per
     (vector, band), keys from one numpy GEMV per Arrow batch over the
-    shared quadratic-integer-hash plane family."""
+    shared quadratic-integer-hash plane family. ``dims`` follows the
+    corpus width (default the 64-dim driver corpora)."""
     import numpy as np
     import pandas as pd
 
-    planes = _plane_matrix(bands * bits)
+    planes = _plane_matrix(bands * bits, dims)
     w = (1 << np.arange(bits, dtype=np.int64))
 
     def band_keys(batches):
@@ -1610,6 +1616,86 @@ def embedding_near_dups_auto(spark: SparkSession,
     bits, bands = _auto_band_plan(e.count())
     return _verify_pairs_arrow(_banded_candidates(e, bits, bands),
                                e, 0.95)
+
+
+# ---------------------------------------------------------------------------
+# Per-label-group sharding (round 12 — the documented >= 1e9-vector
+# lever, now code). Past bits = 24 the plane budget binds and keys
+# cannot widen, so a single candidate join's in-flight state (band-key
+# shuffle + per-(label, band, key) block fan-out) grows with n with no
+# remaining knob. But candidate pairs NEVER cross labels — the join
+# already keys on label — so restricting both sides to one GROUP of
+# labels (shard = label % n_shards, a pure function of the join key)
+# is LOSSLESS: the union over shards is exactly the unsharded pair
+# set. Two forms:
+#
+#  * in-DAG (`_banded_candidates_sharded`): one join carrying `shard`
+#    as an extra leading equi-join key — same result, same total
+#    work; the shard column rides the exchange so a cluster can
+#    range-place whole label groups (and AQE sees the skew grain).
+#  * sequential (`scratch_dir=`): shards run as SEPARATE JOBS, each
+#    parquet-committed before the next starts — peak shuffle/heap is
+#    ONE SHARD'S, which is what actually failed locally at 16M
+#    (kernel-OOM at 64g with 32 workers, r10 BASELINE note). This is
+#    the fuzzydedup durable-stage pattern applied to candidate
+#    generation: at 1e9+ vectors each shard is a bounded-mass job and
+#    a lost executor re-runs one shard, not the whole join.
+#
+# Block mass per (label, band, key) within a shard equals the
+# unsharded mass for those labels (sharding splits the JOB, the
+# blocks were already label-disjoint) — the stress table records
+# per-shard block mass to pin that claim at 16M.
+# ---------------------------------------------------------------------------
+
+
+def _banded_candidates_sharded(e: DataFrame, bits: int, bands: int,
+                               n_shards: int,
+                               scratch_dir: str | None = None
+                               ) -> DataFrame:
+    """(vec_a, vec_b, label) — identical result to
+    _banded_candidates, computed per label group. With scratch_dir the
+    shards are materialized sequentially (bounded peak state); without
+    it the shard key joins in-DAG as one extra equi-join column."""
+    sig = _band_key_rows(e, bits, bands) \
+        .withColumn("shard",
+                    F.pmod(F.col("label"), F.lit(n_shards))
+                    .cast("int")) \
+        .localCheckpoint()
+
+    def _pairs(s: DataFrame) -> DataFrame:
+        a = s.select(F.col("vec_id").alias("vec_a"), "shard",
+                     "label", "band", "key")
+        b = s.select(F.col("vec_id").alias("vec_b"), "shard",
+                     "label", "band", "key")
+        return (a.join(b, ["shard", "label", "band", "key"])
+                .where(F.col("vec_a") < F.col("vec_b"))
+                .select("vec_a", "vec_b", "label")
+                .distinct())
+
+    if scratch_dir is None:
+        return _pairs(sig)
+    spark = e.sparkSession
+    for g in range(n_shards):
+        (_pairs(sig.where(F.col("shard") == g))
+         .write.mode("overwrite")
+         .parquet(f"{scratch_dir}/shard={g}"))
+    return spark.read.parquet(
+        *[f"{scratch_dir}/shard={g}" for g in range(n_shards)])
+
+
+def embedding_near_dups_sharded(spark: SparkSession, sf_dir: str,
+                                n_shards: int = 4,
+                                scratch_dir: str | None = None
+                                ) -> DataFrame:
+    """embedding_near_dups_auto computed through the label-group-
+    sharded candidate generator — same knobs, same verify, same
+    result set (pytest-asserted equal to the auto path); the form a
+    >= 1e9-vector corpus runs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bits, bands = _auto_band_plan(e.count())
+    cand = _banded_candidates_sharded(e, bits, bands, n_shards,
+                                      scratch_dir)
+    return _verify_pairs_arrow(cand, e, 0.95)
 
 
 EMBEDDING_NEAR_DUPS_AUTO_ORACLE = f"""

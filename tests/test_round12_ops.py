@@ -223,3 +223,60 @@ def test_curation_store_replay_reproduces_verdict(spark, tmp_path):
     got3 = _rows(C.admit_batch_against_store(spark, SF, store))
     assert got3 == expected
     assert os.path.exists(os.path.join(store, "CONVERGED"))
+
+
+# --- label-group-sharded ANN candidates --------------------------------------
+
+
+def _formatted_plan(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution \
+        .ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_sharded_candidates_equal_unsharded(spark, tmp_path):
+    """Label-group sharding is LOSSLESS: both the in-DAG extra-key
+    form and the sequential parquet-committed form produce exactly
+    the unsharded candidate set (and verified pair set)."""
+    from gcp_datalake_utils_spark.llm import similarity as S
+    from gcp_datalake_utils_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "embeddings")
+    bits, bands = S._auto_band_plan(e.count())
+    base = set(map(tuple, S._banded_candidates(e, bits, bands)
+                   .collect()))
+    assert base, "need non-empty candidates for a meaningful check"
+    indag = set(map(tuple, S._banded_candidates_sharded(
+        e, bits, bands, n_shards=4).collect()))
+    assert indag == base
+    seq = set(map(tuple, S._banded_candidates_sharded(
+        e, bits, bands, n_shards=3,
+        scratch_dir=str(tmp_path / "cand")).collect()))
+    assert seq == base
+    auto = set(map(tuple, S.embedding_near_dups_auto(spark, sf)
+                   .collect()))
+    shd = set(map(tuple, S.embedding_near_dups_sharded(spark, sf, 4)
+                  .collect()))
+    assert shd == auto
+
+
+def test_sharded_candidates_plan_shape(spark):
+    """The in-DAG sharded join is an EQUI join carrying the shard key
+    (no cartesian, no broadcast-nested-loop), with shard/label/band/key
+    all in the join keys."""
+    from gcp_datalake_utils_spark.llm import similarity as S
+    from gcp_datalake_utils_spark.sources import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = S._banded_candidates_sharded(e, 8, 8, n_shards=4)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    key_lines = [ln for ln in plan.splitlines()
+                 if ln.strip().startswith(("Left keys", "Right keys"))]
+    assert key_lines, "no equi-join key lines in the plan"
+    assert all("[4]" in ln and "shard" in ln and "label" in ln
+               and "band" in ln and "key" in ln for ln in key_lines), \
+        "shard must join as an extra equi key alongside label/band/key"

@@ -39,11 +39,14 @@ VOCAB = ("batch part spark line column order small sort fast value scan "
          "memory code node core rack file block page").split()
 
 
-def gen_vectors_only(k: int, out: str) -> None:
+def gen_vectors_only(k: int, out: str, dims: int = 64) -> None:
     """--vecs mode (round 9, r8 verdict ask #6): an embeddings-ONLY
     corpus for stressing the ANN auto-band knob at vector counts the
     full-table generator would pay 17 GB of unrelated tables for.
-    Same seeded-random recipe as the main path."""
+    Same seeded-random recipe as the main path. --vecs-hd (round 12)
+    generates production-width 768-dim vectors for the int8-verify
+    crossover measurement (dims >~ 370 is where the quantized twin's
+    exchange cut pays)."""
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute("SELECT setseed(0.42)")
@@ -53,7 +56,7 @@ def gen_vectors_only(k: int, out: str) -> None:
     con.execute(f"""
         COPY (
           SELECT v.i AS vec_id,
-                 list_transform(range(64),
+                 list_transform(range({dims}),
                    x -> CAST(random() * 2 - 1 AS FLOAT)) AS embedding,
                  CAST(v.i % {n_lab} AS INT) AS label
           FROM range({n_vec * k}) AS v(i))
@@ -61,7 +64,7 @@ def gen_vectors_only(k: int, out: str) -> None:
     n = con.execute(f"SELECT count(*) FROM "
                     f"read_parquet('{out}/embeddings.parquet')"
                     ).fetchone()[0]
-    print(f"embeddings: {n} rows")
+    print(f"embeddings: {n} rows x {dims} dims")
 
 
 def main() -> None:
@@ -73,13 +76,18 @@ def main() -> None:
         if a.startswith("--tables="):
             only = set(a.split("=", 1)[1].split(","))
             sys.argv.remove(a)
-    args = [a for a in sys.argv[1:] if a not in ("--zipf", "--vecs")]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--zipf", "--vecs", "--vecs-hd")]
     zipf = "--zipf" in sys.argv[1:]
 
     def want(t: str) -> bool:
         return only is None or t in only
     if "--vecs" in sys.argv[1:]:
         gen_vectors_only(int(args[0]), args[1])
+        return
+    if "--vecs-hd" in sys.argv[1:]:
+        gen_vectors_only(int(args[0]), args[1],
+                         dims=int(args[2]) if len(args) > 2 else 768)
         return
     k = int(args[0]) if args else 10
     out = args[1] if len(args) > 1 else \
