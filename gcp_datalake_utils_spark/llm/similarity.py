@@ -1357,10 +1357,35 @@ def embedding_near_dups_quantized(spark: SparkSession,
         load_table(spark, sf_dir, "embeddings")))
 
 
+def quantized_verify(cand: DataFrame, e: DataFrame,
+                     threshold: float = 0.95) -> DataFrame:
+    """int8 prefilter -> float rescore over an arbitrary candidate
+    set — the quantized twin's verify composition, shared by the [Q]
+    row and the crossover measurement tool.
+
+    The survivor set is checkpointed because it feeds BOTH the
+    endpoint semi-join and the rescore cogroup — without it the int8
+    prefilter cogroup (the pipeline's heavy stage) runs twice. The
+    rescore then ships ONLY the vectors survivor pairs reference —
+    the whole point of prefiltering. The first 768-dim measurement
+    (BASELINE round 12) caught the unrestricted form re-shipping the
+    full float table into the rescore cogroup, which erased the byte
+    savings the int8 codes bought (837 MB total vs the float path's
+    679 MB); survivor-endpoint semi-joining makes the rescore
+    exchange survivor-sized, as the crossover arithmetic assumes."""
+    survivors = _prefilter_pairs_quantized(cand, _quantized_codes(e)) \
+        .localCheckpoint()
+    ids = (survivors.select(F.col("vec_a").alias("vec_id"))
+           .unionByName(survivors.select(F.col("vec_b")
+                                         .alias("vec_id")))
+           .distinct())
+    return _verify_pairs_arrow(survivors,
+                               e.join(ids, "vec_id", "leftsemi"),
+                               threshold)
+
+
 def _near_dups_quantized_from(e: DataFrame) -> DataFrame:
-    survivors = _prefilter_pairs_quantized(_cand64_from(e),
-                                           _quantized_codes(e))
-    return _verify_pairs_arrow(survivors, e, 0.95)
+    return quantized_verify(_cand64_from(e), e, 0.95)
 
 
 # Planted near-dup twins (round 12): the sf0.01 corpus is 500 random

@@ -87,9 +87,7 @@ def main() -> None:
             "pairs": pairs}), flush=True)
 
     run("float", lambda: S._verify_pairs_arrow(cand, e, 0.95))
-    run("int8", lambda: S._verify_pairs_arrow(
-        S._prefilter_pairs_quantized(cand, S._quantized_codes(e)),
-        e, 0.95))
+    run("int8", lambda: S.quantized_verify(cand, e, 0.95))
     shutil.rmtree(scratch, ignore_errors=True)
 
 
