@@ -203,6 +203,14 @@ HEADLINE = [
     "token_balanced_shards",
     "wav_decode_features",
     "pgm_resize_features",
+    # round-12 additions: the real PNG codec chain (scan-bound, zero
+    # exchange — benched next to its WAV/PGM siblings) and the
+    # incremental funnel (store build + batch admission; the store
+    # memo is per-session, so each timed run pays admission only
+    # after the warm-up builds the checkpoint — the curation_funnel
+    # precedent)
+    "png_decode_features",
+    "curation_incremental",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -575,12 +575,31 @@ FROM verdict GROUP BY source
 # ---------------------------------------------------------------------------
 
 
+_STORE_CACHE = None  # lazy SessionCache (import cycle guard)
+
+
 def _store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, content_md5, admitted) for every STORE doc
     (doc_id % BATCH_MOD != 0): the r11 funnel semantics restricted to
     the store corpus — exact canon (min doc_id per hash among store
     docs), near-dup keep-best by quality over the exact-survivor
-    subgraph, quality gate."""
+    subgraph, quality gate. Memoized per (session, corpus) as an eager
+    checkpoint (the curation_funnel precedent): the store is CONVERGED
+    by definition, so consumers after the first pay a materialized
+    scan, not a second LSH pipeline."""
+    global _STORE_CACHE
+    from gcp_datalake_utils_spark.session import (SessionCache,
+                                                  session_key)
+    if _STORE_CACHE is None:
+        _STORE_CACHE = SessionCache()
+    return _STORE_CACHE.get_or_build(
+        (session_key(spark), sf_dir),
+        lambda: _store_state_uncached(spark, sf_dir)
+        .localCheckpoint())
+
+
+def _store_state_uncached(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
     from gcp_datalake_utils_spark.llm import dedup
     from gcp_datalake_utils_spark.llm.cc import cc_min_label
 
@@ -709,7 +728,7 @@ def curation_incremental(spark: SparkSession,
     recompute of the same semantics."""
     from gcp_datalake_utils_spark.llm import dedup
 
-    store = _store_state(spark, sf_dir).localCheckpoint()
+    store = _store_state(spark, sf_dir)
     admitted = store.where("admitted").select("doc_id")
     store_md5 = store.where("admitted").select("content_md5").distinct()
     store_bk = (dedup._band_keys(spark, sf_dir)
@@ -735,7 +754,7 @@ def build_curation_store(spark: SparkSession, sf_dir: str,
     if os.path.exists(marker):
         return
     os.makedirs(store_dir, exist_ok=True)
-    store = _store_state(spark, sf_dir).localCheckpoint()
+    store = _store_state(spark, sf_dir)
     admitted = store.where("admitted").select("doc_id")
     store.where("admitted").select("doc_id", "content_md5") \
         .write.mode("overwrite") \
