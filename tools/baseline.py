@@ -60,6 +60,10 @@ def main() -> None:
     for name in ["region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents",
                  "embeddings"]:
+        # partial corpora (tmp/sf100docs, tmp/vecs*) carry only the
+        # tables their evidence runs need — register what exists
+        if not os.path.exists(f"{SF_DIR}/{name}.parquet"):
+            continue
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{name}.parquet')")
@@ -67,8 +71,10 @@ def main() -> None:
     # (sources/registry.py event_ts_to_micros): tools/gen_scale.py
     # corpora store ts as BIGINT nanos, which plain
     # `CAST(ts AS TIMESTAMP)` oracles cannot cast in DuckDB.
-    ts_type = con.execute(
-        "SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+    ts_type = None
+    if os.path.exists(f"{SF_DIR}/events.parquet"):
+        ts_type = con.execute(
+            "SELECT typeof(ts) FROM events LIMIT 1").fetchone()
     if ts_type and ts_type[0] == "BIGINT":
         con.execute("CREATE OR REPLACE VIEW events AS "
                     "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
