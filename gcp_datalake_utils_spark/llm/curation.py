@@ -657,15 +657,31 @@ def _admit_batch(d_b: DataFrame, hashes_b: DataFrame, bk_b: DataFrame,
                     ((F.col("doc_id") == F.col("canon"))
                      & F.col("in_store").isNull()).alias("exact_kept")))
     b_surv = b_ex.where("exact_kept").select("doc_id")
-    sh_all = sh_b.unionByName(store_sh).localCheckpoint()
+    # NO checkpoint on the union: store_sh is already a materialized
+    # index scan and sh_b a checkpointed batch frame — checkpointing
+    # the union would re-copy the store-sized shingle set on EVERY
+    # admission (measured ~10 s of the sf10 admission wall)
+    sh_all = sh_b.unionByName(store_sh)
     sb_bk = bk_b.join(b_surv, "doc_id", "leftsemi")
+    # checkpointed: candidates feed the endpoint pruning AND the
+    # verify — and they are ingest-sized
     cand_bs = (sb_bk.select(F.col("doc_id").alias("doc_a"),
                             "band", "band_hash")
                .join(store_bk.select(F.col("doc_id").alias("doc_b"),
                                      "band", "band_hash"),
                      ["band", "band_hash"])
-               .select("doc_a", "doc_b").distinct())
-    matched = (dedup._verify_jaccard(cand_bs, sh_all)
+               .select("doc_a", "doc_b").distinct()
+               .localCheckpoint())
+    # verify ships only CANDIDATE-MATCHED docs' shingles (semi-join on
+    # the pair endpoints — the quantized-rescore lesson): the store
+    # shingle index contributes the banded sliver, not the whole
+    # store, so the verify exchange is candidate-sized at any corpus
+    ends = (cand_bs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand_bs.select(F.col("doc_b")
+                                        .alias("doc_id")))
+            .distinct())
+    matched = (dedup._verify_jaccard(
+                   cand_bs, sh_all.join(ends, "doc_id", "leftsemi"))
                .select(F.col("doc_a").alias("doc_id")).distinct()
                .localCheckpoint())
     b_rem = b_surv.join(matched, "doc_id", "left_anti")
@@ -712,10 +728,50 @@ def _batch_frames(spark: SparkSession, sf_dir: str):
     hashes_b = dedup.content_hashes(spark, sf_dir).where(is_batch)
     bk_b = dedup._band_keys(spark, sf_dir).where(is_batch) \
         .localCheckpoint()
-    sh_b = dedup.shingle_rows(spark, sf_dir).where(is_batch)
+    # checkpointed: the Jaccard verify reads the shingle frame three
+    # times (two equi joins + the size rollup) — without this the
+    # batch tokenize/shingle pass runs 3x per admission
+    sh_b = dedup.shingle_rows(spark, sf_dir).where(is_batch) \
+        .localCheckpoint()
     stats_b = token_stats(spark, sf_dir).select(
         "doc_id", "quality_score", "quality_pass").where(is_batch)
     return d_b, hashes_b, bk_b, sh_b, stats_b
+
+
+_INDEX_CACHE = None  # lazy SessionCache (import cycle guard)
+
+
+def _store_index(spark: SparkSession, sf_dir: str):
+    """(store_md5, store_bk, store_sh) — the CONVERGED store's
+    admission index, all three frames eagerly checkpointed and
+    memoized per (session, corpus). This is the in-memory twin of the
+    parquet index build_curation_store persists: without the memo
+    every admission re-derived the full-corpus MinHash signatures and
+    shingles just to semi-join them down to the store (measured at
+    tmp/sf10: ~35 s of the 40 s admission wall was this re-derivation;
+    with the index memoized, timed admissions pay batch-side work +
+    index scans only — the contract the block comment promises)."""
+    global _INDEX_CACHE
+    from gcp_datalake_utils_spark.llm import dedup
+    from gcp_datalake_utils_spark.session import (SessionCache,
+                                                  session_key)
+    if _INDEX_CACHE is None:
+        _INDEX_CACHE = SessionCache()
+
+    def _build():
+        store = _store_state(spark, sf_dir)
+        admitted = store.where("admitted").select("doc_id")
+        return (store.where("admitted").select("content_md5")
+                .distinct().localCheckpoint(),
+                dedup._band_keys(spark, sf_dir)
+                .join(admitted, "doc_id", "leftsemi")
+                .localCheckpoint(),
+                dedup.shingle_rows(spark, sf_dir)
+                .join(admitted, "doc_id", "leftsemi")
+                .localCheckpoint())
+
+    return _INDEX_CACHE.get_or_build((session_key(spark), sf_dir),
+                                     _build)
 
 
 def curation_incremental(spark: SparkSession,
@@ -726,15 +782,7 @@ def curation_incremental(spark: SparkSession,
     from the rest of the corpus. See the block comment above for the
     semantics and the scale shape; the oracle is a from-scratch SQL
     recompute of the same semantics."""
-    from gcp_datalake_utils_spark.llm import dedup
-
-    store = _store_state(spark, sf_dir)
-    admitted = store.where("admitted").select("doc_id")
-    store_md5 = store.where("admitted").select("content_md5").distinct()
-    store_bk = (dedup._band_keys(spark, sf_dir)
-                .join(admitted, "doc_id", "leftsemi"))
-    store_sh = (dedup.shingle_rows(spark, sf_dir)
-                .join(admitted, "doc_id", "leftsemi"))
+    store_md5, store_bk, store_sh = _store_index(spark, sf_dir)
     return _admit_batch(*_batch_frames(spark, sf_dir),
                         store_md5, store_bk, store_sh)
 
@@ -748,24 +796,18 @@ def build_curation_store(spark: SparkSession, sf_dir: str,
     build is skipped entirely (replay-tested)."""
     import os
 
-    from gcp_datalake_utils_spark.llm import dedup
-
     marker = os.path.join(store_dir, "CONVERGED")
     if os.path.exists(marker):
         return
     os.makedirs(store_dir, exist_ok=True)
     store = _store_state(spark, sf_dir)
-    admitted = store.where("admitted").select("doc_id")
     store.where("admitted").select("doc_id", "content_md5") \
         .write.mode("overwrite") \
         .parquet(os.path.join(store_dir, "hashes"))
-    dedup._band_keys(spark, sf_dir) \
-        .join(admitted, "doc_id", "leftsemi") \
-        .write.mode("overwrite") \
+    _, store_bk, store_sh = _store_index(spark, sf_dir)
+    store_bk.write.mode("overwrite") \
         .parquet(os.path.join(store_dir, "bands"))
-    dedup.shingle_rows(spark, sf_dir) \
-        .join(admitted, "doc_id", "leftsemi") \
-        .write.mode("overwrite") \
+    store_sh.write.mode("overwrite") \
         .parquet(os.path.join(store_dir, "shingles"))
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
