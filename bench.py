@@ -211,6 +211,9 @@ HEADLINE = [
     # precedent)
     "png_decode_features",
     "curation_incremental",
+    # image near-dup dedup over decoded pixels (dHash + Hamming bands)
+    "image_dhash",
+    "image_near_dups",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -1330,19 +1330,17 @@ def embedding_near_dups_quantized(spark: SparkSession,
     to the prefilter's documented 0.94 admission margin, which the
     oracle mirrors stage-for-stage.
 
-    Measured crossover (round 11, tmp/sf10 = 200k 64-dim vectors,
-    zero-true-pair worst case): total shuffle 1,323 MB quantized vs
-    1,308 MB float, wall 169 vs 148 s — NO savings, because at this
-    shape the verify exchange is CANDIDATE-PAIR-dominated (~1.5 kB of
-    (vec_a, vec_b, label) pair rows per vector at block mass ~61 vs
-    256 B of float32 vector per vector), so quartering the minor term
-    while adding a second cogroup exchange loses. The twin pays when
-    per-label vector mass rivals pair mass: at production dims the
-    vector term is dims x 4 B/vec (3 kB at dims=768 > the 1.5 kB pair
-    term), so int8 removes ~2.3 kB/vec — the crossover is
-    dims >~ 8 x block_mass x pair_row_bytes / (3 x 4) ~ 370 dims at
-    the measured band plan. Ship the float path below that, this twin
-    above it; both verify stages stay oracle-exact either way.
+    Measured ledger (round 12, superseding the r11 "loses at 64 dims"
+    verdict, which was an artifact of the then-unrestricted rescore
+    re-shipping the full float table): with the survivor-endpoint
+    semi-join in quantized_verify, the twin WINS at both widths on
+    the same materialized candidates — 768 dims (200k vectors,
+    tmp/vecs768): 221 vs 342 s wall, 216 vs 679 MB shuffle (-68%);
+    64 dims (tmp/sf10): 6.8 vs 20.8 s, 78 vs 116 MB (-33%). The twin
+    is the default verify; the single-stage float path remains the
+    fallback for corpora where candidates ~ true pairs (a prefilter
+    cannot remove anything by construction). Both verify stages stay
+    oracle-exact either way. Full ledger: BASELINE round 12.
 
     Round 12 (r11 verdict "what's wrong" #1): the corpus is planted
     with deterministic near-dup twins (see _with_planted_twins) so

@@ -32,6 +32,7 @@ from gcp_datalake_utils_spark.llm import (
     chunks,
     collocations,
     curation,
+    imagededup,
     decontam,
     distmatch,
     domains,
@@ -246,6 +247,14 @@ register("png_decode_features", multimodal.png_decode_features,
 # same semantics (the dedup_incremental / daily_activity_cdc pattern)
 register("curation_incremental", curation.curation_incremental,
          curation._curation_incremental_oracle())
+# round 12: image near-dup dedup over REAL-decoded PNG pixels —
+# perceptual dHash (area-mean 8x9 grid, 64 comparison bits) +
+# 4x16-bit banded Hamming join (the simhash64 shape on the
+# multimodal column)
+register("image_dhash", imagededup.image_dhash,
+         imagededup.IMAGE_DHASH_ORACLE)
+register("image_near_dups", imagededup.image_near_dups,
+         imagededup.IMAGE_NEAR_DUPS_ORACLE)
 # round 10: broadcast-vocab BPE tokenizer (r9 verdict ask #7);
 # token_stats/packing rows are rows-only by design (iterative merge
 # training is not SQL-expressible) and pytest-bracketed vs a driver

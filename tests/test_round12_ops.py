@@ -280,3 +280,58 @@ def test_sharded_candidates_plan_shape(spark):
     assert all("[4]" in ln and "shard" in ln and "label" in ln
                and "band" in ln and "key" in ln for ln in key_lines), \
         "shard must join as an extra equi key alongside label/band/key"
+
+
+# --- image near-dup dedup over decoded pixels --------------------------------
+
+
+def test_image_dhash_locality_and_planting(spark):
+    """dHash is locality-sensitive: an exact pixel twin hashes
+    identically; a one-pixel bump flips at most one comparison bit.
+    Every qualifying planted pair appears in the near-dup output."""
+    from gcp_datalake_utils_spark.llm import imagededup as I
+
+    base = {r["asset_id"]: (r["dh_hi"], r["dh_lo"])
+            for r in I.image_dhash(spark, SF).collect()}
+    assert base, "no qualifying images"
+    pairs = {(r["asset_a"], r["asset_b"]): r["hamming"]
+             for r in I.image_near_dups(spark, SF).collect()}
+    n_planted = 0
+    for aid in base:
+        if aid >= I.IMG_PLANT_N:
+            continue
+        ham = pairs[(aid, aid + I.IMG_PLANT_OFFSET)]
+        assert ham <= 1, (aid, ham)
+        if aid % 2 == 0:
+            assert ham == 0
+        n_planted += 1
+    assert n_planted >= 1
+    for (a, b), h in pairs.items():
+        assert 0 <= h <= I.HAM_MAX and a < b
+
+
+def test_image_dhash_matches_pixel_arithmetic(spark):
+    """The decoded-path dHash equals one recomputed directly from the
+    text-derived pixels (the oracle's generative formula) — the
+    encode -> decode round trip is transparent to the hash."""
+    import numpy as np
+
+    from gcp_datalake_utils_spark.llm import imagededup as I
+    from gcp_datalake_utils_spark.llm.multimodal import PNG_WIDTH
+
+    got = {r["asset_id"]: (r["dh_hi"], r["dh_lo"])
+           for r in I.image_dhash(spark, SF).collect()}
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").collect())
+    n = 0
+    for d in docs:
+        raw = d["text"].encode()
+        h = len(raw) // PNG_WIDTH
+        if h < I.GRID_H:
+            assert d["doc_id"] not in got
+            continue
+        pix = np.frombuffer(raw[:h * PNG_WIDTH], dtype=np.uint8) \
+            .reshape(h, PNG_WIDTH)
+        assert got[d["doc_id"]] == I._dhash_of(pix)
+        n += 1
+    assert n >= 10
