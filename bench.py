@@ -214,6 +214,8 @@ HEADLINE = [
     # image near-dup dedup over decoded pixels (dHash + Hamming bands)
     "image_dhash",
     "image_near_dups",
+    # baseline JPEG round-trip ledger (rows-only monitor)
+    "jpeg_roundtrip_quality",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -97,17 +97,21 @@ def decode_media(assets: DataFrame, target_kind: str = "image") -> DataFrame:
     spectrograms). The container ships no codec libraries, so this is
     an explicit stub for that format class; the plumbing above
     (schema, Arrow batching, partition flow) is what a codec plugs
-    into. Formats the stdlib can decode ARE decoded for real: RIFF/PCM
-    WAV (parse_wav, round 11), Netpbm P5 (parse_pgm, round 11), and
-    deflate-compressed PNG (parse_png, round 12 — zlib inflate +
-    all five scanline unfilters, CRC-verified chunk walk)."""
+    into. Every still-image/audio container in scope IS decoded for
+    real: RIFF/PCM WAV (parse_wav, round 11), Netpbm P5 (parse_pgm,
+    round 11), deflate-compressed PNG (parse_png, round 12 — zlib
+    inflate + all five scanline unfilters, CRC-verified chunk walk),
+    and baseline JPEG (llm/jpeg.parse_jpeg, round 12 — Huffman bit
+    reader + dequant + IDCT, Annex K tables). Only the VIDEO/LOSSY-
+    AUDIO container class remains stubbed."""
     raise NotImplementedError(
-        "JPEG/MP4/FLAC decoding requires codec libraries (PIL/ffmpeg) "
-        "not present in this environment; WAV decodes via parse_wav, "
-        "PGM via parse_pgm, PNG via parse_png (stdlib zlib), and "
-        "extract_features covers the byte-level pipeline — register a "
-        "codec-backed featurizer with the same mapInPandas signature "
-        "for the remaining formats")
+        "MP4/H.264 and FLAC/MP3 decoding requires codec libraries "
+        "(ffmpeg) not present in this environment; WAV decodes via "
+        "parse_wav, PGM via parse_pgm, PNG via parse_png, baseline "
+        "JPEG via llm/jpeg.parse_jpeg, and extract_features covers "
+        "the byte-level pipeline — register a codec-backed featurizer "
+        "with the same mapInPandas signature for the remaining "
+        "formats")
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,7 @@ from gcp_datalake_utils_spark.llm import (
     collocations,
     curation,
     imagededup,
+    jpeg,
     decontam,
     distmatch,
     domains,
@@ -255,6 +256,11 @@ register("image_dhash", imagededup.image_dhash,
          imagededup.IMAGE_DHASH_ORACLE)
 register("image_near_dups", imagededup.image_near_dups,
          imagededup.IMAGE_NEAR_DUPS_ORACLE)
+# round 12: baseline JPEG codec (Annex K tables, Huffman + DCT, FF
+# stuffing) - lossy, so the row is a rows-only round-trip-error
+# monitor (the bpe_token_stats convention), pytest-bracketed incl. a
+# hand-assembled golden bitstream
+register("jpeg_roundtrip_quality", jpeg.jpeg_roundtrip_quality, None)
 # round 10: broadcast-vocab BPE tokenizer (r9 verdict ask #7);
 # token_stats/packing rows are rows-only by design (iterative merge
 # training is not SQL-expressible) and pytest-bracketed vs a driver

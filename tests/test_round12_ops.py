@@ -335,3 +335,119 @@ def test_image_dhash_matches_pixel_arithmetic(spark):
         assert got[d["doc_id"]] == I._dhash_of(pix)
         n += 1
     assert n >= 10
+
+
+# --- baseline JPEG codec ------------------------------------------------------
+
+
+def test_jpeg_flat_blocks_reconstruct_within_one():
+    """DC-only blocks: quantization error bounded by the DC step."""
+    from gcp_datalake_utils_spark.llm import jpeg as J
+
+    for v in (0, 37, 128, 200, 255):
+        pix = np.full((16, 32), v, dtype=np.uint8)
+        dec = J.parse_jpeg(J.build_jpeg(pix))
+        assert dec.shape == pix.shape
+        assert np.abs(dec.astype(int) - int(v)).max() <= 1, v
+
+
+def test_jpeg_roundtrip_error_bounds_and_padding():
+    """Worst-case (uniform-noise) images stay inside the Annex-K-table
+    error envelope; non-multiple-of-8 shapes pad and crop correctly;
+    a smooth gradient (the content JPEG is FOR) reconstructs within
+    +-2."""
+    from gcp_datalake_utils_spark.llm import jpeg as J
+
+    rng = np.random.default_rng(3)
+    for shape in [(8, 8), (9, 15), (40, 32), (5, 3)]:
+        pix = rng.integers(0, 256, shape).astype(np.uint8)
+        dec = J.parse_jpeg(J.build_jpeg(pix))
+        assert dec.shape == shape
+        err = np.abs(dec.astype(int) - pix.astype(int))
+        assert err.max() <= 110 and err.mean() <= 25, shape
+    g = np.tile(np.arange(32, dtype=np.uint8) * 4, (16, 1))
+    dec = J.parse_jpeg(J.build_jpeg(g))
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_golden_bitstream_hand_assembled():
+    """Decoder validated against a HAND-computed entropy stream (so
+    encoder and decoder cannot share a compensating bug): an all-zero
+    8x8 image level-shifts to -128, DC = -1024, quantized -64 ->
+    DC category 7 ('11110'), amplitude bits -64+127=63 ('0111111'),
+    EOB ('1010') = bytes F3 FA. The encoder must emit exactly that
+    scan; the decoder must reconstruct all zeros from it."""
+    import struct
+
+    from gcp_datalake_utils_spark.llm import jpeg as J
+
+    pix = np.zeros((8, 8), dtype=np.uint8)
+    coded = J.build_jpeg(pix)
+    sos_at = coded.find(b"\xff\xda")
+    (sos_len,) = struct.unpack_from(">H", coded, sos_at + 2)
+    scan = coded[sos_at + 2 + sos_len:-2]
+    assert scan.hex() == "f3fa"
+    # independent assembly of the same file structure
+    hand = (b"\xff\xd8"
+            + J._seg(0xFFDB, b"\x00" + bytes(
+                J.QTABLE[J.ZIGZAG[k]] for k in range(64)))
+            + J._seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1)
+                     + bytes([1, 0x11, 0]))
+            + J._seg(0xFFC4, b"\x00" + bytes(J.DC_BITS)
+                     + bytes(J.DC_VALS))
+            + J._seg(0xFFC4, b"\x10" + bytes(J.AC_BITS)
+                     + bytes(J.AC_VALS))
+            + J._seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + bytes.fromhex("f3fa") + b"\xff\xd9")
+    assert (J.parse_jpeg(hand) == 0).all()
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """Scans that produce 0xFF bytes must stuff FF00 and the reader
+    must strip it — scan many seeds until a stuffed byte appears."""
+    from gcp_datalake_utils_spark.llm import jpeg as J
+
+    found = False
+    for seed in range(40):
+        pix = np.random.default_rng(seed).integers(
+            0, 256, (16, 16)).astype(np.uint8)
+        b = J.build_jpeg(pix)
+        sos_at = b.find(b"\xff\xda")
+        scan = b[sos_at + 14:-2]
+        if b"\xff\x00" in scan:
+            found = True
+            dec = J.parse_jpeg(b)
+            assert dec.shape == (16, 16)
+    assert found, "no stuffed byte in 40 seeds — stuffing untested"
+
+
+def test_jpeg_malformed_raise():
+    from gcp_datalake_utils_spark.llm import jpeg as J
+
+    pix = np.random.default_rng(1).integers(0, 256, (8, 8)) \
+        .astype(np.uint8)
+    b = J.build_jpeg(pix)
+    with pytest.raises(ValueError, match="SOI"):
+        J.parse_jpeg(b"xx" + b[2:])
+    with pytest.raises(ValueError):
+        J.parse_jpeg(b[:len(b) // 2])  # truncated
+    # progressive marker rejected
+    prog = b.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive"):
+        J.parse_jpeg(prog)
+
+
+def test_jpeg_roundtrip_quality_row(spark):
+    """The rows-only monitor ledger is sane on the driver corpus:
+    every qualifying doc appears, dims match, and the measured error
+    stays inside the codec's pytest envelope."""
+    from gcp_datalake_utils_spark.llm import jpeg as J
+
+    rows = J.jpeg_roundtrip_quality(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["width"] == 32 and r["height"] >= 1
+        assert r["raw_bytes"] == 32 * r["height"]
+        assert 0 <= r["max_abs_err"] <= 110
+        assert r["mean_abs_err"] <= 25
+        assert r["coded_bytes"] > 0
