@@ -122,11 +122,24 @@ def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] (asset_a, asset_b, hamming): image near-duplicate pairs at
     Hamming <= HAM_MAX over the planted corpus — 4x16-bit banded
-    candidate generation (a twin differing in <= 1 bit collides in
-    >= 3 of 4 bands; random images collide rarely and fail the
-    verify), exact bit_count(xor) verify on candidates only. All
-    JVM-side after the hash scan: integer band slicing, equi-join,
-    bit_count — whole-stage codegen, no Python in the join path."""
+    candidate generation + exact bit_count(xor) verify on candidates
+    only. All JVM-side after the hash scan: integer band slicing,
+    equi-join, bit_count — whole-stage codegen, no Python in the join
+    path.
+
+    Capture contract (mirrored exactly in the oracle, so both engines
+    agree row-for-row): 4 exact-match bands guarantee capture for
+    Hamming <= 3 (pigeonhole — some band is clean); pairs at 4-6 are
+    captured iff the differing bits leave one band untouched (a twin
+    differing in <= 1 bit collides in >= 3 of 4 bands; structured
+    perturbations like JPEG re-encode concentrate in few cells). The
+    declared-banding semantics is the simhash_near_pairs precedent.
+    Corpus note (BASELINE round 12): on the synthetic text-pixel
+    corpus the dHash bits are low-entropy, so 16-bit band buckets run
+    hot (~214M candidate pairs at 500k images before the verify cuts
+    them to 5.8k); real image corpora distribute perceptual-hash keys
+    near-uniformly, and the LSH family's hot-bucket salting applies
+    unchanged if they don't."""
     dh = _dhash_rows(spark, sf_dir, plant=True).localCheckpoint()
     mask = F.lit(0xFFFF)
     bands = F.array(*[

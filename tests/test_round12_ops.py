@@ -451,3 +451,36 @@ def test_jpeg_roundtrip_quality_row(spark):
         assert 0 <= r["max_abs_err"] <= 110
         assert r["mean_abs_err"] <= 25
         assert r["coded_bytes"] > 0
+
+
+def test_dhash_survives_jpeg_reencode():
+    """The perceptual-hash promise, composed across the round-12
+    codecs: dHash of a JPEG round-tripped image stays within HAM_MAX
+    of the original's — lossy re-encodes of the same picture are
+    caught as near-duplicates (the production image-dedup case),
+    while the hash still separates unrelated images."""
+    from gcp_datalake_utils_spark.llm import imagededup as I
+    from gcp_datalake_utils_spark.llm import jpeg as J
+
+    rng = np.random.default_rng(17)
+    # smooth-ish images (low-pass noise), the content class JPEG keeps
+    base = rng.integers(0, 64, (12, 16, 32)).astype(np.float64)
+    smooth = (base + np.roll(base, 1, 1) + np.roll(base, 1, 2)
+              + np.roll(base, 2, 2)) * (255 / (4 * 63))
+    imgs = smooth.astype(np.uint8)
+    hams, cross = [], []
+    hashes = []
+    for pix in imgs:
+        rt = J.parse_jpeg(J.build_jpeg(pix))
+        h0, l0 = I._dhash_of(pix)
+        h1, l1 = I._dhash_of(rt)
+        hams.append(bin((h0 ^ h1) | ((l0 ^ l1) << 32)).count("1"))
+        hashes.append((h0, l0))
+    for i in range(len(imgs)):
+        for j in range(i + 1, len(imgs)):
+            hi, li = hashes[i]
+            hj, lj = hashes[j]
+            cross.append(bin((hi ^ hj) | ((li ^ lj) << 32))
+                         .count("1"))
+    assert max(hams) <= I.HAM_MAX, hams
+    assert min(cross) > I.HAM_MAX, sorted(cross)[:3]
