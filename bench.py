@@ -216,6 +216,7 @@ HEADLINE = [
     "image_near_dups",
     # baseline JPEG round-trip ledger (rows-only monitor)
     "jpeg_roundtrip_quality",
+    "curation_incremental_rollup",
 ]
 
 # results larger than this row count are executed via the noop sink

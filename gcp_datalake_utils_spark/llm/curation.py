@@ -958,3 +958,129 @@ LEFT JOIN b_matched m USING (doc_id)
 LEFT JOIN bb_keep k USING (doc_id)
 WHERE d.doc_id % {bm} = 0
 """
+
+
+def curation_incremental_rollup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """[Q] the UPDATED per-source ledger after a batch admission —
+    the table a continuously-crawled corpus maintains: how many docs
+    the store already holds per source, what the batch brought in,
+    how many survived each admission stage, and the store's size
+    after the merge. Reads the memoized store verdict + the batch
+    verdict, so after the first build this is two materialized scans
+    plus a groupBy."""
+    from gcp_datalake_utils_spark.llm import dedup
+
+    is_store = F.col("doc_id") % dedup.BATCH_MOD != 0
+    src = (load_table(spark, sf_dir, "documents")
+           .select("doc_id", "source"))
+    store = (_store_state(spark, sf_dir)
+             .join(src.where(is_store), "doc_id")
+             .groupBy("source")
+             .agg(F.count("*").alias("store_docs"),
+                  F.sum(F.col("admitted").cast("long"))
+                  .alias("store_admitted")))
+    batch = (curation_incremental(spark, sf_dir)
+             .groupBy("source")
+             .agg(F.count("*").alias("batch_docs"),
+                  F.sum(F.col("exact_kept").cast("long"))
+                  .alias("batch_after_exact"),
+                  F.sum(F.col("fuzzy_kept").cast("long"))
+                  .alias("batch_after_fuzzy"),
+                  F.sum(F.col("final_kept").cast("long"))
+                  .alias("batch_admitted")))
+    z = F.lit(0).cast("long")
+    return (store.join(batch, "source", "full_outer")
+            .select("source",
+                    F.coalesce("store_docs", z).alias("store_docs"),
+                    F.coalesce("store_admitted", z)
+                    .alias("store_admitted"),
+                    F.coalesce("batch_docs", z).alias("batch_docs"),
+                    F.coalesce("batch_after_exact", z)
+                    .alias("batch_after_exact"),
+                    F.coalesce("batch_after_fuzzy", z)
+                    .alias("batch_after_fuzzy"),
+                    F.coalesce("batch_admitted", z)
+                    .alias("batch_admitted"),
+                    (F.coalesce("store_admitted", z)
+                     + F.coalesce("batch_admitted", z))
+                    .alias("total_admitted")))
+
+
+def _curation_incremental_rollup_oracle() -> str:
+    from gcp_datalake_utils_spark.llm import dedup
+    bm = dedup.BATCH_MOD
+    return f"""
+WITH verdict AS MATERIALIZED ({_curation_incremental_oracle()}),
+store_side AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS store_docs,
+         CAST(sum(CASE WHEN s.admitted THEN 1 ELSE 0 END) AS BIGINT)
+           AS store_admitted
+  FROM ({_store_oracle_sql()}) s
+  JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+batch_side AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS batch_docs,
+         CAST(sum(CASE WHEN exact_kept THEN 1 ELSE 0 END) AS BIGINT)
+           AS batch_after_exact,
+         CAST(sum(CASE WHEN fuzzy_kept THEN 1 ELSE 0 END) AS BIGINT)
+           AS batch_after_fuzzy,
+         CAST(sum(CASE WHEN final_kept THEN 1 ELSE 0 END) AS BIGINT)
+           AS batch_admitted
+  FROM verdict GROUP BY source
+)
+SELECT coalesce(s.source, b.source) AS source,
+       coalesce(s.store_docs, 0) AS store_docs,
+       coalesce(s.store_admitted, 0) AS store_admitted,
+       coalesce(b.batch_docs, 0) AS batch_docs,
+       coalesce(b.batch_after_exact, 0) AS batch_after_exact,
+       coalesce(b.batch_after_fuzzy, 0) AS batch_after_fuzzy,
+       coalesce(b.batch_admitted, 0) AS batch_admitted,
+       coalesce(s.store_admitted, 0) + coalesce(b.batch_admitted, 0)
+         AS total_admitted
+FROM store_side s FULL OUTER JOIN batch_side b USING (source)
+"""
+
+
+def _store_oracle_sql() -> str:
+    """The store-funnel verdict as standalone SQL (doc_id, admitted) —
+    the store half of _curation_incremental_oracle, reused by the
+    rollup so both ledgers derive from one spec."""
+    from gcp_datalake_utils_spark.llm import dedup
+    bm = dedup.BATCH_MOD
+    return f"""
+WITH RECURSIVE
+hx AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS content_md5
+  FROM documents),
+stats AS ({TOKEN_STATS_ORACLE}),
+sig AS ({dedup.MINHASH_ORACLE}),
+bk AS ({dedup._band_keys_sql()}),
+sh AS (SELECT doc_id, unnest({dedup._SHINGLES_SQL}) AS s
+       FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+st_ex AS (
+  SELECT doc_id, content_md5,
+         doc_id = min(doc_id) OVER (PARTITION BY content_md5) AS ek
+  FROM hx WHERE doc_id % {bm} <> 0),
+st_surv AS (SELECT doc_id FROM st_ex WHERE ek),
+st_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a
+  JOIN bk b ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+  SEMI JOIN st_surv sa ON a.doc_id = sa.doc_id
+  SEMI JOIN st_surv sb ON b.doc_id = sb.doc_id),
+{_jaccard_ver_sql('st_cand', 'st')},
+{_cc_keep_sql('st_ver', 'st')}
+SELECT e.doc_id,
+       (e.ek AND coalesce(k.keep, TRUE) AND s.quality_pass)
+         AS admitted
+FROM st_ex e JOIN stats s USING (doc_id)
+LEFT JOIN st_keep k USING (doc_id)
+"""

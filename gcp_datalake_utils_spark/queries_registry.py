@@ -261,6 +261,10 @@ register("image_near_dups", imagededup.image_near_dups,
 # monitor (the bpe_token_stats convention), pytest-bracketed incl. a
 # hand-assembled golden bitstream
 register("jpeg_roundtrip_quality", jpeg.jpeg_roundtrip_quality, None)
+# round 12: the updated per-source ledger after a batch admission
+register("curation_incremental_rollup",
+         curation.curation_incremental_rollup,
+         curation._curation_incremental_rollup_oracle())
 # round 10: broadcast-vocab BPE tokenizer (r9 verdict ask #7);
 # token_stats/packing rows are rows-only by design (iterative merge
 # training is not SQL-expressible) and pytest-bracketed vs a driver
