@@ -1023,6 +1023,34 @@ _R12_R8_STALE = [
 _r12_head = [*_R12_NEW, *_R12_R8_STALE[:50 - len(_R12_NEW)]]
 _rotate_window(_r12_head, _R12_R8_STALE[50 - len(_R12_NEW):])
 
+# R13 QUEUE (precomputed at r12 close for the next rotation):
+#   (1) never-hashed r12 late additions: image_dhash, image_near_dups,
+#       curation_incremental_rollup (jpeg_roundtrip_quality is
+#       rows-only by convention and stays out of the window);
+#   (2) the two r12 deferrals: grid_layout_coords, rules_file_source;
+#   (3) the 49 rows whose newest driver green is r9 (recomputed from
+#       CORRECTNESS_r01-r11): classify_pk_fk, schema_complexity,
+#       detect_naming_convention, detect_enhanced_pk_fk,
+#       detect_data_type_match, detect_custom_rules, detect_pipeline,
+#       top_orders_per_customer, frequency_distribution,
+#       distinct_cardinalities, common_keys, scalar_battery,
+#       timestamp_battery, graph_roots, data_test_report,
+#       adaptive_sample_size, orphan_users, events_hourly,
+#       audit_window_scan, simhash64, corpus_mixture_temp,
+#       lm_doc_scores, weighted_sample, lm_quality_bins,
+#       events_gapfill, hll_distinct_native, profile_orders_fast,
+#       decontamination_hashed, rfm_segments, bm25_topk,
+#       c4_quality_filters, media_frame_sample, media_resize,
+#       incremental_agg, retention_policy, bm25_topk_capped,
+#       retention_cohorts_preagg, path_transitions_preagg,
+#       active_users_rolling7_preagg, active_users_rolling7_sweep,
+#       daily_activity_cdc, domain_quota_sample, domain_quality_prior,
+#       domain_dedup_rollup, sequence_packing_bpe, events_dpp_join,
+#       source_length_deciles, daily_activity_stream,
+#       embedding_decontamination.
+# 3 + 2 + 49 = 54 > 50: the r13 rotation will defer the overflow tail
+# of (3) to r14 the way r12 deferred its two judge-re-verified rows.
+
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detection.detect_all(spark)
