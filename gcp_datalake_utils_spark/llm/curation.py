@@ -26,6 +26,7 @@ from gcp_datalake_utils_spark.llm.text import (
     stop_ratio_col,
     token_stats,
 )
+from gcp_datalake_utils_spark.session import SessionCache, session_key
 from gcp_datalake_utils_spark.sources import load_table
 
 ALLOWED_LANGS = ["en", "de", "fr", "zh", "he"]
@@ -404,7 +405,13 @@ def source_length_deciles_approx(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 
-_FUNNEL_CACHE = None  # lazy SessionCache (import cycle guard)
+# Eager module-level caches (ADVICE r12): the old lazy
+# `if CACHE is None: CACHE = SessionCache()` was an unlocked
+# check-then-set — two driver threads could each install a cache and
+# discard the other's memo (duplicate multi-minute funnel builds).
+# SessionCache construction is cheap and session.py imports only
+# stdlib + pyspark, so there is no import cycle to guard.
+_FUNNEL_CACHE = SessionCache()
 
 
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,11 +423,6 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rollup ledger (the detect_all / signature-store precedent),
     so consumers after the first pay a materialized-scan, not a
     second LSH pipeline."""
-    global _FUNNEL_CACHE
-    from gcp_datalake_utils_spark.session import (SessionCache,
-                                                  session_key)
-    if _FUNNEL_CACHE is None:
-        _FUNNEL_CACHE = SessionCache()
     return _FUNNEL_CACHE.get_or_build(
         (session_key(spark), sf_dir),
         lambda: _curation_funnel_uncached(spark, sf_dir)
@@ -575,7 +577,7 @@ FROM verdict GROUP BY source
 # ---------------------------------------------------------------------------
 
 
-_STORE_CACHE = None  # lazy SessionCache (import cycle guard)
+_STORE_CACHE = SessionCache()  # eager: see _FUNNEL_CACHE note
 
 
 def _store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,11 +589,6 @@ def _store_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint (the curation_funnel precedent): the store is CONVERGED
     by definition, so consumers after the first pay a materialized
     scan, not a second LSH pipeline."""
-    global _STORE_CACHE
-    from gcp_datalake_utils_spark.session import (SessionCache,
-                                                  session_key)
-    if _STORE_CACHE is None:
-        _STORE_CACHE = SessionCache()
     return _STORE_CACHE.get_or_build(
         (session_key(spark), sf_dir),
         lambda: _store_state_uncached(spark, sf_dir)
@@ -738,7 +735,7 @@ def _batch_frames(spark: SparkSession, sf_dir: str):
     return d_b, hashes_b, bk_b, sh_b, stats_b
 
 
-_INDEX_CACHE = None  # lazy SessionCache (import cycle guard)
+_INDEX_CACHE = SessionCache()  # eager: see _FUNNEL_CACHE note
 
 
 def _store_index(spark: SparkSession, sf_dir: str):
@@ -751,12 +748,7 @@ def _store_index(spark: SparkSession, sf_dir: str):
     tmp/sf10: ~35 s of the 40 s admission wall was this re-derivation;
     with the index memoized, timed admissions pay batch-side work +
     index scans only — the contract the block comment promises)."""
-    global _INDEX_CACHE
     from gcp_datalake_utils_spark.llm import dedup
-    from gcp_datalake_utils_spark.session import (SessionCache,
-                                                  session_key)
-    if _INDEX_CACHE is None:
-        _INDEX_CACHE = SessionCache()
 
     def _build():
         store = _store_state(spark, sf_dir)

@@ -89,6 +89,12 @@ def _dhash_rows(spark: SparkSession, sf_dir: str,
                 los.append(lo)
 
             for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                if plant and aid >= IMG_PLANT_OFFSET:
+                    # fail loudly instead of silently aliasing a
+                    # planted twin id (ADVICE r12)
+                    raise ValueError(
+                        f"asset_id {aid} collides with "
+                        f"IMG_PLANT_OFFSET={IMG_PLANT_OFFSET}")
                 b = bytes(b)
                 h = len(b) // PNG_WIDTH
                 if h < GRID_H:

@@ -235,8 +235,11 @@ def _huff_decoder(bits, vals):
 
 
 def _read_symbol(br: _BitReader, table: dict) -> int:
+    # codes are at most 16 bits (T.81 C.2); bound the loop so an
+    # invalid stream is rejected without consuming a 17th bit
+    # (ADVICE r12)
     code, ln = 0, 0
-    while ln <= 16:
+    while ln < 16:
         code = (code << 1) | br.take(1)
         ln += 1
         sym = table.get((code, ln))
@@ -276,9 +279,19 @@ def parse_jpeg(b: bytes):
         if len(body) != seglen - 2:
             raise ValueError("truncated marker segment")
         if marker == 0xFFDB:
-            if body[0] & 0xF0:
-                raise ValueError("16-bit quant tables unsupported")
-            qt[body[0] & 0x0F] = [body[1 + k] for k in range(64)]
+            # T.81 B.2.4.1: one DQT segment may pack multiple tables —
+            # walk the body in 65-byte (Pq=0) strides like DHT does
+            # (ADVICE r12: reading only the first table misparsed
+            # legal foreign baseline JPEGs)
+            p = 0
+            while p < len(body):
+                if body[p] & 0xF0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if p + 65 > len(body):
+                    raise ValueError("truncated DQT table")
+                qt[body[p] & 0x0F] = [body[p + 1 + k]
+                                      for k in range(64)]
+                p += 65
         elif marker == 0xFFC0:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc != 1:

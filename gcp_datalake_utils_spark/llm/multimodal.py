@@ -93,8 +93,8 @@ FROM documents
 
 
 def decode_media(assets: DataFrame, target_kind: str = "image") -> DataFrame:
-    """Codec-backed decode for COMPRESSED formats (JPEG/MP4/FLAC/
-    spectrograms). The container ships no codec libraries, so this is
+    """Codec-backed decode for VIDEO/LOSSY-AUDIO containers (MP4/
+    FLAC/MP3). The container ships no codec libraries, so this is
     an explicit stub for that format class; the plumbing above
     (schema, Arrow batching, partition flow) is what a codec plugs
     into. Every still-image/audio container in scope IS decoded for

@@ -1409,6 +1409,17 @@ def _with_planted_twins(e: DataFrame) -> DataFrame:
         F.array((F.element_at("embedding", 1).cast("double")
                  + F.lit(ND_PLANT_BUMP)).cast("float")),
         F.slice("embedding", 2, N_DIMS - 1))
+    # Fail loudly if a real vec_id reaches the twin id range instead of
+    # silently aliasing a planted row (ADVICE r12: the repo already
+    # benchmarks multi-million-row corpora). One codegen'd comparison
+    # per row on the scan the union pays anyway.
+    e = e.withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") >= ND_PLANT_OFFSET, F.raise_error(
+            F.concat(F.lit("vec_id collides with ND_PLANT_OFFSET="
+                           f"{ND_PLANT_OFFSET}: "),
+                     F.col("vec_id").cast("string"))))
+        .otherwise(F.col("vec_id")))
     twins = (e.where(F.col("vec_id") < ND_PLANT_N)
              .select((F.col("vec_id") + F.lit(ND_PLANT_OFFSET))
                      .alias("vec_id"),

@@ -143,11 +143,24 @@ class SessionCache:
                     return self._d[key]
             try:
                 value = builder()
-            finally:
-                # pop on failure too: a raising builder() must not leave
-                # its gate entry behind, or _building grows monotonically
-                # under repeated distinct-key failures (the next caller
-                # for the same key re-creates a gate and retries)
+            except BaseException:
+                # a raising builder() must not leave its gate entry
+                # behind, or _building grows monotonically under
+                # repeated distinct-key failures (the next caller for
+                # the same key re-creates a gate and retries)
                 with self._lock:
                     self._building.pop(key, None)
-            return self.put(key, value)
+                raise
+            with self._lock:
+                # publish the value and retire the gate under ONE lock
+                # acquisition: popping the gate before put() (the old
+                # finally) left a window where a new caller saw neither
+                # the value nor a gate and re-ran the build — the exact
+                # duplicate-work race the gate exists to prevent
+                # (ADVICE r12).
+                self._d[key] = value
+                self._d.move_to_end(key)
+                while len(self._d) > self._maxsize:
+                    self._d.popitem(last=False)
+                self._building.pop(key, None)
+                return value
