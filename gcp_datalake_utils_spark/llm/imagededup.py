@@ -42,6 +42,16 @@ IMG_PLANT_N = 10    # planted twins for the near-dup gate
 IMG_PLANT_OFFSET = 2_000_000
 IMG_PLANT_BUMP = 16  # +16 (mod 256) on pixel 0 of odd-id twins
 
+# Hot-bucket mitigation (round 13, r12 verdict ask #1): band buckets
+# larger than BUCKET_CAP skip the self-join and go through a blocked
+# within-bucket Arrow verify instead; BLOCK bounds the per-task
+# pair-matrix side. Measured at tmp/sf10 (317k images): CAP=64 splits
+# the 214.2M-pair candidate mass into a 3.8M-row cold join + 0.96M hot
+# members whose 210.4M comparisons run as vectorized numpy popcounts
+# (~1.04M shuffled rows after block-pair replication at B=1024).
+BUCKET_CAP = 64
+BLOCK = 1024
+
 _DHASH_SCHEMA = "asset_id long, dh_hi long, dh_lo long"
 
 
@@ -125,28 +135,10 @@ def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dhash_rows(spark, sf_dir, plant=False)
 
 
-def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[Q] (asset_a, asset_b, hamming): image near-duplicate pairs at
-    Hamming <= HAM_MAX over the planted corpus — 4x16-bit banded
-    candidate generation + exact bit_count(xor) verify on candidates
-    only. All JVM-side after the hash scan: integer band slicing,
-    equi-join, bit_count — whole-stage codegen, no Python in the join
-    path.
-
-    Capture contract (mirrored exactly in the oracle, so both engines
-    agree row-for-row): 4 exact-match bands guarantee capture for
-    Hamming <= 3 (pigeonhole — some band is clean); pairs at 4-6 are
-    captured iff the differing bits leave one band untouched (a twin
-    differing in <= 1 bit collides in >= 3 of 4 bands; structured
-    perturbations like JPEG re-encode concentrate in few cells). The
-    declared-banding semantics is the simhash_near_pairs precedent.
-    Corpus note (BASELINE round 12): on the synthetic text-pixel
-    corpus the dHash bits are low-entropy, so 16-bit band buckets run
-    hot (~214M candidate pairs at 500k images before the verify cuts
-    them to 5.8k); real image corpora distribute perceptual-hash keys
-    near-uniformly, and the LSH family's hot-bucket salting applies
-    unchanged if they don't."""
-    dh = _dhash_rows(spark, sf_dir, plant=True).localCheckpoint()
+def _band_rows(dh: DataFrame) -> DataFrame:
+    """(asset_id, dh_hi, dh_lo, band, key): one row per (image, band)
+    with the 16-bit band key — 4 rows/image, hashes carried so the
+    verify never re-joins the hash table."""
     mask = F.lit(0xFFFF)
     bands = F.array(*[
         F.struct(
@@ -155,8 +147,153 @@ def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   16 * (j % 2))
              .bitwiseAND(mask)).alias("key"))
         for j in range(4)])
-    bk = (dh.select("asset_id", F.explode(bands).alias("bk"))
-          .select("asset_id", "bk.band", "bk.key"))
+    return (dh.select("asset_id", "dh_hi", "dh_lo",
+                      F.explode(bands).alias("bk"))
+            .select("asset_id", "dh_hi", "dh_lo",
+                    "bk.band", "bk.key"))
+
+
+_PAIR_SCHEMA = "asset_a long, asset_b long, hamming int"
+_POPCOUNT = None  # byte-popcount LUT, built once per executor
+
+
+def _hot_verify_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """All-pairs Hamming verify for ONE block-pair task of a hot
+    bucket: vectorized uint64 XOR + byte-LUT popcount (numpy < 2 has
+    no bitwise_count). Emits only verified pairs (hamming <= HAM_MAX,
+    asset_a < asset_b) — the candidate matrix never leaves the task."""
+    import numpy as np
+    global _POPCOUNT
+    if _POPCOUNT is None:
+        _POPCOUNT = np.array([bin(i).count("1") for i in range(256)],
+                             dtype=np.uint8)
+
+    ids = pdf["asset_id"].to_numpy()
+    f = ((pdf["dh_hi"].to_numpy().astype(np.uint64) << np.uint64(32))
+         | pdf["dh_lo"].to_numpy().astype(np.uint64))
+    ti = int(pdf["ti"].iloc[0])
+    tj = int(pdf["tj"].iloc[0])
+    if ti == tj:
+        ia = ib = np.arange(len(ids))
+    else:
+        ia = np.flatnonzero(pdf["blk"].to_numpy() == ti)
+        ib = np.flatnonzero(pdf["blk"].to_numpy() == tj)
+    outs = []
+    # chunk both sides so the XOR matrix stays <= ~32 MB even if a
+    # block runs large (pmod skew)
+    for a0 in range(0, len(ia), 2048):
+        sa = ia[a0:a0 + 2048]
+        for b0 in range(0, len(ib), 2048):
+            sb = ib[b0:b0 + 2048]
+            x = f[sa][:, None] ^ f[sb][None, :]
+            h = _POPCOUNT[x.view(np.uint8).reshape(
+                len(sa), len(sb), 8)].sum(axis=2, dtype=np.int32)
+            r, c = np.nonzero(h <= HAM_MAX)
+            if not len(r):
+                continue
+            aa, bb = ids[sa[r]], ids[sb[c]]
+            if ti == tj:
+                # full matrix: drop diagonal + one of each mirrored
+                # ordering
+                keep = aa < bb
+                aa, bb, hh = aa[keep], bb[keep], h[r, c][keep]
+            else:
+                # cross-block: each unordered pair appears exactly
+                # once — order it, never drop it
+                hh = h[r, c]
+                aa, bb = np.minimum(aa, bb), np.maximum(aa, bb)
+            outs.append(pd.DataFrame({
+                "asset_a": aa, "asset_b": bb,
+                "hamming": hh.astype("int32")}))
+    if not outs:
+        return pd.DataFrame({"asset_a": pd.Series([], dtype="int64"),
+                             "asset_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int32")})
+    return pd.concat(outs, ignore_index=True)
+
+
+def image_near_dups(spark: SparkSession, sf_dir: str,
+                    cap: int = BUCKET_CAP,
+                    block: int = BLOCK) -> DataFrame:
+    """[Q] (asset_a, asset_b, hamming): image near-duplicate pairs at
+    Hamming <= HAM_MAX over the planted corpus — 4x16-bit banded
+    candidate generation + exact Hamming verify on candidates only.
+
+    Capture contract (mirrored exactly in the oracle, so both engines
+    agree row-for-row): 4 exact-match bands guarantee capture for
+    Hamming <= 3 (pigeonhole — some band is clean); pairs at 4-6 are
+    captured iff the differing bits leave one band untouched (a twin
+    differing in <= 1 bit collides in >= 3 of 4 bands; structured
+    perturbations like JPEG re-encode concentrate in few cells). The
+    declared-banding semantics is the simhash_near_pairs precedent.
+
+    Hot-bucket execution (round 13, r12 verdict ask #1): the synthetic
+    text-pixel corpus gives LOW-ENTROPY dHash bits, so 16-bit band
+    buckets run hot — the r12 single-path self-join materialized and
+    distinct-ed ~214M candidate rows at 500k images. The plan now
+    splits per bucket size, with IDENTICAL output (so the oracle is
+    untouched — this is a physical strategy for the same declared
+    contract, pytest-asserted equal to the plain join):
+      * cold buckets (n <= cap): whole-stage-codegen self-join, but
+        the Hamming filter runs BEFORE distinct, so the shuffle after
+        the join is output-sized, not candidate-sized;
+      * hot buckets (n > cap): members are replicated to
+        ceil(n/block) block-pair tasks (blocked all-pairs — shuffle
+        is sum(n*ceil(n/block)) rows, compute is the same sum-C(n,2)
+        popcounts but as in-task vectorized numpy, never join rows).
+    At 100x corpus a 284k-member bucket ships ~79M 29-byte rows and
+    spreads ~40G popcounts over ~39k tasks — both terms bounded by
+    block, no single-task skew, no candidate-sized exchange."""
+    dh = _dhash_rows(spark, sf_dir, plant=True).localCheckpoint()
+    sizes = (_band_rows(dh).groupBy("band", "key")
+             .agg(F.count("*").alias("n")))
+    bk = _band_rows(dh).join(F.broadcast(sizes), ["band", "key"])
+
+    cold = bk.where(F.col("n") <= cap)
+    a = cold.select("band", "key",
+                    F.col("asset_id").alias("asset_a"),
+                    F.col("dh_hi").alias("hi_a"),
+                    F.col("dh_lo").alias("lo_a"))
+    b = cold.select("band", "key",
+                    F.col("asset_id").alias("asset_b"),
+                    F.col("dh_hi").alias("hi_b"),
+                    F.col("dh_lo").alias("lo_b"))
+    ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+           + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+    cold_pairs = (a.join(b, ["band", "key"])
+                  .where(F.col("asset_a") < F.col("asset_b"))
+                  .withColumn("hamming", ham.cast("int"))
+                  .where(F.col("hamming") <= HAM_MAX)
+                  .select("asset_a", "asset_b", "hamming"))
+
+    # hot members: block id within the bucket; each member joins every
+    # block-pair task its block participates in — task (i, j) sees
+    # block i once (via o = j) and block j once (via o = i)
+    hot = (bk.where(F.col("n") > cap)
+           .withColumn("nb", F.ceil(F.col("n") / F.lit(block))
+                       .cast("int"))
+           .withColumn("blk", F.pmod("asset_id", "nb").cast("int"))
+           .withColumn("o", F.explode(
+               F.sequence(F.lit(0), F.col("nb") - 1)))
+           .select("asset_id", "dh_hi", "dh_lo", "band", "key", "blk",
+                   F.least("blk", "o").alias("ti"),
+                   F.greatest("blk", "o").alias("tj")))
+    hot_pairs = (hot.groupBy("band", "key", "ti", "tj")
+                 .applyInPandas(_hot_verify_kernel, _PAIR_SCHEMA))
+
+    # a pair can recur across bands (and across the cold/hot split
+    # when it shares both a cold and a hot band) — distinct runs on
+    # the VERIFIED output, which is near-dup-sized, not candidate-sized
+    return cold_pairs.unionByName(hot_pairs).distinct()
+
+
+def _image_near_dups_plain(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """The single-path r12 plan (band self-join over every bucket,
+    distinct on candidates, then verify) — kept as the reference twin
+    for the pytest that proves the hybrid plan is output-identical."""
+    dh = _dhash_rows(spark, sf_dir, plant=True).localCheckpoint()
+    bk = _band_rows(dh).select("asset_id", "band", "key")
     a = bk.select(F.col("asset_id").alias("asset_a"), "band", "key")
     b = bk.select(F.col("asset_id").alias("asset_b"), "band", "key")
     cand = (a.join(b, ["band", "key"])

@@ -1,0 +1,161 @@
+"""Round-13 operator tests: hot-bucket image near-dup plan,
+planted-id guards, and JPEG parser edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- image_near_dups hybrid plan ---------------------------------------------
+
+
+def _pairs(df):
+    return {(r["asset_a"], r["asset_b"]): r["hamming"]
+            for r in df.collect()}
+
+
+def test_image_near_dups_hybrid_equals_plain(spark):
+    """The cap/blocked plan is a physical strategy for the same
+    declared contract: with cap=2/block=2 EVERY bucket takes the hot
+    path (blocked all-pairs Arrow verify) and with the default cap
+    buckets split across both paths — both must equal the single-path
+    r12 join row-for-row."""
+    from gcp_datalake_utils_spark.llm import imagededup as I
+
+    plain = _pairs(I._image_near_dups_plain(spark, SF))
+    assert plain, "corpus yields no near-dup pairs (planting broken?)"
+    assert _pairs(I.image_near_dups(spark, SF)) == plain
+    assert _pairs(I.image_near_dups(spark, SF, cap=2, block=2)) \
+        == plain
+    # mixed split + multi-block tasks (block < bucket sizes)
+    assert _pairs(I.image_near_dups(spark, SF, cap=4, block=3)) \
+        == plain
+
+
+def test_hot_verify_kernel_cross_block_ordering():
+    """Cross-block tasks must emit the pair even when the block-ti
+    member has the LARGER asset id (ordered, never dropped)."""
+    from gcp_datalake_utils_spark.llm import imagededup as I
+
+    pdf = pd.DataFrame({
+        "asset_id": [10, 3],       # block 0 holds the larger id
+        "dh_hi": [0, 0],
+        "dh_lo": [0b1011, 0b1010],  # hamming 1
+        "blk": [0, 1],
+        "ti": [0, 0],
+        "tj": [1, 1],
+    })
+    out = I._hot_verify_kernel(pdf)
+    assert out.to_dict("records") == [
+        {"asset_a": 3, "asset_b": 10, "hamming": 1}]
+
+
+def test_hot_verify_kernel_same_block_dedup():
+    """Same-block tasks see the full matrix: diagonal and mirrored
+    orderings are dropped, true pairs kept once."""
+    from gcp_datalake_utils_spark.llm import imagededup as I
+
+    pdf = pd.DataFrame({
+        "asset_id": [7, 1, 5],
+        "dh_hi": [0, 0, 1 << 20],
+        "dh_lo": [0, 1, 0],
+        "blk": [0, 0, 0],
+        "ti": [0, 0, 0],
+        "tj": [0, 0, 0],
+    })
+    out = I._hot_verify_kernel(pdf).sort_values(
+        ["asset_a", "asset_b"]).to_dict("records")
+    assert out == [
+        {"asset_a": 1, "asset_b": 5, "hamming": 2},
+        {"asset_a": 1, "asset_b": 7, "hamming": 1},
+        {"asset_a": 5, "asset_b": 7, "hamming": 1},
+    ]
+
+
+def test_image_plant_guard_raises(spark):
+    """A real asset_id at or past IMG_PLANT_OFFSET fails the planting
+    kernel loudly instead of aliasing a twin."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from gcp_datalake_utils_spark.llm import imagededup as I
+    from gcp_datalake_utils_spark.llm.multimodal import PNG_WIDTH
+
+    rows = [(I.IMG_PLANT_OFFSET + 5,
+             bytearray(b"x" * (PNG_WIDTH * I.GRID_H)))]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+
+    import gcp_datalake_utils_spark.llm.imagededup as mod
+
+    orig = mod.binary_assets
+    mod.binary_assets = lambda s, d: df
+    try:
+        with pytest.raises(PythonException, match="IMG_PLANT_OFFSET"):
+            mod._dhash_rows(spark, SF, plant=True).collect()
+    finally:
+        mod.binary_assets = orig
+
+
+def test_nd_plant_guard_raises(spark):
+    """A real vec_id at or past ND_PLANT_OFFSET fails the embedding
+    twin-planting plan loudly instead of aliasing a twin."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from gcp_datalake_utils_spark.llm import similarity as S
+
+    e = spark.createDataFrame(
+        [(S.ND_PLANT_OFFSET + 1, [0.0] * S.N_DIMS, "a")],
+        "vec_id long, embedding array<float>, label string")
+    with pytest.raises(SparkRuntimeException,
+                       match="ND_PLANT_OFFSET"):
+        S._with_planted_twins(e).collect()
+
+
+# --- JPEG parser edge cases (ADVICE r12) -------------------------------------
+
+
+def test_parse_jpeg_multi_table_dqt():
+    """A DQT segment legally packs multiple 65-byte tables; the parser
+    must read them all (it used to read only the first)."""
+    from gcp_datalake_utils_spark.llm import jpeg as J
+
+    pix = np.full((8, 8), 128, dtype=np.uint8)
+    b = bytearray(J.build_jpeg(pix))
+    # locate the encoder's single DQT (FFDB len 67: Pq/Tq + 64 bytes)
+    i = b.index(b"\xff\xdb")
+    (seglen,) = (int.from_bytes(b[i + 2:i + 4], "big"),)
+    assert seglen == 67
+    table0 = bytes(b[i + 4:i + 4 + 65])
+    # repack: one segment holding table 0 twice (ids 0 and 1)
+    table1 = bytes([1]) + table0[1:]
+    packed = b[:i + 2] + (2 + 130).to_bytes(2, "big") \
+        + table0 + table1 + b[i + 4 + 65:]
+    out = J.parse_jpeg(bytes(packed))
+    assert out.shape == (8, 8)
+
+
+def test_parse_jpeg_rejects_truncated_dqt():
+    from gcp_datalake_utils_spark.llm import jpeg as J
+
+    pix = np.full((8, 8), 128, dtype=np.uint8)
+    b = bytearray(J.build_jpeg(pix))
+    i = b.index(b"\xff\xdb")
+    bad = b[:i + 2] + (2 + 64).to_bytes(2, "big") + b[i + 4:i + 4 + 64] \
+        + b[i + 4 + 65:]
+    with pytest.raises(ValueError):
+        J.parse_jpeg(bytes(bad))
+
+
+def test_read_symbol_bounded_at_16_bits():
+    """An all-ones stream with a sparse table must raise before
+    consuming a 17th bit."""
+    from gcp_datalake_utils_spark.llm import jpeg as J
+
+    br = J._BitReader(b"\xff\x00\xff\x00\xff\x00")
+    with pytest.raises(ValueError, match="invalid Huffman"):
+        J._read_symbol(br, {})  # no code ever matches
+    # exactly 16 bits consumed: the next full byte is still there
+    assert br.take(8) == 0xFF
