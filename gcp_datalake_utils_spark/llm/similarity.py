@@ -40,6 +40,46 @@ _DOT_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
 _NORM_SQL = ("sqrt(list_sum(list_transform({a}, "
              "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
 
+# int8-prefilter SQL primitives (defined up here because every
+# near-dup oracle embeds them since the round-13 default flip; the
+# design rationale lives at the "Quantized verify" block comment)
+ND_Q_PREFILTER = 0.94
+
+
+def _q8_codes_sql(tbl: str = "embeddings") -> str:
+    return f"""
+SELECT vec_id, label,
+       CASE WHEN scale > 1e-30
+            THEN list_transform(embedding, x ->
+                 CAST(greatest(-127, least(127,
+                      round(CAST(x AS DOUBLE) / scale, 0))) AS INTEGER))
+            ELSE list_transform(embedding, x -> 0) END AS q8
+FROM (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM {tbl}
+)
+"""
+
+
+_Q8_CODES_SQL = _q8_codes_sql()
+
+_Q8_NORM_SQL = ("sqrt(list_sum(list_transform({q}, "
+                "x -> CAST(x AS BIGINT) * x)))")
+_Q8_DOT_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
+               "p -> CAST(p[1] AS BIGINT) * p[2]))")
+
+# the prefilter's admission predicate over code tables qa/qb — the
+# SQL twin of _prefilter_pairs_quantized's kernel
+_Q8_PRE_COND = (
+    "(" + _Q8_NORM_SQL.format(q="qa.q8") + ") > 0\n    AND ("
+    + _Q8_NORM_SQL.format(q="qb.q8") + ") > 0\n    AND round(("
+    + _Q8_DOT_SQL.format(a="qa.q8", b="qb.q8") + ")\n              / (("
+    + _Q8_NORM_SQL.format(q="qa.q8") + ")\n                 * ("
+    + _Q8_NORM_SQL.format(q="qb.q8") + ")), 6)\n        >= "
+    + str(ND_Q_PREFILTER))
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -154,7 +194,8 @@ N_DIMS = 64
 _PA, _PB, _PM = 73856093, 19349663, 97
 
 
-def _plane_sign_sql_expr(j_expr: str, d_expr: str) -> str:
+def _plane_sign_sql_expr(j_expr: str, d_expr: str,
+                         dims: int = N_DIMS) -> str:
     # +1 / -1 from integer hashing of (plane, dim) — engine-agnostic.
     # r7 fix: the original linear hash parity((j*PA + d*PB) % 97) had
     # step PB % 97 = 6 (EVEN), so each plane's coefficients were runs
@@ -167,7 +208,7 @@ def _plane_sign_sql_expr(j_expr: str, d_expr: str) -> str:
     # block 6857 -> 233, candidate mass 46x smaller on a 20k-vector
     # uniform control, while planted-pair recall at cosine 0.95 stays
     # at the theoretical 98.8%. k <= 4095 so k*k*PA < 2^63 in BIGINT.
-    k = f"(CAST({j_expr} AS BIGINT) * {N_DIMS} + CAST({d_expr} AS BIGINT))"
+    k = f"(CAST({j_expr} AS BIGINT) * {dims} + CAST({d_expr} AS BIGINT))"
     return (f"CASE WHEN (({k} * {k} * {_PA} + {k} * {_PB})"
             f" % {_PM}) % 2 = 0 THEN 1.0 ELSE -1.0 END")
 
@@ -1175,7 +1216,11 @@ def embedding_near_dups64(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-band collide p = (1 - theta/pi)^8 ~ 0.43; 8 bands -> 98.8%),
     and the band width widens further with the plane count as the
     corpus grows — same contract, same plan shape: int-only band join,
-    id-wise distinct, embedding fetch joins, exact-cosine verify."""
+    id-wise distinct, embedding fetch joins, exact-cosine verify.
+
+    Round 13: the verify stage is the int8-prefiltered quantized path
+    (the r12 ledger's winner at both measured widths), mirrored
+    stage-for-stage in the oracle; see _near_dups64_from."""
     return _near_dups64_from(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -1210,7 +1255,12 @@ def _cand64_from(e: DataFrame) -> DataFrame:
 
 
 def _near_dups64_from(e: DataFrame) -> DataFrame:
-    return _verify_pairs_arrow(_cand64_from(e), e, 0.95)
+    # round 13: quantized_verify is the DEFAULT verify for every
+    # banded near-dup row (the r12 ledger: it wins wall AND shuffle
+    # bytes at both measured widths); _verify_pairs_arrow remains the
+    # documented fallback for candidates~pairs corpora, where a
+    # prefilter cannot remove anything by construction.
+    return quantized_verify(_cand64_from(e), e, 0.95)
 
 
 EMBEDDING_NEAR_DUP64_ORACLE = f"""
@@ -1233,9 +1283,17 @@ cand AS (
   FROM bands a
   JOIN bands b ON a.label = b.label AND a.band = b.band
               AND a.key = b.key AND a.vec_id < b.vec_id
+),
+q AS ({_q8_codes_sql('embeddings')}),
+pre AS (
+  SELECT c.vec_a, c.vec_b, c.label
+  FROM cand c
+  JOIN q qa ON qa.vec_id = c.vec_a
+  JOIN q qb ON qb.vec_id = c.vec_b
+  WHERE {_Q8_PRE_COND}
 )
 SELECT c.vec_a, c.vec_b, c.label, {{cos}} AS cosine
-FROM cand c
+FROM pre c
 JOIN embeddings ea ON ea.vec_id = c.vec_a
 JOIN embeddings eb ON eb.vec_id = c.vec_b
 WHERE {{cos}} >= 0.95
@@ -1262,8 +1320,6 @@ WHERE {{cos}} >= 0.95
 # mirrored in the oracle, so cross-engine parity is exact (no
 # tolerance story beyond the repo-wide round-6 contract).
 # ---------------------------------------------------------------------------
-
-ND_Q_PREFILTER = 0.94
 
 
 def _quantized_codes(e: DataFrame) -> DataFrame:
@@ -1337,10 +1393,14 @@ def embedding_near_dups_quantized(spark: SparkSession,
     the same materialized candidates — 768 dims (200k vectors,
     tmp/vecs768): 221 vs 342 s wall, 216 vs 679 MB shuffle (-68%);
     64 dims (tmp/sf10): 6.8 vs 20.8 s, 78 vs 116 MB (-33%). The twin
-    is the default verify; the single-stage float path remains the
-    fallback for corpora where candidates ~ true pairs (a prefilter
-    cannot remove anything by construction). Both verify stages stay
-    oracle-exact either way. Full ledger: BASELINE round 12.
+    is the default verify — WIRED round 13: every banded near-dup row
+    (64/auto/sharded/128) routes through quantized_verify, with the
+    prefilter mirrored in each oracle; the single-stage float path
+    remains the fallback for corpora where candidates ~ true pairs (a
+    prefilter cannot remove anything by construction — it is kept on
+    the 16-plane legacy row and the batch-sized incremental probe).
+    Both verify stages stay oracle-exact either way. Full ledger:
+    BASELINE round 12.
 
     Round 12 (r11 verdict "what's wrong" #1): the corpus is planted
     with deterministic near-dup twins (see _with_planted_twins) so
@@ -1393,6 +1453,8 @@ def _near_dups_quantized_from(e: DataFrame) -> DataFrame:
 # on both engines (IEEE round-to-nearest both ways), so the twin's
 # float bits — and therefore every downstream signature/band/int8/
 # cosine stage — are bit-identical across Spark and DuckDB.
+# (ND_Q_PREFILTER and the _Q8_* SQL primitives are defined at the top
+# of the module since the round-13 default flip.)
 ND_PLANT_N = 12
 ND_PLANT_OFFSET = 1_000_000
 ND_PLANT_BUMP = 0.25
@@ -1442,31 +1504,6 @@ SELECT vec_id + {ND_PLANT_OFFSET} AS vec_id,
        label
 FROM embeddings WHERE vec_id < {ND_PLANT_N}
 """
-
-
-def _q8_codes_sql(tbl: str = "embeddings") -> str:
-    return f"""
-SELECT vec_id, label,
-       CASE WHEN scale > 1e-30
-            THEN list_transform(embedding, x ->
-                 CAST(greatest(-127, least(127,
-                      round(CAST(x AS DOUBLE) / scale, 0))) AS INTEGER))
-            ELSE list_transform(embedding, x -> 0) END AS q8
-FROM (
-  SELECT vec_id, label, embedding,
-         list_max(list_transform(embedding,
-                  x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-  FROM {tbl}
-)
-"""
-
-
-_Q8_CODES_SQL = _q8_codes_sql()
-
-_Q8_NORM_SQL = ("sqrt(list_sum(list_transform({q}, "
-                "x -> CAST(x AS BIGINT) * x)))")
-_Q8_DOT_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
-               "p -> CAST(p[1] AS BIGINT) * p[2]))")
 
 EMBEDDING_NEAR_DUP_QUANTIZED_ORACLE = f"""
 WITH pl AS ({_PLANTED_SQL}),
@@ -1617,14 +1654,15 @@ def _band_key_rows(e: DataFrame, bits: int, bands: int,
                     F.posexplode("keys").alias("band", "key")))
 
 
-def _banded_candidates(e: DataFrame, bits: int, bands: int) -> DataFrame:
+def _banded_candidates(e: DataFrame, bits: int, bands: int,
+                       dims: int = N_DIMS) -> DataFrame:
     """(vec_a, vec_b, label) candidate pairs from `bands` RP-LSH bands
     of `bits` bits each — the shared generator behind the auto knob and
     the band stress tool, parameterized so tests can drive it at forced
     past-clamp plans without a multi-million-row corpus."""
     # checkpointed before the a/b self-join (same rationale as
     # _near_dups64_from: the GEMV bucketizer must not run twice)
-    sig = _band_key_rows(e, bits, bands).localCheckpoint()
+    sig = _band_key_rows(e, bits, bands, dims).localCheckpoint()
     a = sig.select(F.col("vec_id").alias("vec_a"), "label",
                    "band", "key")
     b = sig.select(F.col("vec_id").alias("vec_b"), "label",
@@ -1648,8 +1686,9 @@ def embedding_near_dups_auto(spark: SparkSession,
     are the shared near-dup plan."""
     e = load_table(spark, sf_dir, "embeddings")
     bits, bands = _auto_band_plan(e.count())
-    return _verify_pairs_arrow(_banded_candidates(e, bits, bands),
-                               e, 0.95)
+    # quantized verify by default (round 13) — see _near_dups64_from
+    return quantized_verify(_banded_candidates(e, bits, bands),
+                            e, 0.95)
 
 
 # ---------------------------------------------------------------------------
@@ -1729,7 +1768,8 @@ def embedding_near_dups_sharded(spark: SparkSession, sf_dir: str,
     bits, bands = _auto_band_plan(e.count())
     cand = _banded_candidates_sharded(e, bits, bands, n_shards,
                                       scratch_dir)
-    return _verify_pairs_arrow(cand, e, 0.95)
+    # quantized verify by default (round 13) — see _near_dups64_from
+    return quantized_verify(cand, e, 0.95)
 
 
 EMBEDDING_NEAR_DUPS_AUTO_ORACLE = f"""
@@ -1763,9 +1803,17 @@ cand AS (
   FROM bands a
   JOIN bands b ON a.label = b.label AND a.band = b.band
               AND a.key = b.key AND a.vec_id < b.vec_id
+),
+q AS ({_q8_codes_sql('embeddings')}),
+pre AS (
+  SELECT c.vec_a, c.vec_b, c.label
+  FROM cand c
+  JOIN q qa ON qa.vec_id = c.vec_a
+  JOIN q qb ON qb.vec_id = c.vec_b
+  WHERE {_Q8_PRE_COND}
 )
 SELECT c.vec_a, c.vec_b, c.label, {{cos}} AS cosine
-FROM cand c
+FROM pre c
 JOIN embeddings ea ON ea.vec_id = c.vec_a
 JOIN embeddings eb ON eb.vec_id = c.vec_b
 WHERE {{cos}} >= 0.95
@@ -1773,6 +1821,137 @@ WHERE {{cos}} >= 0.95
     "round((" + _DOT_SQL.format(a="ea.embedding", b="eb.embedding")
     + ") / ((" + _NORM_SQL.format(a="ea.embedding") + ") * ("
     + _NORM_SQL.format(a="eb.embedding") + ")), 6)"))
+
+
+def _e128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 128-dim corpus derived deterministically from the 64-dim
+    driver table: v128 = concat(v, reverse(v)), planted twins included
+    BEFORE widening. Reversal preserves pairwise dot products (both
+    halves permute identically), so cosine_128(a', b') =
+    cosine_64(a, b) exactly — the planted near-dup pairs survive the
+    widening and the 0.95 gate stays non-vacuous."""
+    e = _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
+    return e.select(
+        "vec_id", "label",
+        F.concat("embedding", F.reverse("embedding")).alias("embedding"))
+
+
+def embedding_near_dups_128(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """[Q] embedding_near_dups_auto's plan at dims=128 (r12 verdict
+    ask #6: the dims-generic quadratic-integer-hash plane family was
+    gate-verified at 64 dims only; the 768-dim fixture feeds a tool,
+    not a gate). Same auto band knobs, same banded candidate join,
+    same cogrouped Arrow verify — only the plane matrix and the SQL
+    plane hash take dims=128 (k = j*128 + d)."""
+    e = _e128(spark, sf_dir).localCheckpoint()
+    bits, bands = _auto_band_plan(e.count())
+    cand = _banded_candidates(e, bits, bands, dims=2 * N_DIMS)
+    # quantized verify by default (round 13) — see _near_dups64_from
+    return quantized_verify(cand, e, 0.95)
+
+
+def embedding_near_dups_sharded_planted(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """[Q] the label-group-sharded candidate path (the declared
+    >= 1e9-vector plan, r12 verdict ask #4) over the PLANTED corpus —
+    planted so the driver hash is evidence on 12 real pairs, not the
+    empty set (the r11 quantized-row lesson). Result-identical to the
+    auto plan on the same corpus by construction (sharding only adds
+    shard = label % n_shards as a leading equi-join key);
+    pytest-asserted equal."""
+    e = _with_planted_twins(
+        load_table(spark, sf_dir, "embeddings")).localCheckpoint()
+    bits, bands = _auto_band_plan(e.count())
+    cand = _banded_candidates_sharded(e, bits, bands, n_shards=4)
+    # quantized verify by default (round 13) — see _near_dups64_from
+    return quantized_verify(cand, e, 0.95)
+
+
+# shared skeleton for the planted near-dup oracles: the auto band
+# plan + banded candidates + exact-cosine verify over a corpus CTE
+_ND_PLANTED_ORACLE_TMPL = """
+WITH e0 AS ({planted}),
+e AS (
+  {corpus_select}
+),
+p0 AS (
+  SELECT GREATEST(8, LEAST({bits_cap}, length(printf(
+           '%b', GREATEST(count(*) // {target_block}, 1)))))
+         AS bits
+  FROM e
+),
+p AS (
+  SELECT bits,
+         {bands_auto} + {extra_bands} * GREATEST(bits - 16, 0)
+           AS n_bands
+  FROM p0
+),
+bands AS (
+  SELECT vec_id, label, j AS band,
+         list_sum(list_transform(range(bits), i ->
+           CASE WHEN round(list_sum(list_transform(
+                  range({dims}), d ->
+                  CAST(embedding[d + 1] AS DOUBLE) *
+                  ({sign}))), 6)
+                >= 0
+           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+           AS key
+  FROM e, p, unnest(range({bands_cap})) AS t(j)
+  WHERE j < p.n_bands
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+  FROM bands a
+  JOIN bands b ON a.label = b.label AND a.band = b.band
+              AND a.key = b.key AND a.vec_id < b.vec_id
+),
+q AS ({q8codes}),
+pre AS (
+  SELECT c.vec_a, c.vec_b, c.label
+  FROM cand c
+  JOIN q qa ON qa.vec_id = c.vec_a
+  JOIN q qb ON qb.vec_id = c.vec_b
+  WHERE {q8cond}
+)
+SELECT c.vec_a, c.vec_b, c.label, {cos} AS cosine
+FROM pre c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE {cos} >= 0.95
+"""
+
+
+def _nd_planted_oracle(dims: int, corpus_select: str) -> str:
+    return _ND_PLANTED_ORACLE_TMPL.format(
+        planted=_PLANTED_SQL,
+        corpus_select=corpus_select,
+        bits_cap=ND_BITS_CAP,
+        target_block=ND_TARGET_BLOCK,
+        bands_auto=ND_BANDS_AUTO,
+        extra_bands=ND_EXTRA_BANDS_PER_BIT,
+        bands_cap=ND_BANDS_CAP,
+        dims=dims,
+        sign=_plane_sign_sql_expr('(j * bits + i)', 'd', dims),
+        q8codes=_q8_codes_sql("e"),
+        q8cond=_Q8_PRE_COND,
+        cos=(
+            "round(("
+            + _DOT_SQL.format(a="ea.embedding", b="eb.embedding")
+            + ") / ((" + _NORM_SQL.format(a="ea.embedding") + ") * ("
+            + _NORM_SQL.format(a="eb.embedding") + ")), 6)"))
+
+
+EMBEDDING_NEAR_DUPS_128_ORACLE = _nd_planted_oracle(
+    2 * N_DIMS,
+    "SELECT vec_id, label,\n"
+    "         list_concat(embedding, list_reverse(embedding))"
+    " AS embedding\n  FROM e0")
+
+# the sharded row's oracle: sharding is invisible to the result set,
+# so the oracle is simply the planted auto plan at the native width
+EMBEDDING_NEAR_DUPS_SHARDED_ORACLE = _nd_planted_oracle(
+    N_DIMS, "SELECT vec_id, label, embedding FROM e0")
 
 
 # ---------------------------------------------------------------------------

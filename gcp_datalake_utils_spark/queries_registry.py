@@ -589,6 +589,19 @@ register("ann_rerank", similarity_arrow.ann_rerank,
          similarity_arrow.ANN_RERANK_ORACLE)
 register("embedding_near_dups_auto", similarity.embedding_near_dups_auto,
          similarity.EMBEDDING_NEAR_DUPS_AUTO_ORACLE)
+# round 13 (r12 verdict asks #4 and #6): the label-group-sharded
+# candidate path is result-identical to the auto path by construction
+# (pytest set-equality) — registered over the PLANTED corpus so the
+# driver hash is evidence on 12 real pairs, not the empty set (auto
+# itself hashes 0 rows at sf0.01; the r11 quantized-row lesson). This
+# makes the declared >= 1e9-vector plan driver-gated, not pytest-only.
+# The 128-dim row gates the dims-generic plane family at a width with
+# no historical evidence (64 was the only driver-hashed width).
+register("embedding_near_dups_sharded",
+         similarity.embedding_near_dups_sharded_planted,
+         similarity.EMBEDDING_NEAR_DUPS_SHARDED_ORACLE)
+register("embedding_near_dups_128", similarity.embedding_near_dups_128,
+         similarity.EMBEDDING_NEAR_DUPS_128_ORACLE)
 register("embedding_near_dups64", similarity.embedding_near_dups64,
          similarity.EMBEDDING_NEAR_DUP64_ORACLE)
 register("evolving_read", evolution.evolving_read,

@@ -114,6 +114,51 @@ def test_nd_plant_guard_raises(spark):
         S._with_planted_twins(e).collect()
 
 
+# --- round-13 near-dup rows ---------------------------------------------------
+
+
+def test_sharded_planted_equals_auto_plan(spark):
+    """The registered sharded row equals the unsharded auto plan run
+    over the same planted corpus — sharding only refines the join
+    key, never the result set."""
+    from gcp_datalake_utils_spark.llm import similarity as S
+    from gcp_datalake_utils_spark.sources import load_table
+
+    e = S._with_planted_twins(
+        load_table(spark, SF, "embeddings")).localCheckpoint()
+    bits, bands = S._auto_band_plan(e.count())
+    auto = S._verify_pairs_arrow(
+        S._banded_candidates(e, bits, bands), e, 0.95)
+    ref = {(r["vec_a"], r["vec_b"], r["label"], r["cosine"])
+           for r in auto.collect()}
+    got = {(r["vec_a"], r["vec_b"], r["label"], r["cosine"])
+           for r in S.embedding_near_dups_sharded_planted(
+               spark, SF).collect()}
+    assert ref and got == ref
+
+
+def test_near_dups_128_planted_pairs_survive_widening(spark):
+    """cosine(concat(v, rev v), concat(w, rev w)) == cosine(v, w), so
+    every planted 64-dim near-dup pair appears in the 128-dim row with
+    the same rounded cosine."""
+    from gcp_datalake_utils_spark.llm import similarity as S
+    from gcp_datalake_utils_spark.sources import load_table
+
+    e = S._with_planted_twins(
+        load_table(spark, SF, "embeddings")).localCheckpoint()
+    bits, bands = S._auto_band_plan(e.count())
+    base = {(r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in S._verify_pairs_arrow(
+                S._banded_candidates(e, bits, bands), e, 0.95)
+            .collect()}
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in S.embedding_near_dups_128(spark, SF).collect()}
+    assert base, "planted 64-dim pairs missing"
+    for pair, cos in base.items():
+        assert pair in got
+        assert abs(got[pair] - cos) <= 1e-6, (pair, cos, got[pair])
+
+
 # --- JPEG parser edge cases (ADVICE r12) -------------------------------------
 
 
