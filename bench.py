@@ -217,6 +217,10 @@ HEADLINE = [
     # baseline JPEG round-trip ledger (rows-only monitor)
     "jpeg_roundtrip_quality",
     "curation_incremental_rollup",
+    # round-13 additions: the label-group-sharded candidate plan
+    # (planted corpus) and the dims=128 plane-family row
+    "embedding_near_dups_sharded",
+    "embedding_near_dups_128",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -1064,6 +1064,101 @@ _rotate_window(_r12_head, _R12_R8_STALE[50 - len(_R12_NEW):])
 # 3 + 2 + 49 = 54 > 50: the r13 rotation will defer the overflow tail
 # of (3) to r14 the way r12 deferred its two judge-re-verified rows.
 
+# ---------------------------------------------------------------------------
+# ROUND-13 WINDOW ROTATION (r12 verdict ask #2). Superseding the r12
+# rotation above (kept as the r12 evidence record). The r13 window:
+#   (1) the r12 late additions the driver has never hashed
+#       (image_dhash, image_near_dups, curation_incremental_rollup) —
+#       image_near_dups additionally changed plan this round (hybrid
+#       cap/blocked verify; output-identical, pytest-asserted);
+#   (2) the round-13 additions (embedding_near_dups_sharded,
+#       embedding_near_dups_128);
+#   (3) the rows whose CONTRACT changed this round: the quantized-
+#       verify default flip rewired embedding_near_dups64 and
+#       embedding_near_dups_auto (verify stage + oracle prefilter
+#       CTE), so their r12/r11 greens no longer cover HEAD;
+#   (4) the two r12 deferrals (grid_layout_coords, rules_file_source
+#       — the last rows with driver evidence older than r9);
+#   (5) 41 of the 49 rows whose newest driver green is r9 (the
+#       precomputed queue above).
+# 9 + 41 = 50; the 8-row overflow tail of (5) defers to r14 in queue
+# order (domain_quota_sample, domain_quality_prior,
+# domain_dedup_rollup, sequence_packing_bpe, events_dpp_join,
+# source_length_deciles, daily_activity_stream,
+# embedding_decontamination) — each re-verified green by tools/check
+# at HEAD this round; after r13 no other oracled row's newest driver
+# green is older than r10.
+# ---------------------------------------------------------------------------
+
+_R13_NEW = [
+    "image_dhash",
+    "image_near_dups",
+    "curation_incremental_rollup",
+    "embedding_near_dups_sharded",
+    "embedding_near_dups_128",
+    "embedding_near_dups64",
+    "embedding_near_dups_auto",
+    "grid_layout_coords",
+    "rules_file_source",
+]
+
+# the 49 rows whose newest driver green is r9, in CORRECTNESS_r09
+# order (recomputed at r12 close — the R13 QUEUE comment above)
+_R13_R9_STALE = [
+    "classify_pk_fk",
+    "schema_complexity",
+    "detect_naming_convention",
+    "detect_enhanced_pk_fk",
+    "detect_data_type_match",
+    "detect_custom_rules",
+    "detect_pipeline",
+    "top_orders_per_customer",
+    "frequency_distribution",
+    "distinct_cardinalities",
+    "common_keys",
+    "scalar_battery",
+    "timestamp_battery",
+    "graph_roots",
+    "data_test_report",
+    "adaptive_sample_size",
+    "orphan_users",
+    "events_hourly",
+    "audit_window_scan",
+    "simhash64",
+    "corpus_mixture_temp",
+    "lm_doc_scores",
+    "weighted_sample",
+    "lm_quality_bins",
+    "events_gapfill",
+    "hll_distinct_native",
+    "profile_orders_fast",
+    "decontamination_hashed",
+    "rfm_segments",
+    "bm25_topk",
+    "c4_quality_filters",
+    "media_frame_sample",
+    "media_resize",
+    "incremental_agg",
+    "retention_policy",
+    "bm25_topk_capped",
+    "retention_cohorts_preagg",
+    "path_transitions_preagg",
+    "active_users_rolling7_preagg",
+    "active_users_rolling7_sweep",
+    "daily_activity_cdc",
+    "domain_quota_sample",
+    "domain_quality_prior",
+    "domain_dedup_rollup",
+    "sequence_packing_bpe",
+    "events_dpp_join",
+    "source_length_deciles",
+    "daily_activity_stream",
+    "embedding_decontamination",
+]
+
+_r13_head = [*_R13_NEW, *_R13_R9_STALE[:50 - len(_R13_NEW)]]
+_rotate_window(_r13_head, _R13_R9_STALE[50 - len(_R13_NEW):])
+
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detection.detect_all(spark)
