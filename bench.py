@@ -218,9 +218,11 @@ HEADLINE = [
     "jpeg_roundtrip_quality",
     "curation_incremental_rollup",
     # round-13 additions: the label-group-sharded candidate plan
-    # (planted corpus) and the dims=128 plane-family row
+    # (planted corpus), the dims=128 plane-family row, and the FLAC
+    # codec chain (lossless — fully oracled, unlike the JPEG monitor)
     "embedding_near_dups_sharded",
     "embedding_near_dups_128",
+    "flac_decode_features",
 ]
 
 # results larger than this row count are executed via the noop sink

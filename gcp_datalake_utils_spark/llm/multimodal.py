@@ -93,23 +93,28 @@ FROM documents
 
 
 def decode_media(assets: DataFrame, target_kind: str = "image") -> DataFrame:
-    """Codec-backed decode for VIDEO/LOSSY-AUDIO containers (MP4/
-    FLAC/MP3). The container ships no codec libraries, so this is
-    an explicit stub for that format class; the plumbing above
-    (schema, Arrow batching, partition flow) is what a codec plugs
-    into. Every still-image/audio container in scope IS decoded for
-    real: RIFF/PCM WAV (parse_wav, round 11), Netpbm P5 (parse_pgm,
-    round 11), deflate-compressed PNG (parse_png, round 12 — zlib
-    inflate + all five scanline unfilters, CRC-verified chunk walk),
-    and baseline JPEG (llm/jpeg.parse_jpeg, round 12 — Huffman bit
-    reader + dequant + IDCT, Annex K tables). Only the VIDEO/LOSSY-
-    AUDIO container class remains stubbed."""
+    """Codec-backed decode for VIDEO/PERCEPTUAL-AUDIO containers
+    (MP4/H.264, MP3/AAC). The container ships no codec libraries, so
+    this is an explicit stub for that format class; the plumbing
+    above (schema, Arrow batching, partition flow) is what a codec
+    plugs into. Every still-image and LOSSLESS-audio container in
+    scope IS decoded for real: RIFF/PCM WAV (parse_wav, round 11),
+    Netpbm P5 (parse_pgm, round 11), deflate-compressed PNG
+    (parse_png, round 12 — zlib inflate + all five scanline
+    unfilters, CRC-verified chunk walk), baseline JPEG
+    (llm/jpeg.parse_jpeg, round 12 — Huffman bit reader + dequant +
+    IDCT, Annex K tables), and baseline FLAC (llm/flac.parse_flac,
+    round 13 — fixed predictors + Rice coding, CRC-8/16, STREAMINFO
+    MD5 self-check). Only formats whose decode genuinely requires
+    external libraries (motion video, perceptual audio) remain
+    stubbed."""
     raise NotImplementedError(
-        "MP4/H.264 and FLAC/MP3 decoding requires codec libraries "
+        "MP4/H.264 and MP3/AAC decoding requires codec libraries "
         "(ffmpeg) not present in this environment; WAV decodes via "
         "parse_wav, PGM via parse_pgm, PNG via parse_png, baseline "
-        "JPEG via llm/jpeg.parse_jpeg, and extract_features covers "
-        "the byte-level pipeline — register a codec-backed featurizer "
+        "JPEG via llm/jpeg.parse_jpeg, baseline FLAC via "
+        "llm/flac.parse_flac, and extract_features covers the "
+        "byte-level pipeline — register a codec-backed featurizer "
         "with the same mapInPandas signature for the remaining "
         "formats")
 
@@ -350,20 +355,28 @@ def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(aid)
                 rates.append(rate)
                 ns.append(n)
-                durs.append(round(n * 1000.0 / rate, 6))
-                rmss.append(round(float(np.sqrt((x * x).mean())), 6)
+                # raw doubles; rounded JVM-side below. Python round()
+                # banker's-rounds exact ties (zcr = nz/(n-1) CAN tie
+                # at 6 dp: 90/256 = .3515625, observed at sf0.1) while
+                # DuckDB rounds half away — the PGM mean_luma lesson.
+                durs.append(n * 1000.0 / rate)
+                rmss.append(float(np.sqrt((x * x).mean()))
                             if n else 0.0)
                 nz = ((s[1:] >= 0) != (s[:-1] >= 0)).sum() if n > 1 else 0
-                zcrs.append(round(float(nz) / (n - 1), 6)
-                            if n > 1 else 0.0)
+                zcrs.append(float(nz) / (n - 1) if n > 1 else 0.0)
             yield pd.DataFrame({
                 "asset_id": ids,
                 "sample_rate": pd.Series(rates, dtype="int32"),
                 "n_samples": pd.Series(ns, dtype="int64"),
                 "duration_ms": durs, "rms": rmss, "zcr": zcrs})
 
-    return wav_assets(spark, sf_dir).mapInPandas(
+    out = wav_assets(spark, sf_dir).mapInPandas(
         _decode, _WAV_FEATURES_SCHEMA)
+    return out.select(
+        "asset_id", "sample_rate", "n_samples",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"))
 
 
 WAV_DECODE_FEATURES_ORACLE = f"""

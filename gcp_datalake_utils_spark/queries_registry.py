@@ -34,6 +34,7 @@ from gcp_datalake_utils_spark.llm import (
     curation,
     imagededup,
     jpeg,
+    flac,
     decontam,
     distmatch,
     domains,
@@ -261,6 +262,14 @@ register("image_near_dups", imagededup.image_near_dups,
 # monitor (the bpe_token_stats convention), pytest-bracketed incl. a
 # hand-assembled golden bitstream
 register("jpeg_roundtrip_quality", jpeg.jpeg_roundtrip_quality, None)
+# round 13: baseline FLAC codec (fixed predictors + Rice coding,
+# CRC-8/16, STREAMINFO MD5 self-check) — LOSSLESS, so unlike JPEG the
+# row is fully oracled: features come from the decoded samples and
+# the oracle re-derives them from the generative formula (n_frames
+# additionally gates the framing). Registered after the r13 rotation
+# -> tail of QUERIES, heads the r14 never-hashed queue.
+register("flac_decode_features", flac.flac_decode_features,
+         flac.FLAC_DECODE_FEATURES_ORACLE)
 # round 12: the updated per-source ledger after a batch admission
 register("curation_incremental_rollup",
          curation.curation_incremental_rollup,

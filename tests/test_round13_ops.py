@@ -159,6 +159,152 @@ def test_near_dups_128_planted_pairs_survive_widening(spark):
         assert abs(got[pair] - cos) <= 1e-6, (pair, cos, got[pair])
 
 
+# --- baseline FLAC codec (round 13) ------------------------------------------
+
+
+def _flac_roundtrip(s):
+    from gcp_datalake_utils_spark.llm import flac as FL
+    b = FL.build_flac(np.asarray(s, dtype=np.int16))
+    rate, ch, bits, out = FL.parse_flac(b)
+    assert (rate, ch, bits) == (FL.FLAC_SAMPLE_RATE, 1, 16)
+    return b, out
+
+
+def test_flac_lossless_roundtrip_all_signal_classes():
+    """FLAC is lossless: decoded samples must equal the input EXACTLY
+    (not an error envelope) for every signal class the encoder can
+    emit — constant, smooth (fixed predictors), incompressible
+    (verbatim), int16 extremes, empty, and block-boundary lengths."""
+    rng = np.random.RandomState(7)
+    cases = [
+        np.array([], dtype=np.int16),
+        np.array([32767], dtype=np.int16),
+        np.full(5000, -123, dtype=np.int16),
+        (np.arange(9000) % 4001 - 2000).astype(np.int16),
+        rng.randint(-32768, 32768, 12345).astype(np.int16),
+        np.array([-32768, 32767] * 100, dtype=np.int16),
+        rng.randint(-300, 300, 4096).astype(np.int16),
+        rng.randint(-300, 300, 4097).astype(np.int16),
+    ]
+    for s in cases:
+        _b, out = _flac_roundtrip(s)
+        assert (out == s).all()
+
+
+def test_flac_subframe_types_all_exercised():
+    """The encoder's three subframe types are all live paths: a
+    constant block emits CONSTANT (tiny stream), a linear ramp emits
+    FIXED (compresses), white noise emits VERBATIM (raw-sized)."""
+    from gcp_datalake_utils_spark.llm import flac as FL
+
+    const = FL.build_flac(np.full(4096, 77, dtype=np.int16))
+    assert len(const) < 80  # one CONSTANT subframe, no residuals
+    ramp = FL.build_flac(
+        (np.arange(4096) % 1000).astype(np.int16))
+    assert len(ramp) < 4096 * 2 * 0.5  # FIXED beats raw by 2x+
+    noise = FL.build_flac(np.random.RandomState(3)
+                          .randint(-32768, 32768, 4096)
+                          .astype(np.int16))
+    assert len(noise) >= 4096 * 2  # VERBATIM: raw + headers
+    for b in (const, ramp, noise):
+        FL.parse_flac(b)  # and each decodes (MD5-verified)
+
+
+def test_flac_crc_known_vectors():
+    """The CRC kernels match the published check values for
+    '123456789': CRC-8 poly 0x07 -> 0xF4, CRC-16 poly 0x8005
+    (unreflected, init 0) -> 0xFEE8."""
+    from gcp_datalake_utils_spark.llm import flac as FL
+
+    assert FL._crc8(b"123456789") == 0xF4
+    assert FL._crc16(b"123456789") == 0xFEE8
+
+
+def test_flac_golden_bitstream():
+    """Hand-assembled minimal stream: 4 samples of value 256 as one
+    CONSTANT-subframe frame. The encoder must emit EXACTLY these
+    bytes, and the decoder must reconstruct the samples from the
+    independently assembled file — so encoder and decoder cannot
+    share a compensating bug (the JPEG golden-bitstream convention)."""
+    import hashlib
+    import struct
+
+    from gcp_datalake_utils_spark.llm import flac as FL
+
+    samples = np.full(4, 256, dtype=np.int16)
+    # STREAMINFO: blocksizes 4096/4096, framesizes 0/0, rate 8000,
+    # mono, 16-bit, total 4, then MD5 of the raw samples
+    tail = (8000 << 44) | (0 << 41) | (15 << 36) | 4
+    streaminfo = (struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+                  + tail.to_bytes(8, "big")
+                  + hashlib.md5(samples.tobytes()).digest())
+    assert len(streaminfo) == 34
+    # frame header: sync+fixed 0xFFF8, bs-code 0b0111 / sr-code 0,
+    # mono/16-bit 0x08, frame 0, blocksize-1 = 3, then CRC-8
+    hdr = b"\xff\xf8\x70\x08\x00\x00\x03"
+    hdr += bytes([FL._crc8(hdr)])
+    # CONSTANT subframe: header 0x00, value 256 big-endian 16-bit
+    frame = hdr + b"\x00\x01\x00"
+    frame += FL._crc16(frame).to_bytes(2, "big")
+    golden = (b"fLaC" + b"\x80" + (34).to_bytes(3, "big")
+              + streaminfo + frame)
+    assert FL.build_flac(samples) == golden
+    _r, _c, _b, out = FL.parse_flac(golden)
+    assert (out == samples).all()
+
+
+def test_flac_rejects_malformed():
+    """Magic, frame-header CRC-8, whole-frame CRC-16, the STREAMINFO
+    MD5 self-check, truncation, and out-of-scope streams all raise
+    with a telling message instead of returning corrupt audio."""
+    from gcp_datalake_utils_spark.llm import flac as FL
+
+    good = FL.build_flac((np.arange(600) % 97 - 48).astype(np.int16))
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        FL.parse_flac(b"fLaX" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        FL.parse_flac(good[:60])
+    # flip a frame-header byte (blocksize low byte) -> CRC-8 catches
+    bad = bytearray(good)
+    hdr_at = 4 + 4 + 34  # first frame offset
+    assert bad[hdr_at] == 0xFF
+    bad[hdr_at + 6] ^= 0x01
+    with pytest.raises(ValueError, match="CRC-8|frame sync"):
+        FL.parse_flac(bytes(bad))
+    # flip a residual byte mid-frame -> CRC-16 catches
+    bad = bytearray(good)
+    bad[hdr_at + 20] ^= 0x10
+    with pytest.raises(ValueError, match="CRC-16|unary|truncated"):
+        FL.parse_flac(bytes(bad))
+    # corrupt the STREAMINFO MD5 -> end-to-end self-check catches
+    bad = bytearray(good)
+    bad[4 + 4 + 18] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        FL.parse_flac(bytes(bad))
+    # stereo STREAMINFO -> scoped rejection (byte 12 packs
+    # rate_low4 | channels-1 (3 bits, values 8/4/2) | bps_high1)
+    bad = bytearray(good)
+    bad[4 + 4 + 12] ^= 0b00000010  # channels-1: 0 -> 1 (stereo)
+    with pytest.raises(ValueError, match="mono"):
+        FL.parse_flac(bytes(bad))
+
+
+def test_flac_utf8_frame_numbers_multibyte():
+    """Streams long enough to need multi-byte coded frame numbers
+    round-trip (frame index 128+ crosses into 2-byte UTF-8)."""
+    from gcp_datalake_utils_spark.llm import flac as FL
+
+    assert FL._utf8_code(0x7F) == b"\x7f"
+    assert FL._utf8_code(0x80) == b"\xc2\x80"
+    assert FL._utf8_code(0x7FF) == b"\xdf\xbf"
+    assert FL._utf8_code(0x800) == b"\xe0\xa0\x80"
+    # 130 frames: constant blocks keep this fast (~70 B/frame)
+    s = np.full(FL.FLAC_BLOCK * 130, 9, dtype=np.int16)
+    _b, out = _flac_roundtrip(s)
+    assert (out == s).all()
+
+
 # --- JPEG parser edge cases (ADVICE r12) -------------------------------------
 
 
