@@ -223,6 +223,7 @@ HEADLINE = [
     "embedding_near_dups_sharded",
     "embedding_near_dups_128",
     "flac_decode_features",
+    "mp4_metadata",
 ]
 
 # results larger than this row count are executed via the noop sink

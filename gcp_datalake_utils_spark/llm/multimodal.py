@@ -105,9 +105,11 @@ def decode_media(assets: DataFrame, target_kind: str = "image") -> DataFrame:
     (llm/jpeg.parse_jpeg, round 12 — Huffman bit reader + dequant +
     IDCT, Annex K tables), and baseline FLAC (llm/flac.parse_flac,
     round 13 — fixed predictors + Rice coding, CRC-8/16, STREAMINFO
-    MD5 self-check). Only formats whose decode genuinely requires
-    external libraries (motion video, perceptual audio) remain
-    stubbed."""
+    MD5 self-check). For MP4 the CONTAINER walk is also real
+    (llm/mp4.parse_mp4, round 13 — recursive box grammar, largesize,
+    mvhd/mdhd metadata); only the codec PAYLOAD decode (H.264 NAL /
+    AAC entropy) remains stubbed, because that genuinely requires
+    external libraries."""
     raise NotImplementedError(
         "MP4/H.264 and MP3/AAC decoding requires codec libraries "
         "(ffmpeg) not present in this environment; WAV decodes via "

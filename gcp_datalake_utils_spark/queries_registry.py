@@ -35,6 +35,7 @@ from gcp_datalake_utils_spark.llm import (
     imagededup,
     jpeg,
     flac,
+    mp4,
     decontam,
     distmatch,
     domains,
@@ -270,6 +271,11 @@ register("jpeg_roundtrip_quality", jpeg.jpeg_roundtrip_quality, None)
 # -> tail of QUERIES, heads the r14 never-hashed queue.
 register("flac_decode_features", flac.flac_decode_features,
          flac.FLAC_DECODE_FEATURES_ORACLE)
+# round 13: ISO BMFF (MP4) container metadata — the box grammar is
+# real (builder + recursive walker, largesize + unknown-box skip);
+# only the codec PAYLOAD decode remains stubbed in decode_media.
+# Registered after the r13 rotation -> r14 never-hashed queue.
+register("mp4_metadata", mp4.mp4_metadata, mp4.MP4_METADATA_ORACLE)
 # round 12: the updated per-source ledger after a batch admission
 register("curation_incremental_rollup",
          curation.curation_incremental_rollup,

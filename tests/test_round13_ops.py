@@ -305,6 +305,75 @@ def test_flac_utf8_frame_numbers_multibyte():
     assert (out == s).all()
 
 
+# --- MP4 container box grammar (round 13) ------------------------------------
+
+
+def test_mp4_roundtrip_metadata():
+    """Every metadata column must come back out of the assembled box
+    tree for both handler paths (smhd and vmhd), all mapped and
+    unmapped languages, and the empty payload."""
+    from gcp_datalake_utils_spark.llm import mp4 as M
+
+    for payload, lang, kind, code in [
+            (b"hello world!", "en", "soun", "eng"),
+            (b"x" * 4097, "zh", "vide", "zho"),
+            (b"", "xx", "soun", "und"),
+            (b"abc", "he", "vide", "heb")]:
+        meta = M.parse_mp4(M.build_mp4(payload, lang=lang,
+                                       handler=kind))
+        assert meta == {
+            "major_brand": "isom", "timescale": 1000,
+            "duration_ms": len(payload) * M.MP4_SAMPLE_DELTA,
+            "n_tracks": 1, "handler": kind, "language": code,
+            "sample_count": len(payload), "mdat_len": len(payload)}
+
+
+def test_mp4_walker_largesize_and_unknown_boxes():
+    """The walker must take the 64-bit largesize branch and skip
+    unknown boxes (the spec's forward-compat rule) without losing the
+    metadata that follows."""
+    import struct
+
+    from gcp_datalake_utils_spark.llm import mp4 as M
+
+    b = M.build_mp4(b"data", lang="fr")
+    # rewrite mdat as a largesize box (size=1 + 64-bit length)
+    mdat_at = len(M._box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                         + b"isomiso2mp41"))
+    size, cc = struct.unpack_from(">I4s", b, mdat_at)
+    assert cc == b"mdat"
+    body = b[mdat_at + 8:mdat_at + size]
+    large = struct.pack(">I4sQ", 1, b"mdat", 16 + len(body)) + body
+    rewritten = b[:mdat_at] + large + b[mdat_at + size:]
+    meta = M.parse_mp4(rewritten)
+    assert meta["language"] == "fra" and meta["mdat_len"] == 4
+    # unknown box injected between mdat and moov is skipped
+    free = struct.pack(">I4s", 16, b"free") + b"\x00" * 8
+    injected = b[:mdat_at + size] + free + b[mdat_at + size:]
+    assert M.parse_mp4(injected)["sample_count"] == 4
+
+
+def test_mp4_rejects_malformed():
+    import struct
+
+    from gcp_datalake_utils_spark.llm import mp4 as M
+
+    good = M.build_mp4(b"payload", lang="de")
+    with pytest.raises(ValueError, match="ftyp must be first"):
+        M.parse_mp4(b"\x00" * 8 + good)
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        M.parse_mp4(good[:-5])
+    # box size smaller than its own header
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, 0, 5)
+    with pytest.raises(ValueError, match="bad box size"):
+        M.parse_mp4(bytes(bad))
+    # strip moov -> structural error
+    mdat_end = good.index(b"moov") - 4
+    with pytest.raises(ValueError, match="missing moov"):
+        M.parse_mp4(good[:mdat_end])
+
+
 # --- JPEG parser edge cases (ADVICE r12) -------------------------------------
 
 
