@@ -224,6 +224,10 @@ HEADLINE = [
     "embedding_near_dups_128",
     "flac_decode_features",
     "mp4_metadata",
+    # product quantization: codes + ADC ranking + two-arm recall audit
+    "pq_codes",
+    "pq_adc_topk",
+    "pq_recall_audit",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -45,6 +45,7 @@ from gcp_datalake_utils_spark.llm import (
     lm,
     paradedup,
     packing,
+    pq,
     redact,
     retrieval,
     rollup,
@@ -276,6 +277,14 @@ register("flac_decode_features", flac.flac_decode_features,
 # only the codec PAYLOAD decode remains stubbed in decode_media.
 # Registered after the r13 rotation -> r14 never-hashed queue.
 register("mp4_metadata", mp4.mp4_metadata, mp4.MP4_METADATA_ORACLE)
+# round 13: product quantization (Jegou et al. 2011) — per-subspace
+# Lloyd codebooks, 8-code encodings, ADC top-k, recall audit; the
+# compressed-storage half of IVF-PQ (the >= 1e9-vector memory lever).
+# Registered after the r13 rotation -> r14 never-hashed queue.
+register("pq_codes", pq.pq_codes, pq.PQ_CODES_ORACLE)
+register("pq_adc_topk", pq.pq_adc_topk, pq.PQ_ADC_TOPK_ORACLE)
+register("pq_recall_audit", pq.pq_recall_audit,
+         pq.PQ_RECALL_AUDIT_ORACLE)
 # round 12: the updated per-source ledger after a batch admission
 register("curation_incremental_rollup",
          curation.curation_incremental_rollup,
