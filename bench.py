@@ -228,6 +228,10 @@ HEADLINE = [
     "pq_codes",
     "pq_adc_topk",
     "pq_recall_audit",
+    # MJ-PNG video pipeline: framed MP4 -> stride sample -> decode ->
+    # frame dHash; video near-dup through the hybrid banded engine
+    "video_frame_sample",
+    "video_near_dups",
 ]
 
 # results larger than this row count are executed via the noop sink

@@ -245,6 +245,19 @@ def image_near_dups(spark: SparkSession, sf_dir: str,
     spreads ~40G popcounts over ~39k tasks — both terms bounded by
     block, no single-task skew, no candidate-sized exchange."""
     dh = _dhash_rows(spark, sf_dir, plant=True).localCheckpoint()
+    return banded_hamming_pairs(dh, cap, block)
+
+
+def banded_hamming_pairs(dh: DataFrame, cap: int = BUCKET_CAP,
+                         block: int = BLOCK) -> DataFrame:
+    """(asset_a, asset_b, hamming <= HAM_MAX) over any
+    (asset_id, dh_hi, dh_lo) signature frame — the hybrid cold-join /
+    hot-blocked banded Hamming engine behind image_near_dups,
+    factored out so other signature spaces (llm/video.py's frame-0
+    video signatures) get the hot-bucket-safe plan for free. The
+    caller owns materializing ``dh`` (localCheckpoint or scratch
+    store) since it is scanned by both the size profile and the
+    join."""
     sizes = (_band_rows(dh).groupBy("band", "key")
              .agg(F.count("*").alias("n")))
     bk = _band_rows(dh).join(F.broadcast(sizes), ["band", "key"])

@@ -15,10 +15,13 @@ is a real recursive walker that validates structure and raises on
 malformed input (truncated/undersized boxes, missing mvhd, bad
 largesize) instead of guessing.
 
-What's NOT claimed: decoding the mdat payload. The builder stores
-opaque bytes behind a stub 'mp4v'/'mp4a' sample entry; a frame
-decoder would plug in at exactly that boundary (decode_media's
-documented contract).
+What's NOT claimed here: decoding the mdat payload behind the stub
+'mp4v'/'mp4a' sample entry (H.264/AAC entropy decode —
+decode_media's documented contract). llm/video.py plugs in at
+exactly that boundary with a REAL framed track: variable-size
+stsz/stsc/stco sample tables and losslessly-decodable PNG frames,
+so the container-to-pixels path is exercised end-to-end without
+claiming the perceptual codecs.
 
 The [Q] row (mp4_metadata) is the table a 100 TB video-corpus
 pipeline actually builds FIRST: per-asset container metadata

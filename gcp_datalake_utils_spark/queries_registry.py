@@ -46,6 +46,7 @@ from gcp_datalake_utils_spark.llm import (
     paradedup,
     packing,
     pq,
+    video,
     redact,
     retrieval,
     rollup,
@@ -281,6 +282,14 @@ register("mp4_metadata", mp4.mp4_metadata, mp4.MP4_METADATA_ORACLE)
 # Lloyd codebooks, 8-code encodings, ADC top-k, recall audit; the
 # compressed-storage half of IVF-PQ (the >= 1e9-vector memory lever).
 # Registered after the r13 rotation -> r14 never-hashed queue.
+# round 13: MJ-PNG video pipeline — real multi-sample MP4 tables
+# (variable stsz + stsc + stco), sample-table-driven frame
+# extraction, lossless per-frame decode, stride sampling, and video
+# near-dup over frame signatures through the hybrid banded engine.
+register("video_frame_sample", video.video_frame_sample,
+         video.VIDEO_FRAME_SAMPLE_ORACLE)
+register("video_near_dups", video.video_near_dups,
+         video.VIDEO_NEAR_DUPS_ORACLE)
 register("pq_codes", pq.pq_codes, pq.PQ_CODES_ORACLE)
 register("pq_adc_topk", pq.pq_adc_topk, pq.PQ_ADC_TOPK_ORACLE)
 register("pq_recall_audit", pq.pq_recall_audit,
