@@ -55,6 +55,7 @@ from gcp_datalake_utils_spark.llm.similarity import (
     _davg6,
     _DAVG6_SQL,
 )
+from gcp_datalake_utils_spark.session import SessionCache, session_key
 from gcp_datalake_utils_spark.sources import load_table
 
 PQ_M = 8        # subspaces
@@ -136,6 +137,28 @@ def _pq_train(e: DataFrame):
     return cents, _pq_assign(sub, cents)
 
 
+_INDEX_CACHE = SessionCache()  # eager init: the curation-cache rule
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """(codebook, codes) as materialized frames — the PREBUILT index
+    every serving row reads. Training is an OFFLINE job in a
+    production PQ deployment (codebook and codes are persisted once,
+    queries only read them — that asymmetry is the entire point of
+    the structure), so the serving rows share one training pass per
+    (session, corpus); the memo is the session twin of the persisted
+    codebook+codes tables. At >= 1e9 vectors the codes frame is a
+    parquet table partitioned like the corpus (localCheckpoint of a
+    corpus-sized frame starves local execution memory — the round-12
+    scratch-store lesson); the 128-row codebook stays a broadcast."""
+    def build():
+        cents, assign = _pq_train(
+            load_table(spark, sf_dir, "embeddings"))
+        return (cents.localCheckpoint(), assign.localCheckpoint())
+    return _INDEX_CACHE.get_or_build(
+        (session_key(spark), sf_dir), build)
+
+
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] every vector's PQ code word (array of PQ_M codes) plus its
     reconstruction MSE — the compressed representation a billion-
@@ -143,7 +166,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace rounded distances as DECIMAL(18,6) (merge-order
     exact) and divides by the full dimensionality."""
     e = load_table(spark, sf_dir, "embeddings")
-    _, assign = _pq_train(e)
+    _, assign = _pq_index(spark, sf_dir)
     per_vec = (assign.groupBy("vec_id")
                .agg(F.transform(
                    F.array_sort(F.collect_list(F.struct("m", "code"))),
@@ -208,11 +231,12 @@ JOIN embeddings e USING (vec_id)
 """
 
 
-def _adc_scores(e: DataFrame) -> DataFrame:
-    """(vec_id, approx_dist): train, build the query's M x K lookup
-    table, and sum each non-query vector's M looked-up terms as
-    DECIMAL(18,6) (merge-order exact)."""
-    cents, assign = _pq_train(e)
+def _adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, approx_dist): read the prebuilt index, build the
+    query's M x K lookup table, and sum each non-query vector's M
+    looked-up terms as DECIMAL(18,6) (merge-order exact)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, assign = _pq_index(spark, sf_dir)
     lut = (_subvectors(e.where(F.col("vec_id") == QUERY_VEC_ID))
            .select("m", "sub")
            .join(cents, "m")
@@ -235,8 +259,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a TakeOrderedAndProject (ascending distance, vec_id ties).
     The corpus side of the join ships only (vec_id, m, code) int rows
     — never floats — which is the ADC memory contract."""
-    e = load_table(spark, sf_dir, "embeddings")
-    scored = _adc_scores(e)
+    scored = _adc_scores(spark, sf_dir)
     top = scored.orderBy("approx_dist", "vec_id").limit(TOP_K)
     w = Window.orderBy("approx_dist", "vec_id")
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -293,7 +316,7 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("vec_id", d_exact.alias("d"))
              .orderBy("d", "vec_id").limit(TOP_K)
              .select("vec_id"))
-    adc = _adc_scores(e)
+    adc = _adc_scores(spark, sf_dir)
     adc_top = (adc.orderBy("approx_dist", "vec_id")
                .limit(TOP_K).select("vec_id"))
     short = (adc.orderBy("approx_dist", "vec_id")

@@ -68,7 +68,7 @@ def test_pq_adc_is_lut_sum(spark, sf_dir):
     for r in assign.collect():
         codes.setdefault(r.vec_id, {})[r.m] = r.code
     got = {r.vec_id: r.approx_dist
-           for r in pq._adc_scores(e).collect()}
+           for r in pq._adc_scores(spark, sf_dir).collect()}
     assert pq.QUERY_VEC_ID not in got
     for vid, per_m in codes.items():
         if vid == pq.QUERY_VEC_ID:
