@@ -1,0 +1,130 @@
+"""PQ at stress scale: build the index (train + encode) over a large
+vector corpus, persist codes to a parquet scratch store (the
+production form — NOT localCheckpoint, per the round-12 memory
+lesson), then time the ADC serving path against the prebuilt store.
+
+Usage: python tools/pq_stress.py VEC_DIR [--duck-timeout S]
+Prints one JSON line:
+  {"sf_dir":..., "n":..., "build_sec":..., "serve_sec":...,
+   "codes_bytes":..., "float_bytes":..., "compression":...,
+   "duck_train_sec":... | null (DNF)}
+
+The DuckDB twin runs the SAME training chain (PQ_CODES_ORACLE) on
+the same corpus under a wall cap — the single-node cost the
+distributed build is measured against.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from gcp_datalake_utils_spark.llm import pq
+    from gcp_datalake_utils_spark.session import get_spark
+    from gcp_datalake_utils_spark.sources import load_table
+
+    sf_dir = sys.argv[1]
+    duck_timeout = 0.0
+    if "--duck-timeout" in sys.argv:
+        duck_timeout = float(
+            sys.argv[sys.argv.index("--duck-timeout") + 1])
+
+    spark = get_spark("pq_stress", shuffle_partitions=32)
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+
+    # no leading underscore: Spark's file listing treats _-prefixed
+    # paths as hidden metadata and can ignore them on read
+    store = os.path.join(sf_dir, "pq_store")
+    shutil.rmtree(store, ignore_errors=True)
+
+    # --- index build: train codebooks, encode every vector, persist
+    t0 = time.time()
+    cents, assign = pq._pq_train(e)
+    codes = (assign.groupBy("vec_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("m", "code"))),
+                 lambda s: s["code"]).alias("codes")))
+    codes.write.mode("overwrite").parquet(store)
+    cent_rows = cents.collect()  # 128-row model table
+    build_sec = time.time() - t0
+
+    # --- ADC serving against the prebuilt store
+    q = (e.where(F.col("vec_id") == pq.QUERY_VEC_ID)
+         .select("embedding").first()[0])
+    lut = []
+    for r in cent_rows:
+        qs = [float(x) for x in q[r.m * pq.PQ_SUB:(r.m + 1) * pq.PQ_SUB]]
+        d = round(sum((a - b) * (a - b)
+                      for a, b in zip(qs, r.centroid)), 6)
+        lut.append((r.m, r.code, d))
+    t0 = time.time()
+    lut_df = spark.createDataFrame(lut, "m int, code int, d double")
+    stored = spark.read.parquet(store)
+    per_m = stored.select(
+        "vec_id", F.posexplode("codes").alias("m", "code"))
+    top = (per_m.where(F.col("vec_id") != pq.QUERY_VEC_ID)
+           .join(F.broadcast(lut_df), ["m", "code"])
+           .groupBy("vec_id")
+           .agg(F.round(F.sum(F.col("d").cast("decimal(18,6)"))
+                        .cast("double"), 6).alias("approx_dist"))
+           .orderBy("approx_dist", "vec_id").limit(pq.TOP_K)
+           .collect())
+    serve_sec = time.time() - t0
+    assert len(top) == pq.TOP_K
+
+    codes_bytes = _dir_bytes(store)
+    float_bytes = _dir_bytes(sf_dir) - codes_bytes
+
+    # --- DuckDB twin: same training chain, wall-capped
+    duck_sec = None
+    if duck_timeout > 0:
+        import duckdb
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')")
+        timer = threading.Timer(duck_timeout, con.interrupt)
+        timer.start()
+        t0 = time.time()
+        try:
+            con.execute(
+                f"SELECT count(*) FROM ({pq.PQ_CODES_ORACLE})"
+            ).fetchall()
+            duck_sec = round(time.time() - t0, 3)
+        except duckdb.Error as ex:
+            print(f"  duck DNF: {ex}", file=sys.stderr, flush=True)
+        finally:
+            timer.cancel()
+
+    shutil.rmtree(store, ignore_errors=True)
+    print(json.dumps({
+        "sf_dir": sf_dir, "n": n,
+        "build_sec": round(build_sec, 3),
+        "serve_sec": round(serve_sec, 3),
+        "codes_bytes": codes_bytes, "float_bytes": float_bytes,
+        "compression": round(float_bytes / max(codes_bytes, 1), 2),
+        "duck_train_sec": duck_sec}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
