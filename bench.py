@@ -225,9 +225,13 @@ HEADLINE = [
     "flac_decode_features",
     "mp4_metadata",
     # product quantization: codes + ADC ranking + two-arm recall audit
+    # + Arrow encode twin, sample-trained build, IVF-PQ composition
     "pq_codes",
     "pq_adc_topk",
     "pq_recall_audit",
+    "pq_codes_arrow",
+    "pq_codes_sampled",
+    "ivf_pq_topk",
     # MJ-PNG video pipeline: framed MP4 -> stride sample -> decode ->
     # frame dHash; video near-dup through the hybrid banded engine
     "video_frame_sample",

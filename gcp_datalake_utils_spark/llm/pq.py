@@ -167,6 +167,10 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact) and divides by the full dimensionality."""
     e = load_table(spark, sf_dir, "embeddings")
     _, assign = _pq_index(spark, sf_dir)
+    return _codes_rollup(e, assign)
+
+
+def _codes_rollup(e: DataFrame, assign: DataFrame) -> DataFrame:
     per_vec = (assign.groupBy("vec_id")
                .agg(F.transform(
                    F.array_sort(F.collect_list(F.struct("m", "code"))),
@@ -179,9 +183,137 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label", "codes", "recon_err"))
 
 
-def _pq_train_ctes() -> list[str]:
+PQ_TRAIN_SAMPLE = 256
+
+
+def _pq_train_sampled(e: DataFrame):
+    """(codebook, full-corpus assignment) with Lloyd's run over only
+    the PQ_TRAIN_SAMPLE lowest vec_ids — the production training
+    knob: codebooks converge on a sample, so the corpus pays ONE
+    encode pass instead of PQ_ITERS + 1 (measured at 8M vectors in
+    BASELINE). The seed rule is unchanged (the K lowest ids are
+    inside the sample by construction)."""
+    low = (e.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE)
+           .select("vec_id"))
+    sub_all = _subvectors(e)
+    sub_s = sub_all.join(F.broadcast(low), "vec_id")
+    cents = _pq_seed(e)
+    for _ in range(PQ_ITERS):
+        assign = _pq_assign(sub_s, cents)
+        cents = _pq_update(sub_s, assign)
+    return cents, _pq_assign(sub_all, cents)
+
+
+def pq_codes_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] pq_codes with sample-trained codebooks (the production
+    build): iteration cost is sample-sized, the corpus is touched
+    once, and the oracle mirrors the same training slice."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _, assign = _pq_train_sampled(e)
+    return _codes_rollup(e, assign)
+
+
+_CODES_SCHEMA = ("vec_id long, label int, codes array<int>, "
+                 "recon_err double")
+
+
+def pq_codes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] Arrow twin of :func:`pq_codes` — identical result, same
+    oracle. The JVM encode fans every (vector, subspace) out to K
+    broadcast rows and argmins in an aggregate (shuffle-cheap but
+    interpreted fold per candidate); this kernel scores a whole Arrow
+    batch against the collected 128-row codebook as one numpy
+    broadcast subtraction per subspace — the NARROW production
+    encode pass (no shuffle at all; codes leave with the scan).
+
+    JVM-parity contract (the embedding_quantize_arrow discipline):
+    distances accumulate column-by-column in the JVM fold order, are
+    rounded via vectorized np.round with the suspicious-boundary
+    rescue re-rounded through Decimal HALF_UP (np.round is HALF_EVEN
+    on exact ties), argmin runs on the rounded matrix in code order
+    (first-min = lowest code, the struct-min tie rule), and
+    recon_err replicates the DECIMAL(18,6) sum exactly: integer
+    micro-units, with the one true boundary class (micro_sum % 64 ==
+    32 — an exact .5 at the 7th decimal after the /64) re-computed
+    through Decimal. Bit-identity to the JVM twin is
+    pytest-guarded."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+
+    def r6s(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q6, ROUND_HALF_UP))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, _ = _pq_index(spark, sf_dir)
+    books = {}  # m -> (codes int array, centroid matrix)
+    for r in cents.collect():
+        books.setdefault(r.m, []).append(
+            (r.code, np.asarray(r.centroid, dtype=np.float64)))
+    books = {m: (np.array([c for c, _ in sorted(v)], dtype=np.int64),
+                 np.stack([a for _, a in sorted(v)]))
+             for m, v in books.items()}
+
+    def _round6(acc):
+        """F.round(x, 6) over a matrix: vectorized np.round, with
+        entries near the .5e-6 boundary re-rounded through Decimal
+        (the similarity_arrow sus-rescue)."""
+        y = acc * 1e6
+        d6 = np.round(acc, 6)
+        sus = np.abs((y - np.floor(y)) - 0.5) < 1e-6
+        if sus.any():
+            flat = d6.ravel()
+            for i in np.flatnonzero(sus.ravel()):
+                flat[i] = r6s(float(acc.ravel()[i]))
+        return d6
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(x)
+            codes = np.zeros((n, PQ_M), dtype=np.int64)
+            micro = np.zeros(n, dtype=np.int64)
+            for m in range(PQ_M):
+                code_ids, cm = books[m]
+                s = x[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                diff = s[:, None, :] - cm[None, :, :]
+                sq = diff * diff
+                acc = np.zeros((n, cm.shape[0]), dtype=np.float64)
+                for j in range(PQ_SUB):  # JVM fold order, exactly
+                    acc = acc + sq[:, :, j]
+                d6 = _round6(acc)
+                pick = d6.argmin(axis=1)  # first min = lowest code
+                codes[:, m] = code_ids[pick]
+                micro += np.round(
+                    d6[np.arange(n), pick] * 1e6).astype(np.int64)
+            denom = PQ_M * PQ_SUB
+            err = np.round(micro.astype(np.float64) * 1e-6 / denom, 6)
+            sus = micro % denom == denom // 2  # exact .5 at 7th dp
+            if sus.any():
+                for i in np.flatnonzero(sus):
+                    err[i] = r6s(
+                        float(Decimal(int(micro[i])) / Decimal(10 ** 6))
+                        / denom)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf["label"].astype("int32"),
+                "codes": codes.astype("int32").tolist(),
+                "recon_err": err,
+            })
+
+    return (e.select("vec_id", "label", "embedding")
+            .mapInPandas(encode, _CODES_SCHEMA))
+
+
+def _pq_train_ctes(train_sub: str = "sub") -> list[str]:
     """The DuckDB mirror of _pq_train: sub / c0 / (a_i, m_i, c_i)*
-    CTEs; the final assignment is a{PQ_ITERS}."""
+    CTEs; the final assignment is a{PQ_ITERS}. ``train_sub`` names
+    the CTE the Lloyd iterations read — "sub" for full-corpus
+    training, a filtered CTE for the sample-trained variant."""
     sq = _SQL2_SQL.format(a="s.sub", b="c.centroid")
     ctes = [f"""sub AS (
   SELECT vec_id, label, m,
@@ -196,10 +328,13 @@ def _pq_train_ctes() -> list[str]:
   WHERE vec_id IN (SELECT vec_id FROM embeddings
                    ORDER BY vec_id LIMIT {PQ_K}))"""]
     for i in range(PQ_ITERS + 1):
+        # Lloyd iterations assign/update over the TRAINING slice;
+        # only the final assignment encodes the full corpus
+        src = "sub" if i == PQ_ITERS else train_sub
         ctes.append(f"""a{i} AS (
   SELECT vec_id, m, code, d FROM (
     SELECT s.vec_id, s.m, c.code, round({sq}, 6) AS d
-    FROM sub s JOIN c{i} c ON s.m = c.m)
+    FROM {src} s JOIN c{i} c ON s.m = c.m)
   QUALIFY row_number() OVER (PARTITION BY vec_id, m
                              ORDER BY d, code) = 1)""")
         if i == PQ_ITERS:
@@ -207,7 +342,7 @@ def _pq_train_ctes() -> list[str]:
         ctes.append(f"""m{i + 1} AS (
   SELECT a.m, a.code, dd AS dim,
          {_DAVG6_SQL.format(v='s.sub[dd + 1]')} AS c
-  FROM sub s JOIN a{i} a ON s.vec_id = a.vec_id AND s.m = a.m,
+  FROM {train_sub} s JOIN a{i} a ON s.vec_id = a.vec_id AND s.m = a.m,
        unnest(range({PQ_SUB})) AS t(dd)
   GROUP BY a.m, a.code, dd)""")
         ctes.append(f"""c{i + 1} AS (
@@ -220,6 +355,30 @@ _A_FINAL = f"a{PQ_ITERS}"
 
 PQ_CODES_ORACLE = f"""
 WITH {','.join(_pq_train_ctes())}
+SELECT e.vec_id, e.label, j.codes, j.recon_err
+FROM (
+  SELECT vec_id,
+         list(CAST(code AS INTEGER) ORDER BY m) AS codes,
+         round(CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE)
+               / {PQ_M * PQ_SUB}, 6) AS recon_err
+  FROM {_A_FINAL} GROUP BY vec_id) j
+JOIN embeddings e USING (vec_id)
+"""
+
+
+def _sampled_ctes() -> str:
+    """Training CTEs with the Lloyd slice: sub, c0, sub_s, then the
+    a/m/c chain reading sub_s (final assignment reads sub)."""
+    ctes = _pq_train_ctes("sub_s")
+    sub_s = f"""sub_s AS (
+  SELECT s.* FROM sub s
+  WHERE s.vec_id IN (SELECT vec_id FROM embeddings
+                     ORDER BY vec_id LIMIT {PQ_TRAIN_SAMPLE}))"""
+    return ",".join([ctes[0], ctes[1], sub_s, *ctes[2:]])
+
+
+PQ_CODES_SAMPLED_ORACLE = f"""
+WITH {_sampled_ctes()}
 SELECT e.vec_id, e.label, j.codes, j.recon_err
 FROM (
   SELECT vec_id,
@@ -289,6 +448,40 @@ FROM (SELECT vec_id, approx_dist,
                   AS INTEGER) AS rank
       FROM adc) t
 JOIN embeddings e USING (vec_id)
+WHERE t.rank <= {TOP_K}
+"""
+
+
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q] IVF-PQ serving: ADC restricted to the query's coarse cell
+    (``label`` is the IVF cell by repo convention, nprobe=1 — the
+    similarity.py IVF trade). At >= 1e9 vectors the codes store is
+    PARTITIONED BY the cell, so this filter is partition pruning: the
+    scan touches cell-sized bytes of 8-byte codes — the two
+    compression levers (cell pruning x PQ codes) composed, which is
+    the standard billion-scale serving shape (IVFADC)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("label").alias("q_label")))
+    cell = (_adc_scores(spark, sf_dir)
+            .join(e.select("vec_id", "label"), "vec_id")
+            .crossJoin(F.broadcast(q))
+            .where(F.col("label") == F.col("q_label")))
+    top = cell.orderBy("approx_dist", "vec_id").limit(TOP_K)
+    w = Window.orderBy("approx_dist", "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("vec_id", "label", "approx_dist", "rank"))
+
+
+IVF_PQ_TOPK_ORACLE = f"""
+WITH {','.join(_pq_train_ctes())},{_ADC_CTES}
+SELECT t.vec_id, t.label, t.approx_dist, t.rank
+FROM (SELECT a.vec_id, e.label, a.approx_dist,
+             CAST(row_number() OVER (ORDER BY a.approx_dist, a.vec_id)
+                  AS INTEGER) AS rank
+      FROM adc a JOIN embeddings e USING (vec_id)
+      WHERE e.label = (SELECT label FROM embeddings
+                       WHERE vec_id = {QUERY_VEC_ID})) t
 WHERE t.rank <= {TOP_K}
 """
 

@@ -291,6 +291,10 @@ register("video_frame_sample", video.video_frame_sample,
 register("video_near_dups", video.video_near_dups,
          video.VIDEO_NEAR_DUPS_ORACLE)
 register("pq_codes", pq.pq_codes, pq.PQ_CODES_ORACLE)
+register("pq_codes_arrow", pq.pq_codes_arrow, pq.PQ_CODES_ORACLE)
+register("pq_codes_sampled", pq.pq_codes_sampled,
+         pq.PQ_CODES_SAMPLED_ORACLE)
+register("ivf_pq_topk", pq.ivf_pq_topk, pq.IVF_PQ_TOPK_ORACLE)
 register("pq_adc_topk", pq.pq_adc_topk, pq.PQ_ADC_TOPK_ORACLE)
 register("pq_recall_audit", pq.pq_recall_audit,
          pq.PQ_RECALL_AUDIT_ORACLE)

@@ -88,6 +88,52 @@ def test_pq_recall_arms(spark, sf_dir):
     assert (rows["shortlist_rerank"].hits >= rows["adc_raw"].hits)
 
 
+def test_pq_codes_arrow_bit_identical(spark, sf_dir):
+    """The Arrow encode twin must reproduce the JVM rows EXACTLY —
+    codes AND the rounded recon_err (the r6s/sus-rescue contract)."""
+    jvm = {r.vec_id: (r.label, tuple(r.codes), r.recon_err)
+           for r in pq.pq_codes(spark, sf_dir).collect()}
+    arrow = {r.vec_id: (r.label, tuple(r.codes), r.recon_err)
+             for r in pq.pq_codes_arrow(spark, sf_dir).collect()}
+    assert jvm == arrow and len(jvm) > 0
+
+
+def test_pq_codes_sampled_contract(spark, sf_dir):
+    """Sample-trained codes: same shape/row-count as the full-trained
+    row, codes in range, and mean reconstruction error within 2x of
+    the full-trained codebook's (the sample is half this corpus)."""
+    full = pq.pq_codes(spark, sf_dir).collect()
+    samp = pq.pq_codes_sampled(spark, sf_dir).collect()
+    assert len(full) == len(samp)
+    for r in samp:
+        assert len(r.codes) == pq.PQ_M
+        assert all(0 <= c < pq.PQ_K for c in r.codes)
+    mf = sum(r.recon_err for r in full) / len(full)
+    ms = sum(r.recon_err for r in samp) / len(samp)
+    assert ms <= 2 * mf, (ms, mf)
+
+
+def test_ivf_pq_topk_stays_in_cell(spark, sf_dir):
+    """Every IVF-PQ hit lives in the query's cell, distances ascend,
+    and the result is the cell-restriction of the global ADC order."""
+    from gcp_datalake_utils_spark.sources import load_table
+    e = load_table(spark, sf_dir, "embeddings")
+    q_label = (e.where(F.col("vec_id") == pq.QUERY_VEC_ID)
+               .select("label").first()[0])
+    rows = (pq.ivf_pq_topk(spark, sf_dir)
+            .orderBy("rank").collect())
+    assert 0 < len(rows) <= pq.TOP_K
+    assert all(r.label == q_label for r in rows)
+    dists = [r.approx_dist for r in rows]
+    assert dists == sorted(dists)
+    cell_ids = {r.vec_id for r in e.where(F.col("label") == q_label)
+                .select("vec_id").collect()}
+    adc = sorted(((r.approx_dist, r.vec_id)
+                  for r in pq._adc_scores(spark, sf_dir).collect()
+                  if r.vec_id in cell_ids))[:pq.TOP_K]
+    assert [v for _, v in adc] == [r.vec_id for r in rows]
+
+
 def test_pq_adc_plan_ships_codes_not_floats(spark, sf_dir):
     """The ADC corpus-side stream must be (vec_id, m, code) joined to
     a BROADCAST lookup table, and the top-k must be a TakeOrdered —

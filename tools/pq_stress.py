@@ -3,7 +3,10 @@ vector corpus, persist codes to a parquet scratch store (the
 production form — NOT localCheckpoint, per the round-12 memory
 lesson), then time the ADC serving path against the prebuilt store.
 
-Usage: python tools/pq_stress.py VEC_DIR [--duck-timeout S]
+Usage: python tools/pq_stress.py VEC_DIR [--duck-timeout S] [--sample]
+  --sample: train codebooks on the PQ_TRAIN_SAMPLE lowest ids and
+  encode with ONE corpus pass via the Arrow kernel (the production
+  build — pq_codes_sampled + pq_codes_arrow composed)
 Prints one JSON line:
   {"sf_dir":..., "n":..., "build_sec":..., "serve_sec":...,
    "codes_bytes":..., "float_bytes":..., "compression":...,
@@ -58,14 +61,51 @@ def main() -> None:
     shutil.rmtree(store, ignore_errors=True)
 
     # --- index build: train codebooks, encode every vector, persist
+    sampled = "--sample" in sys.argv
     t0 = time.time()
-    cents, assign = pq._pq_train(e)
-    codes = (assign.groupBy("vec_id")
-             .agg(F.transform(
-                 F.array_sort(F.collect_list(F.struct("m", "code"))),
-                 lambda s: s["code"]).alias("codes")))
+    if sampled:
+        # sample-sized Lloyd, then ONE corpus pass: the narrow Arrow
+        # encode kernel (pq_codes_arrow) against the collected books
+        cents, _ = pq._pq_train_sampled(e)
+        cent_rows = cents.collect()
+        import numpy as np
+
+        books = {}
+        for r in cent_rows:
+            books.setdefault(r.m, []).append(
+                (r.code, np.asarray(r.centroid, dtype=np.float64)))
+        books = {m: (np.array([c for c, _ in sorted(v)]),
+                     np.stack([a for _, a in sorted(v)]))
+                 for m, v in books.items()}
+
+        def encode(batches):
+            import pandas as pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(
+                    pdf["embedding"].to_numpy()).astype(np.float64)
+                out = np.zeros((len(x), pq.PQ_M), dtype=np.int32)
+                for m in range(pq.PQ_M):
+                    ids, cm = books[m]
+                    s = x[:, m * pq.PQ_SUB:(m + 1) * pq.PQ_SUB]
+                    d = ((s[:, None, :] - cm[None, :, :]) ** 2).sum(2)
+                    out[:, m] = ids[d.argmin(axis=1)]
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "codes": out.tolist()})
+
+        codes = e.select("vec_id", "embedding").mapInPandas(
+            encode, "vec_id long, codes array<int>")
+    else:
+        cents, assign = pq._pq_train(e)
+        codes = (assign.groupBy("vec_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("m", "code"))),
+                     lambda s: s["code"]).alias("codes")))
     codes.write.mode("overwrite").parquet(store)
-    cent_rows = cents.collect()  # 128-row model table
+    if not sampled:
+        cent_rows = cents.collect()  # 128-row model table
     build_sec = time.time() - t0
 
     # --- ADC serving against the prebuilt store
