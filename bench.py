@@ -236,6 +236,10 @@ HEADLINE = [
     # frame dHash; video near-dup through the hybrid banded engine
     "video_frame_sample",
     "video_near_dups",
+    # audio sequency-landmark fingerprint + near-dup (the fourth
+    # modality of the dedup matrix; integer-exact WHT)
+    "audio_fingerprint",
+    "audio_near_dups",
 ]
 
 # results larger than this row count are executed via the noop sink

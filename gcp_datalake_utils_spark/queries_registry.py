@@ -27,6 +27,7 @@ from gcp_datalake_utils_spark.operators import detection_oracle as do
 from gcp_datalake_utils_spark.formatters import diagrams
 from gcp_datalake_utils_spark.formatters import oracles as fmt_oracles
 from gcp_datalake_utils_spark.llm import (
+    audio,
     boilerplate,
     bpe,
     chunks,
@@ -282,6 +283,14 @@ register("mp4_metadata", mp4.mp4_metadata, mp4.MP4_METADATA_ORACLE)
 # Lloyd codebooks, 8-code encodings, ADC top-k, recall audit; the
 # compressed-storage half of IVF-PQ (the >= 1e9-vector memory lever).
 # Registered after the r13 rotation -> r14 never-hashed queue.
+# round 13: audio fingerprinting — Walsh-Hadamard sequency landmarks
+# (integer-exact cross-engine by construction, no libm in the gate)
+# through the real WAV round-trip; near-dup completes the
+# four-modality dedup matrix (text / image / video / audio).
+register("audio_fingerprint", audio.audio_fingerprint,
+         audio.AUDIO_FINGERPRINT_ORACLE)
+register("audio_near_dups", audio.audio_near_dups,
+         audio.AUDIO_NEAR_DUPS_ORACLE)
 # round 13: MJ-PNG video pipeline — real multi-sample MP4 tables
 # (variable stsz + stsc + stco), sample-table-driven frame
 # extraction, lossless per-frame decode, stride sampling, and video
