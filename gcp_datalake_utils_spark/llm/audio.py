@@ -151,33 +151,38 @@ def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     per asset); a candidate verifies iff >= AUDIO_MATCH_MIN of the
     FP_FRAMES dominant bins match. Declared-banding capture contract
     (the family standard): a twin differing in <= 1 window keeps >= 3
-    clean bands. The band join ships int keys; the verify is one
-    pair-sized join of 8-int arrays with an in-row zip_with count."""
+    clean bands.
+
+    Plan shape (the imagededup cold-path lesson, applied up front
+    this time after an sf10 measurement caught the candidate-sized
+    distinct at 132.8 s): each band row CARRIES its 8-int fingerprint
+    through the self-join, the matching-frames verify runs inside the
+    join stage, and the filter lands BEFORE distinct — so the
+    exchange after the join is output-sized (verified near-dups),
+    never candidate-sized. Band keys stay int; fingerprints are
+    ~40 B/row."""
     fp = _fingerprint_rows(spark, sf_dir, plant=True).localCheckpoint()
     dl = _dom_lists(fp)
-    bands = (dl.select("asset_id", F.explode(F.array(*[
+    bands = (dl.select("asset_id", "d", F.explode(F.array(*[
         F.struct(F.lit(j).alias("band"),
                  (F.element_at("d", 2 * j + 1) * FRAME_N
                   + F.element_at("d", 2 * j + 2)).alias("key"))
         for j in range(FP_FRAMES // 2)])).alias("bk"))
-        .select("asset_id", "bk.band", "bk.key"))
-    a = bands.select(F.col("asset_id").alias("asset_a"), "band", "key")
-    b = bands.select(F.col("asset_id").alias("asset_b"), "band", "key")
-    cand = (a.join(b, ["band", "key"])
-            .where(F.col("asset_a") < F.col("asset_b"))
-            .select("asset_a", "asset_b").distinct())
-    da = dl.select(F.col("asset_id").alias("asset_a"),
-                   F.col("d").alias("da"))
-    db = dl.select(F.col("asset_id").alias("asset_b"),
-                   F.col("d").alias("db"))
+        .select("asset_id", "d", "bk.band", "bk.key"))
+    a = bands.select(F.col("asset_id").alias("asset_a"),
+                     F.col("d").alias("da"), "band", "key")
+    b = bands.select(F.col("asset_id").alias("asset_b"),
+                     F.col("d").alias("db"), "band", "key")
     match = F.aggregate(
         F.zip_with("da", "db",
                    lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, x: acc + x)
-    return (cand.join(da, "asset_a").join(db, "asset_b")
+    return (a.join(b, ["band", "key"])
+            .where(F.col("asset_a") < F.col("asset_b"))
             .withColumn("matching_frames", match.cast("int"))
             .where(F.col("matching_frames") >= AUDIO_MATCH_MIN)
-            .select("asset_a", "asset_b", "matching_frames"))
+            .select("asset_a", "asset_b", "matching_frames")
+            .distinct())
 
 
 # sample j (1-based in SQL lists): (byte - _WAV_CENTER) * 256; the
