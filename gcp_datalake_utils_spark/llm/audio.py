@@ -44,6 +44,7 @@ from gcp_datalake_utils_spark.llm.multimodal import (
     _WAV_CENTER,
     binary_assets,
     build_wav,
+    fan_out,
     parse_wav,
 )
 
@@ -121,8 +122,7 @@ def _fingerprint_rows(spark: SparkSession, sf_dir: str,
                 "dom_mag": pd.Series(mags, dtype="int64"),
                 "energy": pd.Series(ens, dtype="int64")})
 
-    return (binary_assets(spark, sf_dir)
-            .select("asset_id", "payload")
+    return (fan_out(binary_assets(spark, sf_dir), "asset_id", "payload")
             .mapInPandas(_kernel, _FP_SCHEMA))
 
 

@@ -47,15 +47,34 @@ _FIXED_COEFS = {
 }
 
 
+def _crc_tables() -> tuple[list[int], list[int]]:
+    t8, t16 = [], []
+    for byte in range(256):
+        crc = byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+        t8.append(crc)
+        crc = byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+        t16.append(crc)
+    return t8, t16
+
+
+# 256-entry tables derived once from the same bitwise recurrences the
+# per-bit loops ran (standard table-driven CRC; 8x fewer Python ops)
+_CRC8_T, _CRC16_T = _crc_tables()
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — the FLAC frame-header
     checksum."""
     crc = 0
+    t = _CRC8_T
     for byte in data:
-        crc ^= byte
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
-                else (crc << 1) & 0xFF
+        crc = t[crc ^ byte]
     return crc
 
 
@@ -63,11 +82,9 @@ def _crc16(data: bytes) -> int:
     """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — the FLAC
     whole-frame checksum."""
     crc = 0
+    t = _CRC16_T
     for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ t[(crc >> 8) ^ byte]
     return crc
 
 
@@ -112,6 +129,26 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bit_array(self, bits) -> None:
+        """Append an MSB-first 0/1 uint8 numpy array in bulk: flush
+        the sub-byte accumulator into the array, np.packbits the
+        byte-aligned prefix, keep the remainder in the accumulator.
+        Emits exactly the bits the write()/write_unary() loop would."""
+        import numpy as np
+        if self.n:
+            pre = np.empty(self.n, dtype=np.uint8)
+            for i in range(self.n):
+                pre[i] = (self.acc >> (self.n - 1 - i)) & 1
+            bits = np.concatenate([pre, bits])
+            self.acc = 0
+            self.n = 0
+        n8 = (len(bits) // 8) * 8
+        if n8:
+            self.buf += np.packbits(bits[:n8]).tobytes()
+        for v in bits[n8:]:
+            self.acc = (self.acc << 1) | int(v)
+            self.n += 1
+
     def align(self) -> None:
         if self.n:
             self.write(0, 8 - self.n)
@@ -141,12 +178,22 @@ class _BitReader:
         return v
 
     def read_unary(self) -> int:
-        q = 0
-        while self.read(1) == 0:
-            q += 1
-            if q > 1 << 20:
+        # O(1) per code: refill byte-wise until a set bit exists, then
+        # the leading-zero count is n - bit_length(acc) — identical
+        # consumption to the bit-at-a-time loop
+        while self.acc == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("truncated FLAC bitstream")
+            if self.n > 1 << 20:
                 raise ValueError("runaway unary code (corrupt Rice "
                                  "parameter?)")
+            self.acc = self.d[self.pos]
+            self.pos += 1
+            self.n += 8
+        bl = self.acc.bit_length()
+        q = self.n - bl
+        self.n = bl - 1
+        self.acc &= (1 << self.n) - 1
         return q
 
     def align(self) -> None:
@@ -211,8 +258,11 @@ def _encode_frame(w: "_BitWriter", frame_idx: int, block,
     if best is None or best[0] >= n * 16:
         # VERBATIM subframe: header 0b000001, raw 16-bit samples
         w.write(0b0_000001_0, 8)
-        for v in x:
-            w.write(int(v) & 0xFFFF, 16)
+        xv = x & 0xFFFF
+        vb = np.empty((n, 16), dtype=np.uint8)
+        for j in range(16):
+            vb[:, j] = (xv >> (15 - j)) & 1
+        w.write_bit_array(vb.ravel())
         return
     _bits, order, zz, k = best
     # FIXED subframe: header 0b001000 | order
@@ -222,10 +272,19 @@ def _encode_frame(w: "_BitWriter", frame_idx: int, block,
     w.write(0b00, 2)                       # residual method: 4-bit Rice
     w.write(0, 4)                          # partition order 0
     w.write(k, 4)                          # Rice parameter
-    for u in zz:
-        u = int(u)
-        w.write_unary(u >> k)
-        w.write(u, k)
+    # Rice residuals as one vectorized bit array: unary(q) + 1 + the
+    # k low bits per code — bit-for-bit the write_unary/write loop
+    q = (zz >> k).astype(np.int64)
+    lens = q + 1 + k
+    starts = np.zeros(len(zz), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    total = int(starts[-1] + lens[-1]) if len(zz) else 0
+    bits = np.zeros(total, dtype=np.uint8)
+    term = starts + q
+    bits[term] = 1
+    for j in range(k):
+        bits[term + 1 + j] = (zz >> (k - 1 - j)) & 1
+    w.write_bit_array(bits)
 
 
 def build_flac(samples, rate: int = FLAC_SAMPLE_RATE) -> bytes:
@@ -331,9 +390,8 @@ def _decode_frame(br: "_BitReader", streaminfo) -> "object":
         v = v - 0x10000 if v & 0x8000 else v
         out = np.full(n, v, dtype=np.int64)
     elif stype == 0b000001:                # VERBATIM
-        raw = [br.read(16) for _ in range(n)]
-        out = np.array([v - 0x10000 if v & 0x8000 else v
-                        for v in raw], dtype=np.int64)
+        out = np.array([br.read(16) for _ in range(n)], dtype=np.int64)
+        out[out >= 0x8000] -= 0x10000
     elif 0b001000 <= stype <= 0b001100:    # FIXED order 0-4
         order = stype & 0x07
         warm = [br.read(16) for _ in range(order)]
@@ -343,25 +401,41 @@ def _decode_frame(br: "_BitReader", streaminfo) -> "object":
             raise ValueError("only 4-bit Rice residuals supported")
         part_order = br.read(4)
         res: list[int] = []
+        ap = res.append
+        ru = br.read_unary
+        rd = br.read
         n_parts = 1 << part_order
         for p in range(n_parts):
-            k = br.read(4)
+            k = rd(4)
             if k == 0b1111:
                 raise ValueError("Rice escape codes not emitted by "
                                  "this encoder")
             count = (n >> part_order) - (order if p == 0 else 0)
             for _ in range(count):
-                q = br.read_unary()
-                u = (q << k) | br.read(k)
-                res.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
+                u = (ru() << k) | rd(k)
+                ap((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
+        # the fixed predictor of order m is the m-fold finite
+        # difference, so reconstruction is m cumulative sums, each
+        # seeded with the warm-up samples' highest-order differences —
+        # the same recurrence the per-sample loop integrated, run as
+        # numpy cumsums (sample-exact; the MD5 self-check below and
+        # the round-trip pytests gate it)
         out = np.empty(n, dtype=np.int64)
         out[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, n):
-            v = res[i - order]
-            for j, c in enumerate(coefs):
-                v += c * out[i - 1 - j]
-            out[i] = v
+        if order == 0:
+            out = np.array(res, dtype=np.int64)
+        else:
+            wa = np.array(warm, dtype=np.int64)
+            seeds = []
+            d = wa
+            for _m in range(order):
+                seeds.append(int(d[-1]) if len(d) else 0)
+                d = np.diff(d)
+            cur = np.array(res, dtype=np.int64)
+            for m in range(order - 1, -1, -1):
+                cur = np.cumsum(
+                    np.concatenate(([seeds[m]], cur)))[1:]
+            out[order:] = cur
     elif stype >= 0b100000:
         raise ValueError("LPC subframes not emitted by this encoder "
                          "(fixed predictors only)")
@@ -463,6 +537,7 @@ def flac_decode_features(spark: SparkSession,
     from gcp_datalake_utils_spark.llm.multimodal import (
         _WAV_CENTER,
         binary_assets,
+        fan_out,
     )
 
     def _roundtrip(batches: Iterator[pd.DataFrame]) \
@@ -496,8 +571,7 @@ def flac_decode_features(spark: SparkSession,
                 "n_frames": pd.Series(nf, dtype="int32"),
                 "duration_ms": durs, "rms": rmss, "zcr": zcrs})
 
-    out = (binary_assets(spark, sf_dir)
-           .select("asset_id", "payload")
+    out = (fan_out(binary_assets(spark, sf_dir), "asset_id", "payload")
            .mapInPandas(_roundtrip, _FLAC_FEATURES_SCHEMA))
     return out.select(
         "asset_id", "sample_rate", "n_samples", "n_frames",

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gcp_datalake_utils_spark.llm.multimodal import (
     PNG_WIDTH,
     binary_assets,
+    fan_out,
 )
 
 # Annex K Table K.1 — luminance quantization, natural (row-major) order
@@ -136,52 +137,117 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
+_DCT_M = None   # cached orthonormal DCT basis (mathematical constant)
+_QMAT = None
+
+
+def _pack_codes(vals, lens) -> bytes:
+    """MSB-first bitstream from (value, length) pairs, vectorized:
+    per-code bit expansion via repeat/shift, np.packbits, 1-bit flush
+    padding, FF byte stuffing — emits exactly the bytes the
+    _BitWriter.put loop produced (pytest + the golden-bitstream test
+    gate byte-identity)."""
+    import numpy as np
+    vals = np.asarray(vals, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    keep = lens > 0
+    vals, lens = vals[keep], lens[keep]
+    total = int(lens.sum())
+    if total == 0:
+        return b""
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    idx = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    rep_vals = np.repeat(vals, lens)
+    rep_lens = np.repeat(lens, lens)
+    bits = ((rep_vals >> (rep_lens - 1 - idx)) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, dtype=np.uint8)])
+    by = np.packbits(bits)
+    ff = np.flatnonzero(by == 0xFF)
+    if len(ff):
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
+
+
 def build_jpeg(pix) -> bytes:
     """Genuine baseline JPEG bytes for an (h, w) uint8 grayscale
     array: Annex K tables, 8x8 DCT blocks (edge-replicated padding),
     Huffman-coded DC diffs + AC run-lengths with ZRL/EOB, FF byte
-    stuffing."""
+    stuffing. The DCT/quantize pass runs over ALL blocks as one
+    stacked matmul (same 8x8 per-block products, same rounding) and
+    the entropy coder walks only nonzero coefficients — byte-
+    identical to the per-block per-coefficient form (pytest-gated,
+    incl. the hand-assembled golden bitstream)."""
     import struct
 
     import numpy as np
+    global _DCT_M, _QMAT
+    if _DCT_M is None:
+        _DCT_M = _dct_matrix()
+        _QMAT = np.array(QTABLE, dtype=np.float64).reshape(8, 8)
     a = np.asarray(pix, dtype=np.uint8)
     h, w = a.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge")
-    m = _dct_matrix()
-    q = np.array(QTABLE, dtype=np.float64).reshape(8, 8)
+    if ph != h or pw != w:
+        padded = np.empty((ph, pw), dtype=np.uint8)
+        padded[:h, :w] = a
+        if pw != w:
+            padded[:h, w:] = a[:, -1:]
+        if ph != h:
+            padded[h:, :] = padded[h - 1:h, :]
+    else:
+        padded = a
+    nby, nbx = ph // 8, pw // 8
+    blocks = (padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8).astype(np.float64) - 128)
+    coef = _DCT_M @ blocks @ _DCT_M.T
+    qc = np.round(coef / _QMAT).astype(np.int64)
+    zz = qc.reshape(-1, 64)[:, ZIGZAG]
 
-    bw = _BitWriter()
+    vals: list[int] = []
+    lens: list[int] = []
+    av, al = vals.append, lens.append
+    nzb, nzk = np.nonzero(zz[:, 1:])
+    nzk = nzk + 1
+    nzv = zz[nzb, nzk].tolist()
+    bounds = np.searchsorted(nzb, np.arange(zz.shape[0] + 1)).tolist()
+    nzk_l = nzk.tolist()
+    dcs = zz[:, 0].tolist()
     prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            blk = padded[by:by + 8, bx:bx + 8].astype(np.float64) - 128
-            coef = m @ blk @ m.T
-            qc = np.round(coef / q).astype(np.int64)
-            zz = qc.flatten()[ZIGZAG]
-            # DC
-            diff = int(zz[0] - prev_dc)
-            prev_dc = int(zz[0])
-            cat = _category(diff)
-            bw.put(*_DC_ENC[cat])
-            if cat:
-                bw.put(_amp_bits(diff, cat), cat)
-            # AC with run lengths
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.put(*_AC_ENC[0xF0])  # ZRL
-                    run -= 16
-                cat = _category(v)
-                bw.put(*_AC_ENC[(run << 4) | cat])
-                bw.put(_amp_bits(v, cat), cat)
-                run = 0
-            if run:
-                bw.put(*_AC_ENC[0x00])  # EOB
+    for bi in range(zz.shape[0]):
+        dc = dcs[bi]
+        diff = dc - prev_dc
+        prev_dc = dc
+        cat = abs(diff).bit_length()
+        c, ln = _DC_ENC[cat]
+        av(c)
+        al(ln)
+        if cat:
+            av(diff if diff >= 0 else diff + (1 << cat) - 1)
+            al(cat)
+        prev = 0
+        for i in range(bounds[bi], bounds[bi + 1]):
+            k = nzk_l[i]
+            v = nzv[i]
+            run = k - prev - 1
+            while run > 15:
+                c, ln = _AC_ENC[0xF0]  # ZRL
+                av(c)
+                al(ln)
+                run -= 16
+            cat = abs(v).bit_length()
+            c, ln = _AC_ENC[(run << 4) | cat]
+            av(c)
+            al(ln)
+            av(v if v >= 0 else v + (1 << cat) - 1)
+            al(cat)
+            prev = k
+        if prev != 63:
+            c, ln = _AC_ENC[0x00]  # EOB
+            av(c)
+            al(ln)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT stores the table in ZIGZAG order: element k of the segment
@@ -193,7 +259,7 @@ def build_jpeg(pix) -> bytes:
     out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
     out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    out += bw.flush()
+    out += _pack_codes(vals, lens)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -250,6 +316,127 @@ def _read_symbol(br: _BitReader, table: dict) -> int:
 
 def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+_LUT_CACHE: dict = {}  # (bits, vals) -> 16-bit-window symbol tables
+
+
+def _huff_lut(bits, vals):
+    """(symbol, code_length) lists indexed by the NEXT 16 bits of the
+    stream — the classic table-driven Huffman decoder. Each (code,
+    ln) pair owns the 2^(16-ln) window values it prefixes; windows no
+    code prefixes hold symbol -1, which the decode loop rejects
+    exactly where _read_symbol raised after 16 bits (same bound, no
+    17th bit consumed). Cached by table CONTENT, so a corpus whose
+    images share tables (Annex K here) builds each table once per
+    worker while foreign tables still decode correctly."""
+    key = (bytes(bits), bytes(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    enc = _huff_codes(bits, vals)
+    sym_t = [-1] * (1 << 16)
+    len_t = [0] * (1 << 16)
+    for sym, (code, ln) in enc.items():
+        lo = code << (16 - ln)
+        for i in range(lo, lo + (1 << (16 - ln))):
+            sym_t[i] = sym
+            len_t[i] = ln
+    _LUT_CACHE[key] = (sym_t, len_t)
+    return _LUT_CACHE[key]
+
+
+def _entropy_decode(data: bytes, nblocks: int, dc_tab, ac_tab):
+    """Huffman-decode ``nblocks`` MCUs from de-stuffed scan bytes into
+    an (nblocks, 64) zigzag coefficient matrix. Same symbol stream,
+    amplitude EXTEND and error envelope as the _read_symbol path; the
+    bit cursor lives in local ints (the per-symbol method-call
+    overhead was the decoder's dominant cost)."""
+    import numpy as np
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.flatnonzero(arr == 0xFF)
+    if len(ff):
+        if bool((ff + 1 >= len(arr)).any()):
+            raise ValueError("truncated after FF")
+        nxt = arr[ff + 1]
+        if bool((nxt != 0).any()):
+            mk = int(nxt[nxt != 0][0])
+            raise ValueError(f"unexpected marker FF{mk:02X} "
+                             f"inside scan")
+        arr = np.delete(arr, ff + 1)
+    d = arr.tobytes()
+    dlen = len(d)
+    dc_sym, dc_len = dc_tab
+    ac_sym, ac_len = ac_tab
+    pos = 0
+    acc = 0
+    n = 0
+    zzs = np.zeros((nblocks, 64), dtype=np.float64)
+    prev_dc = 0
+    for bi in range(nblocks):
+        row = zzs[bi]
+        while n < 16 and pos < dlen:
+            acc = (acc << 8) | d[pos]
+            pos += 1
+            n += 8
+        p16 = (acc >> (n - 16)) & 0xFFFF if n >= 16 \
+            else (acc << (16 - n)) & 0xFFFF
+        sym = dc_sym[p16]
+        ln = dc_len[p16]
+        if sym < 0 or ln > n:
+            raise ValueError("invalid Huffman code in scan")
+        n -= ln
+        acc &= (1 << n) - 1
+        if sym:
+            while n < sym:
+                if pos >= dlen:
+                    raise ValueError("truncated entropy-coded data")
+                acc = (acc << 8) | d[pos]
+                pos += 1
+                n += 8
+            n -= sym
+            v = (acc >> n) & ((1 << sym) - 1)
+            acc &= (1 << n) - 1
+            diff = v if v >= (1 << (sym - 1)) else v - (1 << sym) + 1
+        else:
+            diff = 0
+        prev_dc += diff
+        row[0] = prev_dc
+        k = 1
+        while k < 64:
+            while n < 16 and pos < dlen:
+                acc = (acc << 8) | d[pos]
+                pos += 1
+                n += 8
+            p16 = (acc >> (n - 16)) & 0xFFFF if n >= 16 \
+                else (acc << (16 - n)) & 0xFFFF
+            sym = ac_sym[p16]
+            ln = ac_len[p16]
+            if sym < 0 or ln > n:
+                raise ValueError("invalid Huffman code in scan")
+            n -= ln
+            acc &= (1 << n) - 1
+            if sym == 0x00:        # EOB
+                break
+            if sym == 0xF0:        # ZRL
+                k += 16
+                continue
+            run, cat = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63 or cat == 0:
+                raise ValueError("corrupt AC run-length")
+            while n < cat:
+                if pos >= dlen:
+                    raise ValueError("truncated entropy-coded data")
+                acc = (acc << 8) | d[pos]
+                pos += 1
+                n += 8
+            n -= cat
+            v = (acc >> n) & ((1 << cat) - 1)
+            acc &= (1 << n) - 1
+            row[k] = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+            k += 1
+    return zzs
 
 
 def parse_jpeg(b: bytes):
@@ -309,7 +496,7 @@ def parse_jpeg(b: bytes):
                 bits = list(body[p + 1:p + 17])
                 n = sum(bits)
                 vals = list(body[p + 17:p + 17 + n])
-                huff[(tc, th)] = _huff_decoder(bits, vals)
+                huff[(tc, th)] = _huff_lut(bits, vals)
                 p += 17 + n
         elif marker == 0xFFDA:
             ns = body[0]
@@ -341,35 +528,16 @@ def parse_jpeg(b: bytes):
     end = b.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("missing EOI")
-    br = _BitReader(b[data_pos:end])
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    out = np.zeros((ph, pw), dtype=np.float64)
-    prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            zz = np.zeros(64, dtype=np.float64)
-            cat = _read_symbol(br, dc_tab)
-            diff = _extend(br.take(cat), cat) if cat else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _read_symbol(br, ac_tab)
-                if sym == 0x00:        # EOB
-                    break
-                if sym == 0xF0:        # ZRL
-                    k += 16
-                    continue
-                run, cat = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63 or cat == 0:
-                    raise ValueError("corrupt AC run-length")
-                zz[k] = _extend(br.take(cat), cat)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[ZIGZAG] = zz
-            blk = m.T @ (coef.reshape(8, 8) * q) @ m
-            out[by:by + 8, bx:bx + 8] = blk
+    nby, nbx = ph // 8, pw // 8
+    zzs = _entropy_decode(b[data_pos:end], nby * nbx, dc_tab, ac_tab)
+    # de-zigzag + dequant + IDCT over all blocks as one stacked matmul
+    # (same per-block 8x8 products as the per-MCU loop)
+    coef = np.zeros((nby * nbx, 64), dtype=np.float64)
+    coef[:, ZIGZAG] = zzs
+    blk = m.T @ (coef.reshape(-1, 8, 8) * q) @ m
+    out = (blk.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+           .reshape(ph, pw))
     return np.clip(np.round(out + 128), 0, 255).astype(np.uint8)[
         :h, :w]
 
@@ -420,6 +588,5 @@ def jpeg_roundtrip_quality(spark: SparkSession,
                     round(float(err.mean()), 6))
             yield pd.DataFrame(out)
 
-    return (binary_assets(spark, sf_dir)
-            .select("asset_id", "payload")
+    return (fan_out(binary_assets(spark, sf_dir), "asset_id", "payload")
             .mapInPandas(_kernel, _JPEG_RT_SCHEMA))

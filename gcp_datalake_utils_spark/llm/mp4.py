@@ -290,11 +290,14 @@ def mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             pdf_out["n_tracks"] = pdf_out["n_tracks"].astype("int32")
             yield pdf_out
 
-    from gcp_datalake_utils_spark.llm.multimodal import binary_assets
+    from gcp_datalake_utils_spark.llm.multimodal import (
+        binary_assets,
+        fan_out,
+    )
     assets = binary_assets(spark, sf_dir)
-    return (assets.select("asset_id", "payload",
-                          assets["meta.lang"].alias("lang"))
-            .mapInPandas(_kernel, _MP4_META_SCHEMA))
+    sel = assets.select("asset_id", "payload",
+                        assets["meta.lang"].alias("lang"))
+    return fan_out(sel).mapInPandas(_kernel, _MP4_META_SCHEMA)
 
 
 _LANG_CASE = " ".join(

@@ -48,6 +48,32 @@ def binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("n_chars")).alias("meta"))
 
 
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Scale-adaptive parallelism for payload-bound Arrow kernels
+    (guide §2/§4: the decode pass is compute-bound, so it should
+    engage every core). Single-file local corpora arrive as ONE scan
+    partition (one row group — file splitting cannot subdivide it),
+    which would run the whole Python codec stage on one task; when the
+    scan yields fewer partitions than the session's default
+    parallelism, redistribute by asset_id (deterministic hash — no
+    round-robin input sort, no retry hazard). On a real multi-split
+    corpus the scan already meets the target and NO exchange is added,
+    so the 100 TB plan is untouched. Results are partitioning-
+    invariant: every kernel this feeds is a pure per-row transform.
+
+    ``cols`` projects the frame first so the exchange (when one is
+    needed) carries only the columns the kernel reads."""
+    sel = df.select(*cols) if cols else df
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        cur = sel.rdd.getNumPartitions()
+    except Exception:
+        return sel
+    if cur < target:
+        return sel.repartition(target, "asset_id")
+    return sel
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads — the real
     mapInPandas pipeline with a deterministic featurizer (byte stats +
@@ -174,8 +200,8 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs,
                                 "frame_len": lens, "frame_md5": md5s})
 
-    return binary_assets(spark, sf_dir).select(
-        "asset_id", "payload").mapInPandas(_frames, _FRAME_SCHEMA)
+    return fan_out(binary_assets(spark, sf_dir), "asset_id",
+                   "payload").mapInPandas(_frames, _FRAME_SCHEMA)
 
 
 MEDIA_FRAME_SAMPLE_ORACLE = f"""
@@ -221,8 +247,8 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else hashlib.md5(b).hexdigest()),
             })
 
-    return binary_assets(spark, sf_dir).select(
-        "asset_id", "payload").mapInPandas(_resize, _RESIZE_SCHEMA)
+    return fan_out(binary_assets(spark, sf_dir), "asset_id",
+                   "payload").mapInPandas(_resize, _RESIZE_SCHEMA)
 
 
 MEDIA_RESIZE_ORACLE = f"""
@@ -332,8 +358,7 @@ def wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .astype(np.int16) - _WAV_CENTER) * 256)),
             })
 
-    return (binary_assets(spark, sf_dir)
-            .select("asset_id", "payload")
+    return (fan_out(binary_assets(spark, sf_dir), "asset_id", "payload")
             .mapInPandas(_encode, "asset_id long, payload binary"))
 
 
@@ -507,8 +532,7 @@ def pgm_resize_features(spark: SparkSession,
                     hashlib.md5(sb).hexdigest())
             yield pd.DataFrame(out)
 
-    out = (binary_assets(spark, sf_dir)
-           .select("asset_id", "payload")
+    out = (fan_out(binary_assets(spark, sf_dir), "asset_id", "payload")
            .mapInPandas(_kernel, _PGM_FEATURES_SCHEMA))
     return out.withColumn("mean_luma", F.round("mean_luma", 6))
 
@@ -601,49 +625,103 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def build_png(pix) -> bytes:
-    """Genuine 8-bit grayscale PNG bytes: signature, IHDR, one tEXt
-    ancillary chunk, filtered + deflated scanlines split across
-    <=_PNG_IDAT_CHUNK-byte IDAT chunks, IEND — stdlib struct/zlib
-    only. Row r uses filter type r % 5, so sub/up/average/paeth are
-    all real code paths, not dead branches."""
-    import struct
-    import zlib
-
+def _filtered_scanlines(x, starts, hs, w):
+    """(n_rows, w+1) uint8 filtered scanline matrix for a stack ``x``
+    (int32, rows of all images concatenated; ``starts``/``hs`` give
+    each image's first row and height). The five PNG predictors are
+    computed as whole-matrix expressions — the per-pixel paeth is an
+    elementwise min-select, NOT a Python loop — and every row picks
+    its r %% 5 filter. Byte-identical to the original per-row/
+    per-pixel implementation (pytest + the oracled rows gate this)."""
     import numpy as np
-    a = np.asarray(pix, dtype=np.uint8)
-    h, w = a.shape
-    x = a.astype(np.int32)
-    out = bytearray()
-    for r in range(h):
-        ft = r % 5
-        row = x[r]
-        prior = x[r - 1] if r else np.zeros(w, dtype=np.int32)
-        if ft == 0:
-            filt = row
-        elif ft == 1:    # sub: left neighbor
-            filt = row - np.concatenate(([0], row[:-1]))
-        elif ft == 2:    # up: prior row
-            filt = row - prior
-        elif ft == 3:    # average
-            filt = row - (np.concatenate(([0], row[:-1])) + prior) // 2
-        else:            # paeth
-            filt = np.array(
-                [row[i] - _paeth(int(row[i - 1]) if i else 0,
-                                 int(prior[i]),
-                                 int(prior[i - 1]) if i else 0)
-                 for i in range(w)], dtype=np.int32)
-        out.append(ft)
-        out.extend((filt % 256).astype(np.uint8).tobytes())
-    comp = zlib.compress(bytes(out), 6)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    n = x.shape[0]
+    left = np.zeros_like(x)
+    left[:, 1:] = x[:, :-1]
+    prior = np.zeros_like(x)
+    prior[1:] = x[:-1]
+    prior[starts] = 0          # first row of each image: zero prior
+    ul = np.zeros_like(x)
+    ul[1:, 1:] = x[:-1, :-1]
+    ul[starts] = 0
+    p = left + prior - ul
+    pa = np.abs(p - left)
+    pb = np.abs(p - prior)
+    pc = np.abs(p - ul)
+    paeth = np.where((pa <= pb) & (pa <= pc), left,
+                     np.where(pb <= pc, prior, ul))
+    ridx = np.arange(n, dtype=np.int64)
+    ridx -= np.repeat(starts, hs)
+    fts = (ridx % 5).astype(np.int32)
+    pred = np.empty_like(x)
+    pred[fts == 0] = 0
+    m1 = fts == 1
+    pred[m1] = left[m1]
+    m2 = fts == 2
+    pred[m2] = prior[m2]
+    m3 = fts == 3
+    pred[m3] = (left[m3] + prior[m3]) // 2
+    m4 = fts == 4
+    pred[m4] = paeth[m4]
+    out = np.empty((n, w + 1), dtype=np.uint8)
+    out[:, 0] = fts
+    out[:, 1:] = (x - pred) % 256
+    return out
+
+
+def _frame_png(comp: bytes, h: int, w: int) -> bytes:
+    import struct
     png = bytearray(_PNG_SIG)
-    png += _png_chunk(b"IHDR", ihdr)
+    png += _png_chunk(b"IHDR",
+                      struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
     png += _png_chunk(b"tEXt", b"Software\x00spark-graft")
     for lo in range(0, len(comp), _PNG_IDAT_CHUNK):
         png += _png_chunk(b"IDAT", comp[lo:lo + _PNG_IDAT_CHUNK])
     png += _png_chunk(b"IEND", b"")
     return bytes(png)
+
+
+def build_png(pix) -> bytes:
+    """Genuine 8-bit grayscale PNG bytes: signature, IHDR, one tEXt
+    ancillary chunk, filtered + deflated scanlines split across
+    <=_PNG_IDAT_CHUNK-byte IDAT chunks, IEND — stdlib struct/zlib
+    only. Row r uses filter type r % 5, so sub/up/average/paeth are
+    all real code paths, not dead branches. The filter pass is
+    whole-image vectorized (byte-identical to the original per-row
+    form; see _filtered_scanlines)."""
+    import zlib
+
+    import numpy as np
+    a = np.asarray(pix, dtype=np.uint8)
+    h, w = a.shape
+    out = _filtered_scanlines(a.astype(np.int32),
+                              np.zeros(1, dtype=np.int64), [h], w)
+    comp = zlib.compress(out.tobytes(), 6)
+    return _frame_png(comp, h, w)
+
+
+def build_png_batch(pix_list) -> list:
+    """``build_png`` over a LIST of equal-width images in ONE stacked
+    filter computation (the per-image numpy dispatch overhead is the
+    dominant encode cost on thumbnail-sized corpora). Byte-identical
+    to mapping build_png over the list."""
+    import zlib
+
+    import numpy as np
+    if not pix_list:
+        return []
+    w = pix_list[0].shape[1]
+    hs = [a.shape[0] for a in pix_list]
+    x = np.concatenate([np.asarray(a, dtype=np.uint8)
+                        for a in pix_list]).astype(np.int32)
+    starts = np.zeros(len(hs), dtype=np.int64)
+    np.cumsum(hs[:-1], out=starts[1:])
+    out = _filtered_scanlines(x, starts, hs, w)
+    raw = out.tobytes()
+    stride = w + 1
+    return [_frame_png(zlib.compress(
+                raw[int(starts[i]) * stride:
+                    (int(starts[i]) + h) * stride], 6), h, w)
+            for i, h in enumerate(hs)]
 
 
 def parse_png(b: bytes):
@@ -687,31 +765,58 @@ def parse_png(b: bytes):
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (w + 1):
         raise ValueError("inflated stream length mismatch")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
-    out = np.zeros((h, w), dtype=np.int32)
+    # unfilter on plain Python ints: the sub/average/paeth recurrences
+    # are sequential along the scanline, and for the narrow scanlines
+    # this corpus carries, list arithmetic beats per-element numpy
+    # indexing by an order of magnitude (same arithmetic, same mod-256
+    # algebra — the round-trip pytests and oracled rows gate it)
+    stride = w + 1
+    prior = [0] * w
+    rows_out = []
     for r in range(h):
-        ft, row = int(rows[r, 0]), rows[r, 1:].astype(np.int32)
-        prior = out[r - 1] if r else np.zeros(w, dtype=np.int32)
+        line = raw[r * stride:(r + 1) * stride]
+        ft = line[0]
+        rowb = line[1:]
         if ft == 0:
-            out[r] = row
+            cur = list(rowb)
         elif ft == 1:    # sub unfilter: mod-256 prefix sum
-            out[r] = np.cumsum(row) % 256
-        elif ft == 2:
-            out[r] = (row + prior) % 256
-        elif ft == 3:
+            cur = [0] * w
             left = 0
             for i in range(w):
-                left = (int(row[i]) + (left + int(prior[i])) // 2) % 256
-                out[r, i] = left
-        elif ft == 4:
+                left = (rowb[i] + left) & 255
+                cur[i] = left
+        elif ft == 2:
+            cur = [(rowb[i] + prior[i]) & 255 for i in range(w)]
+        elif ft == 3:
+            cur = [0] * w
+            left = 0
             for i in range(w):
-                left = int(out[r, i - 1]) if i else 0
-                ul = int(prior[i - 1]) if i else 0
-                out[r, i] = (int(row[i])
-                             + _paeth(left, int(prior[i]), ul)) % 256
+                left = (rowb[i] + (left + prior[i]) // 2) & 255
+                cur[i] = left
+        elif ft == 4:
+            cur = [0] * w
+            left = 0
+            ulv = 0
+            for i in range(w):
+                bv = prior[i]
+                p = left + bv - ulv
+                pa = p - left if p >= left else left - p
+                pb = p - bv if p >= bv else bv - p
+                pc = p - ulv if p >= ulv else ulv - p
+                if pa <= pb and pa <= pc:
+                    prd = left
+                elif pb <= pc:
+                    prd = bv
+                else:
+                    prd = ulv
+                left = (rowb[i] + prd) & 255
+                cur[i] = left
+                ulv = bv
         else:
             raise ValueError(f"unknown filter type {ft}")
-    return out.astype(np.uint8), n_idat
+        rows_out.append(cur)
+        prior = cur
+    return np.array(rows_out, dtype=np.uint8).reshape(h, w), n_idat
 
 
 def png_decode_features(spark: SparkSession,
@@ -758,8 +863,7 @@ def png_decode_features(spark: SparkSession,
                     hashlib.md5(img.tobytes()).hexdigest())
             yield pd.DataFrame(out)
 
-    out = (binary_assets(spark, sf_dir)
-           .select("asset_id", "payload")
+    out = (fan_out(binary_assets(spark, sf_dir), "asset_id", "payload")
            .mapInPandas(_kernel, _PNG_FEATURES_SCHEMA))
     return (out.withColumn("mean_luma", F.round("mean_luma", 6))
             .withColumn("mean_abs_dx", F.round("mean_abs_dx", 6)))

@@ -62,7 +62,8 @@ from gcp_datalake_utils_spark.llm.imagededup import (
 from gcp_datalake_utils_spark.llm.multimodal import (
     PNG_WIDTH,
     binary_assets,
-    build_png,
+    build_png_batch,
+    fan_out,
     parse_png,
 )
 
@@ -211,21 +212,11 @@ def _video_frame_rows(spark: SparkSession, sf_dir: str,
     def _kernel(batches: Iterator[pd.DataFrame]) \
             -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fks, hs, his, los = [], [], [], [], []
-
-            def emit(aid: int, base) -> None:
-                frames = [build_png(np.roll(base, -k, axis=0))
-                          for k in range(N_FRAMES)]
-                video = build_video_mp4(frames)
-                for k, fb in extract_frames(video, SAMPLED):
-                    img, _ = parse_png(fb)
-                    hi, lo = _dhash_of(img)
-                    ids.append(aid)
-                    fks.append(k)
-                    hs.append(img.shape[0])
-                    his.append(hi)
-                    los.append(lo)
-
+            # pass 1: collect every asset's base raster (+ planted
+            # twins), then encode ALL N_FRAMES rolls of ALL assets in
+            # one stacked build_png_batch call — the per-frame numpy
+            # dispatch overhead was the dominant cost of this kernel
+            ids, bases = [], []
             for aid, b in zip(pdf["asset_id"], pdf["payload"]):
                 if plant and aid >= VID_PLANT_OFFSET:
                     raise ValueError(
@@ -237,22 +228,38 @@ def _video_frame_rows(spark: SparkSession, sf_dir: str,
                     continue
                 base = np.frombuffer(b[:h * PNG_WIDTH], dtype=np.uint8) \
                     .reshape(h, PNG_WIDTH)
-                emit(aid, base)
+                ids.append(aid)
+                bases.append(base)
                 if plant and aid < VID_PLANT_N:
                     tp = base.copy()
                     if aid % 2 == 1:
                         tp[0, 0] = (int(tp[0, 0]) + VID_PLANT_BUMP) \
                             % 256
-                    emit(aid + VID_PLANT_OFFSET, tp)
+                    ids.append(aid + VID_PLANT_OFFSET)
+                    bases.append(tp)
+            pngs = build_png_batch(
+                [np.roll(base, -k, axis=0)
+                 for base in bases for k in range(N_FRAMES)])
+            out_ids, fks, hs, his, los = [], [], [], [], []
+            for i, aid in enumerate(ids):
+                frames = pngs[i * N_FRAMES:(i + 1) * N_FRAMES]
+                video = build_video_mp4(frames)
+                for k, fb in extract_frames(video, SAMPLED):
+                    img, _ = parse_png(fb)
+                    hi, lo = _dhash_of(img)
+                    out_ids.append(aid)
+                    fks.append(k)
+                    hs.append(img.shape[0])
+                    his.append(hi)
+                    los.append(lo)
             yield pd.DataFrame({
-                "asset_id": ids,
+                "asset_id": out_ids,
                 "frame_idx": pd.Series(fks, dtype="int32"),
                 "height": pd.Series(hs, dtype="int32"),
                 "dh_hi": pd.Series(his, dtype="int64"),
                 "dh_lo": pd.Series(los, dtype="int64")})
 
-    return (binary_assets(spark, sf_dir)
-            .select("asset_id", "payload")
+    return (fan_out(binary_assets(spark, sf_dir), "asset_id", "payload")
             .mapInPandas(_kernel, _FRAME_SCHEMA))
 
 
