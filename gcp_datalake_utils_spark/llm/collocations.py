@@ -88,8 +88,13 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q] (term_a, term_b, n_docs_both, df_a, df_b, pmi, rank):
     top-K co-occurring pairs among the top-V vocabulary, ranked by
     co-document count (ties by pair text)."""
+    from gcp_datalake_utils_spark.sources import scaled_repartition
     d = load_table(spark, sf_dir, "documents")
-    doc_terms = d.select(
+    # the vocab-intersect + Gram-matrix kernel downstream is the
+    # row's cost; fan out so it is not serialized on one scan split
+    # (counts are exact int64 — partitioning-invariant)
+    doc_terms = scaled_repartition(
+        d.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.array_distinct(F.split(F.trim("text"), " ")).alias("terms"))
     df = (doc_terms.select(F.explode("terms").alias("term"))

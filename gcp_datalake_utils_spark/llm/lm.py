@@ -51,7 +51,10 @@ def _bigram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``arrays_zip`` pads the shorter array with NULL, so the final
     token's struct has ws2 NULL and is filtered — exactly the n-1
     bigrams of an n-token doc; 0/1-token docs yield no rows."""
-    d = load_table(spark, sf_dir, "documents").select(
+    from gcp_datalake_utils_spark.sources import scaled_repartition
+    d = scaled_repartition(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id").select(
         "doc_id", F.split(F.trim("text"), " ").alias("ws"))
     toks = d.select("doc_id", "ws",
                     F.slice("ws", 2, F.size("ws")).alias("ws2"))

@@ -62,7 +62,13 @@ def _hll_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # the md5 register projection downstream is the row's measured
+    # cost (see docstring); fan the value stream out so it does not
+    # serialize on the handful of single-split union branches. All
+    # downstream aggregation is integer max/sum — partitioning-
+    # invariant (oracle-hash-gated).
+    from gcp_datalake_utils_spark.sources import scaled_repartition
+    return scaled_repartition(out, "col_name", "v")
 
 
 def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,9 +372,12 @@ def hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     max. The register grid left-join covers empty registers per
     group. Same md5-prefix register arithmetic as hll_distinct."""
     from gcp_datalake_utils_spark.sources import load_events
-    e = (load_events(spark, sf_dir)
-         .select("event_type", F.col("user_id").cast("string")
-                 .alias("v")))
+    from gcp_datalake_utils_spark.sources import scaled_repartition
+    e = scaled_repartition(
+        load_events(spark, sf_dir)
+        .select("event_type", F.col("user_id").cast("string")
+                .alias("v")),
+        "event_type", "v")
     h = F.md5("v")
     reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     v52 = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")

@@ -43,7 +43,14 @@ from pyspark.sql import functions as F
 
 def doc_term_pairs(d: DataFrame) -> DataFrame:
     """(doc_id, term, tf): one row per distinct term per document with
-    its in-document frequency. Null text explodes to no rows."""
-    toks = d.select(
+    its in-document frequency. Null text explodes to no rows.
+
+    The tokenize+explode+partial-agg pass is the stage's cost; a
+    single-split local scan would run it on one core, so the input is
+    conditionally fanned out by doc_id (scaled_repartition — a no-op
+    on multi-split corpora). All downstream consumers aggregate exact
+    integers, so the result is partitioning-invariant."""
+    from gcp_datalake_utils_spark.sources import scaled_repartition
+    toks = scaled_repartition(d, "doc_id").select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term"))
     return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

@@ -3,4 +3,5 @@ from gcp_datalake_utils_spark.sources.registry import (  # noqa: F401
     load_events,
     load_table,
     register_tables,
+    scaled_repartition,
 )

@@ -64,6 +64,29 @@ def event_ts_to_micros(df: DataFrame) -> DataFrame:
     return df
 
 
+def scaled_repartition(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive fan-out for compute-bound map stages whose
+    results are partitioning-invariant (integer/decimal aggregation,
+    per-row projections, min/max/count): when the upstream scan yields
+    fewer partitions than the session's default parallelism — the
+    single-row-group local corpus, which file splitting cannot
+    subdivide — redistribute by a deterministic key so the expensive
+    projection (hashing, tokenize+explode, scoring) engages every
+    core. On a multi-split corpus the scan already meets the target
+    and NO exchange is added, so the at-scale plan is untouched.
+    Callers must only use this on operators whose declared output
+    does not depend on float accumulation order (the gate: every
+    consumer row is hash-checked against its DuckDB oracle)."""
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur < target:
+        return df.repartition(target, *keys)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as a microsecond TimestampType column."""
     return event_ts_to_micros(load_table(spark, sf_dir, "events"))

@@ -414,11 +414,15 @@ def test_pmi_gram_kernel_shape(spark, sf_dir):
     plan = _formatted_plan(df)
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
-    assert "hashpartitioning(doc_id" not in plan  # r4 self-join shape
+    # the r4 self-join shape is banned: no join keyed by doc_id (the
+    # only doc_id exchange allowed is the r13 scan-side fan-out
+    # REPARTITION, which redistributes rows without joining them)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
     import re
     shuffles = {m for m in re.findall(
         r"Exchange hashpartitioning\((\w+)", plan)}
-    assert shuffles <= {"term", "i"}, shuffles
+    assert shuffles <= {"term", "i", "doc_id"}, shuffles
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final  # one vocab computation, not two
