@@ -61,15 +61,19 @@ def _closed_session_row(st: tuple) -> dict[str, Any]:
 def _sessionize(key: tuple, pdfs: Iterable[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    batch = pd.concat(list(pdfs))
+    parts = list(pdfs)
+    batch = parts[0] if len(parts) == 1 else pd.concat(parts)
     if len(batch) == 0:
         return
     batch = batch.sort_values("ts")
     st = state.get if state.exists else None
     out: list[dict[str, Any]] = []
-    for ts, etype, value in zip(batch["ts"], batch["event_type"],
-                                batch["value"]):
-        ns = int(pd.Timestamp(ts).value)
+    # one vectorized ns cast instead of a pd.Timestamp per event (the
+    # loop arithmetic below is unchanged — same ints, same floats)
+    ns_l = (batch["ts"].to_numpy().astype("datetime64[ns]")
+            .astype("int64").tolist())
+    for ns, etype, value in zip(ns_l, batch["event_type"].tolist(),
+                                batch["value"].tolist()):
         if st is not None and \
                 ns - st[1] > SESSION_GAP_SECS * 1_000_000_000:
             out.append(_closed_session_row(st))
@@ -162,17 +166,19 @@ def _advance_funnel(key: tuple, pdfs: Iterable[pd.DataFrame],
     user parks at step=3 and ignores further events (first completion
     only, matching the batch chain)."""
     (user_id,) = key
-    batch = pd.concat(list(pdfs))
+    parts = list(pdfs)
+    batch = parts[0] if len(parts) == 1 else pd.concat(parts)
     if len(batch) == 0:
         return
     batch = batch.sort_values("ts")
     step, t1, t2, t3 = state.get if state.exists else (0, 0, 0, 0)
     horizon_ns = FUNNEL_HORIZON_HOURS * 3600 * 1_000_000_000
     out: list[dict[str, Any]] = []
-    for ts, etype in zip(batch["ts"], batch["event_type"]):
+    ns_l = (batch["ts"].to_numpy().astype("datetime64[ns]")
+            .astype("int64").tolist())
+    for ns, etype in zip(ns_l, batch["event_type"].tolist()):
         if step >= len(_FUNNEL_STEPS):
             break
-        ns = int(pd.Timestamp(ts).value)
         t_prev = (0, t1, t2)[step]
         if str(etype) != _FUNNEL_STEPS[step]:
             continue
