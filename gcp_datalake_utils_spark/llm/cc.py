@@ -27,6 +27,8 @@ def cc_min_label(pairs: DataFrame, a: str, b: str,
     ``a``, ``b``): label = min vertex id of the connected component.
     Raises past ``max_iter`` rounds instead of shipping half-merged
     components."""
+    from pyspark.sql import Observation
+
     pairs = pairs.select(a, b).localCheckpoint()
     edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
              .union(pairs.select(F.col(b).alias("src"),
@@ -36,15 +38,31 @@ def cc_min_label(pairs: DataFrame, a: str, b: str,
               .withColumn(label, F.col(vertex))
               .localCheckpoint())
     for _ in range(max_iter):
+        # min over the closed neighborhood, keeping the old label in
+        # the row so the convergence test rides the SAME job as the
+        # checkpoint (an Observation) instead of a second join+count
+        # job per round. least(old, min(incoming)) == the previous
+        # union+groupBy+min: prop covers every vertex with an edge,
+        # and labels covers all vertices, so the closed-neighborhood
+        # min is unchanged.
         prop = (edges.join(labels, edges["src"] == labels[vertex])
-                .select(F.col("dst").alias(vertex), label))
-        new_labels = (labels.union(prop)
-                      .groupBy(vertex)
-                      .agg(F.min(label).alias(label))
+                .select(F.col("dst").alias(vertex), label)
+                .groupBy(vertex)
+                .agg(F.min(label).alias("_in")))
+        obs = Observation()
+        new_labels = (labels.withColumnRenamed(label, "_old")
+                      .join(prop, vertex, "left")
+                      .select(vertex,
+                              F.least(F.col("_old"),
+                                      F.coalesce("_in", F.col("_old")))
+                              .alias(label),
+                              F.col("_old"))
+                      .observe(obs, F.sum(
+                          (F.col(label) != F.col("_old"))
+                          .cast("long")).alias("n_changed"))
+                      .select(vertex, label)
                       .localCheckpoint())
-        changed = (new_labels.join(
-            labels.withColumnRenamed(label, "_old"), vertex)
-            .where(F.col(label) != F.col("_old")).count())
+        changed = int(obs.get["n_changed"] or 0)
         labels = new_labels
         if changed == 0:
             return labels

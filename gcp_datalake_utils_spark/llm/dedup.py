@@ -294,21 +294,34 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.union(
         pairs.select(F.col("doc_b").alias("src"),
                      F.col("doc_a").alias("dst"))).localCheckpoint()
+    from pyspark.sql import Observation
     labels = (edges.select(F.col("src").alias("doc_id"))
               .distinct()
               .withColumn("group_id", F.col("doc_id"))
               .localCheckpoint())
     for _ in range(30):  # diameter bound; real clusters converge in ~3
+        # closed-neighborhood min with the convergence count riding
+        # the checkpoint job as an Observation (the cc_min_label
+        # shape) — one job per round instead of two
         prop = (edges.join(labels,
                            edges["src"] == labels["doc_id"])
-                .select(F.col("dst").alias("doc_id"), "group_id"))
-        new_labels = (labels.union(prop)
-                      .groupBy("doc_id")
-                      .agg(F.min("group_id").alias("group_id"))
+                .select(F.col("dst").alias("doc_id"), "group_id")
+                .groupBy("doc_id")
+                .agg(F.min("group_id").alias("_in")))
+        obs = Observation()
+        new_labels = (labels.withColumnRenamed("group_id", "_old")
+                      .join(prop, "doc_id", "left")
+                      .select("doc_id",
+                              F.least(F.col("_old"),
+                                      F.coalesce("_in", F.col("_old")))
+                              .alias("group_id"),
+                              F.col("_old"))
+                      .observe(obs, F.sum(
+                          (F.col("group_id") != F.col("_old"))
+                          .cast("long")).alias("n_changed"))
+                      .select("doc_id", "group_id")
                       .localCheckpoint())
-        changed = (new_labels.join(labels.withColumnRenamed(
-            "group_id", "old"), "doc_id")
-            .where(F.col("group_id") != F.col("old")).count())
+        changed = int(obs.get["n_changed"] or 0)
         labels = new_labels
         if changed == 0:
             break
