@@ -66,17 +66,34 @@ def _dhash_of(pix) -> tuple[int, int]:
     grid[r][c]. Block sums run as two np.add.reduceat passes (one per
     axis) instead of 72 per-cell slice-sums — same floor-boundary
     blocks, same integer floor means (pytest + the oracled rows gate
-    bit-identity)."""
+    bit-identity). The r13 driver gate recorded a hash mismatch on
+    this row that no local run reproduces (see
+    plans/r14/image_dhash_red_note.md), so the block sums are now
+    recomputed through an independent integral-image path and any
+    disagreement raises with both grids — a worker-env numeric
+    divergence fails loudly instead of emitting a silently wrong
+    hash."""
     import numpy as np
     global _BIT_W32
     if _BIT_W32 is None:
         _BIT_W32 = 1 << np.arange(32, dtype=np.int64)
     h, w = pix.shape
+    if h < GRID_H or w < GRID_W:
+        raise ValueError(
+            f"dHash needs >= {GRID_H}x{GRID_W} pixels, got {h}x{w}")
     x = pix.astype(np.int64)
     rb = np.arange(GRID_H + 1, dtype=np.int64) * h // GRID_H
     cb = np.arange(GRID_W + 1, dtype=np.int64) * w // GRID_W
     g = np.add.reduceat(np.add.reduceat(x, rb[:-1], axis=0),
                         cb[:-1], axis=1)
+    s = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(x, axis=0), axis=1, out=s[1:, 1:])
+    g2 = (s[rb[1:]][:, cb[1:]] - s[rb[:-1]][:, cb[1:]]
+          - s[rb[1:]][:, cb[:-1]] + s[rb[:-1]][:, cb[:-1]])
+    if not np.array_equal(g, g2):
+        raise ValueError(
+            "dHash block-sum divergence (reduceat vs integral image): "
+            f"{g.tolist()} vs {g2.tolist()}")
     g //= np.diff(rb)[:, None] * np.diff(cb)[None, :]
     bits = (g[:, 1:] > g[:, :-1]).ravel()  # index r*8+c
     lo = int((bits[:32] * _BIT_W32).sum())
@@ -122,10 +139,18 @@ def _dhash_rows(spark: SparkSession, sf_dir: str,
                     ids.append(aid + IMG_PLANT_OFFSET)
                     pixes.append(tp)
             # one stacked filter+deflate pass for the whole batch
-            # (same per-image bytes as build_png), then decode + hash
+            # (same per-image bytes as build_png), then decode + hash.
+            # The decoded image must equal the source pixels (lossless
+            # round trip); asserting it per asset turns any worker-env
+            # codec divergence into a loud, attributable error instead
+            # of a silent hash mismatch (r13 driver-red hardening).
             his, los = [], []
-            for png in build_png_batch(pixes):
+            for aid, pix, png in zip(ids, pixes, build_png_batch(pixes)):
                 img, _ = parse_png(png)
+                if not np.array_equal(img, pix):
+                    raise ValueError(
+                        f"PNG round-trip divergence on asset {aid}: "
+                        f"shape {pix.shape} -> {img.shape}")
                 hi, lo = _dhash_of(img)
                 his.append(hi)
                 los.append(lo)

