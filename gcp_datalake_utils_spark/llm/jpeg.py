@@ -318,7 +318,13 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-_LUT_CACHE: dict = {}  # (bits, vals) -> 16-bit-window symbol tables
+# (bits, vals) -> 16-bit-window symbol tables. Bounded LRU (ADVICE
+# r13): each entry holds two 65,536-slot Python lists (~5 MB), so an
+# adversarial corpus with many distinct per-image tables must not grow
+# executor memory without limit — 16 entries caps the cache at ~80 MB
+# while still holding every table a normal corpus (Annex K: 4) uses.
+_LUT_CACHE: dict = {}
+_LUT_CACHE_MAX = 16
 
 
 def _huff_lut(bits, vals):
@@ -334,6 +340,9 @@ def _huff_lut(bits, vals):
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
+    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        # evict the oldest entry (dicts preserve insertion order)
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     enc = _huff_codes(bits, vals)
     sym_t = [-1] * (1 << 16)
     len_t = [0] * (1 << 16)

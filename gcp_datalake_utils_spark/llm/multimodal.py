@@ -48,30 +48,26 @@ def binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("n_chars")).alias("meta"))
 
 
-def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+def fan_out(df: DataFrame, *cols: str, key: str = "asset_id") -> DataFrame:
     """Scale-adaptive parallelism for payload-bound Arrow kernels
     (guide §2/§4: the decode pass is compute-bound, so it should
     engage every core). Single-file local corpora arrive as ONE scan
     partition (one row group — file splitting cannot subdivide it),
     which would run the whole Python codec stage on one task; when the
     scan yields fewer partitions than the session's default
-    parallelism, redistribute by asset_id (deterministic hash — no
+    parallelism, redistribute by ``key`` (deterministic hash — no
     round-robin input sort, no retry hazard). On a real multi-split
     corpus the scan already meets the target and NO exchange is added,
     so the 100 TB plan is untouched. Results are partitioning-
     invariant: every kernel this feeds is a pure per-row transform.
 
     ``cols`` projects the frame first so the exchange (when one is
-    needed) carries only the columns the kernel reads."""
+    needed) carries only the columns the kernel reads. Delegates to
+    scaled_repartition, which probes the scan's file listing instead
+    of converting the plan to an RDD."""
+    from gcp_datalake_utils_spark.sources import scaled_repartition
     sel = df.select(*cols) if cols else df
-    try:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        cur = sel.rdd.getNumPartitions()
-    except Exception:
-        return sel
-    if cur < target:
-        return sel.repartition(target, "asset_id")
-    return sel
+    return scaled_repartition(sel, key)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:

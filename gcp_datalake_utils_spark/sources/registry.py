@@ -64,6 +64,60 @@ def event_ts_to_micros(df: DataFrame) -> DataFrame:
     return df
 
 
+_SIZE_UNITS = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+               "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+
+
+def _parse_size_bytes(s: str) -> int:
+    """Spark byte-size strings ('134217728b', '128m', '1g') -> bytes."""
+    s = s.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    return int(s[:i]) * _SIZE_UNITS.get(s[i:] or "b", 1)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimate how many partitions the frame's upstream file scan
+    yields, from the input-file listing alone (driver-side metadata —
+    no physical planning, no plan->RDD conversion; the old
+    ``df.rdd.getNumPartitions()`` probe paid ~50-700 ms of planning
+    per call and would convert a WIDE plan at scale). Mirrors Spark's
+    FilePartition arithmetic: maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores)),
+    partitions ~= ceil(totalBytes / maxSplitBytes) with each file
+    charged openCost. Frames with no file source (in-memory test
+    frames) fall back to the RDD probe — no query path hits that."""
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return df.rdd.getNumPartitions()
+    conf = df.sparkSession.conf
+    try:
+        maxpb = _parse_size_bytes(
+            conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        maxpb = 128 << 20
+    try:
+        open_cost = _parse_size_bytes(
+            conf.get("spark.sql.files.openCostInBytes"))
+    except Exception:
+        open_cost = 4 << 20
+    total = 0
+    for uri in files:
+        size = 0
+        if uri.startswith("file:"):
+            try:
+                size = os.path.getsize(unquote(urlparse(uri).path))
+            except OSError:
+                size = 0
+        total += size + open_cost
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    max_split = min(maxpb, max(open_cost, total // max(cores, 1)))
+    return max(1, -(-total // max_split))
+
+
 def scaled_repartition(df: DataFrame, *keys: str) -> DataFrame:
     """Scale-adaptive fan-out for compute-bound map stages whose
     results are partitioning-invariant (integer/decimal aggregation,
@@ -76,11 +130,18 @@ def scaled_repartition(df: DataFrame, *keys: str) -> DataFrame:
     and NO exchange is added, so the at-scale plan is untouched.
     Callers must only use this on operators whose declared output
     does not depend on float accumulation order (the gate: every
-    consumer row is hash-checked against its DuckDB oracle)."""
+    consumer row is hash-checked against its DuckDB oracle).
+
+    The partition probe reads file sizes, not the physical plan (see
+    _estimated_scan_partitions); a probe failure disables the fan-out
+    VISIBLY (one stderr line) instead of silently."""
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
-        cur = df.rdd.getNumPartitions()
-    except Exception:
+        cur = _estimated_scan_partitions(df)
+    except Exception as e:  # noqa: BLE001
+        import sys
+        print(f"scaled_repartition: probe failed ({e!r}); "
+              "fan-out disabled for this frame", file=sys.stderr)
         return df
     if cur < target:
         return df.repartition(target, *keys)

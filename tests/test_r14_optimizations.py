@@ -67,6 +67,34 @@ def test_dhash_integral_image_check_agrees():
         assert 0 <= hi < 2 ** 32 and 0 <= lo < 2 ** 32
 
 
+# --- file-listing partition probe (VERDICT item 6) ---------------------------
+
+def test_parse_size_bytes():
+    from gcp_datalake_utils_spark.sources.registry import _parse_size_bytes
+    assert _parse_size_bytes("134217728b") == 134217728
+    assert _parse_size_bytes("128m") == 128 << 20
+    assert _parse_size_bytes("1g") == 1 << 30
+    assert _parse_size_bytes("4194304") == 4 << 20
+
+
+def test_scan_partition_probe_file_backed(spark, tmp_path):
+    from gcp_datalake_utils_spark.sources.registry import (
+        _estimated_scan_partitions, scaled_repartition)
+    target = spark.sparkContext.defaultParallelism
+    single = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # small single-file scan: estimated below target, fan-out fires
+    assert _estimated_scan_partitions(single) < target
+    out = scaled_repartition(single.select("doc_id"), "doc_id")
+    assert out.rdd.getNumPartitions() == target
+    # multi-file source at/above the packing estimate: untouched
+    p = str(tmp_path / "many")
+    spark.range(100_000).repartition(target + 4, "id").write.parquet(p)
+    many = spark.read.parquet(p)
+    assert _estimated_scan_partitions(many) >= target
+    kept = scaled_repartition(many, "id")
+    assert kept is many  # no exchange added
+
+
 def test_png_roundtrip_guard_fires_on_divergence():
     # simulate a worker-env codec divergence: a decoded image that does
     # not equal the source pixels must raise with the asset id, not
