@@ -723,13 +723,29 @@ def _batch_frames(spark: SparkSession, sf_dir: str):
     d_b = (load_table(spark, sf_dir, "documents")
            .where(is_batch).select("doc_id", "source"))
     hashes_b = dedup.content_hashes(spark, sf_dir).where(is_batch)
-    bk_b = dedup._band_keys(spark, sf_dir).where(is_batch) \
-        .localCheckpoint()
-    # checkpointed: the Jaccard verify reads the shingle frame three
-    # times (two equi joins + the size rollup) — without this the
-    # batch tokenize/shingle pass runs 3x per admission
-    sh_b = dedup.shingle_rows(spark, sf_dir).where(is_batch) \
-        .localCheckpoint()
+    # The two eager checkpoint builds are independent jobs; running
+    # them from a 2-thread pool overlaps their scheduling + stage
+    # tails (guide §2.6 — the admission chain is many small jobs, so
+    # wave count, not task work, is the wall at local SFs). sh_b
+    # stays checkpointed because the Jaccard verify reads the shingle
+    # frame three times (two equi joins + the size rollup) — without
+    # it the batch tokenize/shingle pass runs 3x per admission.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _bk():
+        return dedup._band_keys(spark, sf_dir).where(is_batch) \
+            .localCheckpoint()
+
+    def _sh():
+        return dedup.shingle_rows(spark, sf_dir).where(is_batch) \
+            .localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bk = pool.submit(inheritable_thread_target(_bk))
+        f_sh = pool.submit(inheritable_thread_target(_sh))
+        bk_b, sh_b = f_bk.result(), f_sh.result()
     stats_b = token_stats(spark, sf_dir).select(
         "doc_id", "quality_score", "quality_pass").where(is_batch)
     return d_b, hashes_b, bk_b, sh_b, stats_b
@@ -966,37 +982,47 @@ def curation_incremental_rollup(spark: SparkSession,
     is_store = F.col("doc_id") % dedup.BATCH_MOD != 0
     src = (load_table(spark, sf_dir, "documents")
            .select("doc_id", "source"))
-    store = (_store_state(spark, sf_dir)
-             .join(src.where(is_store), "doc_id")
-             .groupBy("source")
-             .agg(F.count("*").alias("store_docs"),
-                  F.sum(F.col("admitted").cast("long"))
-                  .alias("store_admitted")))
-    batch = (curation_incremental(spark, sf_dir)
-             .groupBy("source")
-             .agg(F.count("*").alias("batch_docs"),
-                  F.sum(F.col("exact_kept").cast("long"))
-                  .alias("batch_after_exact"),
-                  F.sum(F.col("fuzzy_kept").cast("long"))
-                  .alias("batch_after_fuzzy"),
-                  F.sum(F.col("final_kept").cast("long"))
-                  .alias("batch_admitted")))
+    # ONE grouped pass (round 14, guide §2.1 aggregate-before-shuffle):
+    # the r13 shape ran two groupBy exchanges and a full-outer
+    # SortMergeJoin on `source`; a union of per-side tagged rows folds
+    # all seven counters in a single hash aggregation with map-side
+    # partial aggregation, so exactly one exchange carries
+    # |sources|-sized partials. coalesce(x, 0) over the full-outer
+    # equals the sum over the union: a source missing from one side
+    # contributes zeros to that side's counters.
     z = F.lit(0).cast("long")
-    return (store.join(batch, "source", "full_outer")
-            .select("source",
-                    F.coalesce("store_docs", z).alias("store_docs"),
-                    F.coalesce("store_admitted", z)
-                    .alias("store_admitted"),
-                    F.coalesce("batch_docs", z).alias("batch_docs"),
-                    F.coalesce("batch_after_exact", z)
-                    .alias("batch_after_exact"),
-                    F.coalesce("batch_after_fuzzy", z)
-                    .alias("batch_after_fuzzy"),
-                    F.coalesce("batch_admitted", z)
-                    .alias("batch_admitted"),
-                    (F.coalesce("store_admitted", z)
-                     + F.coalesce("batch_admitted", z))
-                    .alias("total_admitted")))
+    store_rows = (_store_state(spark, sf_dir)
+                  .join(src.where(is_store), "doc_id")
+                  .select("source",
+                          F.lit(1).cast("long").alias("store_docs"),
+                          F.col("admitted").cast("long")
+                          .alias("store_admitted"),
+                          z.alias("batch_docs"),
+                          z.alias("batch_after_exact"),
+                          z.alias("batch_after_fuzzy"),
+                          z.alias("batch_admitted")))
+    batch_rows = (curation_incremental(spark, sf_dir)
+                  .select("source",
+                          z.alias("store_docs"),
+                          z.alias("store_admitted"),
+                          F.lit(1).cast("long").alias("batch_docs"),
+                          F.col("exact_kept").cast("long")
+                          .alias("batch_after_exact"),
+                          F.col("fuzzy_kept").cast("long")
+                          .alias("batch_after_fuzzy"),
+                          F.col("final_kept").cast("long")
+                          .alias("batch_admitted")))
+    agg = (store_rows.unionByName(batch_rows)
+           .groupBy("source")
+           .agg(*[F.sum(c).alias(c)
+                  for c in ("store_docs", "store_admitted",
+                            "batch_docs", "batch_after_exact",
+                            "batch_after_fuzzy", "batch_admitted")]))
+    return agg.select(
+        "source", "store_docs", "store_admitted", "batch_docs",
+        "batch_after_exact", "batch_after_fuzzy", "batch_admitted",
+        (F.col("store_admitted") + F.col("batch_admitted"))
+        .alias("total_admitted"))
 
 
 def _curation_incremental_rollup_oracle() -> str:
