@@ -196,11 +196,21 @@ def _pq_train_sampled(e: DataFrame):
     low = (e.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE)
            .select("vec_id"))
     sub_all = _subvectors(e)
-    sub_s = sub_all.join(F.broadcast(low), "vec_id")
+    # materialize the SAMPLE once (round 14, guide §1.2/§5): the lazy
+    # form re-ran scan + subvector explode + semi-join on every Lloyd
+    # E- and M-step (4 corpus passes for PQ_ITERS=2) just to reach the
+    # same 256-vector slice; the checkpoint is sample-sized
+    # (PQ_TRAIN_SAMPLE x PQ_M rows) so this is model-state, not a
+    # corpus-sized cache. Each round's codebook (M x K rows) is also
+    # checkpointed: the nested assign->update plan otherwise doubles
+    # per round and the negative 8->32-core scaling showed the chain
+    # is planning/stage-overhead-bound, not compute-bound.
+    sub_s = (sub_all.join(F.broadcast(low), "vec_id")
+             .localCheckpoint())
     cents = _pq_seed(e)
     for _ in range(PQ_ITERS):
         assign = _pq_assign(sub_s, cents)
-        cents = _pq_update(sub_s, assign)
+        cents = _pq_update(sub_s, assign).localCheckpoint()
     return cents, _pq_assign(sub_all, cents)
 
 

@@ -724,7 +724,16 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is scanned per round but never shuffled whole. Every
     intermediate is rounded so the DuckDB oracle (same CTE chain,
     generated below) stays bit-aligned through both iterations."""
-    e = load_table(spark, sf_dir, "embeddings")
+    from gcp_datalake_utils_spark.sources import scaled_repartition
+    # round 14: every per-iteration consumer (broadcast assignment
+    # join, posexplode M-step) re-scans the corpus; on a single-split
+    # local scan the whole Lloyd chain ran one-core. The fan-out is
+    # hash-safe: assignment argmax is on round-6 cosines with
+    # struct-min ties, centroid means are _davg6 decimal-exact — no
+    # accumulation-order dependence. Measured 2.93 -> 2.38 s at sf0.1.
+    e = scaled_repartition(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding"), "vec_id")
     cents = (e.orderBy("vec_id").limit(N_CLUSTERS)
              .select(F.col("vec_id").cast("int").alias("cluster"),
                      F.col("embedding").alias("centroid")))
@@ -877,13 +886,23 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow bucketizer (identical buckets, ~7x cheaper). Probes key on
     the 8-bit density knob, not the raw signature — see
     ``rp_lsh_topk``."""
-    e = (_with_bucket16_arrow(load_table(spark, sf_dir, "embeddings"))
+    base = load_table(spark, sf_dir, "embeddings")
+    e = (_with_bucket16_arrow(base)
          .withColumn("bucket",
                      F.col("bucket").bitwiseAND(F.lit(_RP_PROBE_MASK))))
     probes = [F.col("q_bucket")] + [
         F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
         for j in range(RP_PROBE_BITS)]
-    q = (e.where(F.col("vec_id") < N_BATCH_QUERIES)
+    # round 14 (guide §4.2/§2.3): the probe side previously filtered
+    # AFTER the signature kernel, and mapInPandas is opaque to filter
+    # pushdown — the whole corpus ran through the bucketizer TWICE
+    # (once per join side). Bucketizing the filtered scan computes the
+    # identical per-row signatures on |queries| rows, so the corpus
+    # pays exactly one kernel pass.
+    q = (_with_bucket16_arrow(base.where(F.col("vec_id")
+                                         < N_BATCH_QUERIES))
+         .withColumn("bucket",
+                     F.col("bucket").bitwiseAND(F.lit(_RP_PROBE_MASK)))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_embedding"),
                  F.col("bucket").alias("q_bucket"))
@@ -1006,7 +1025,8 @@ def batch_ann64_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K per query via ONE corpus scan, broadcast (query x 65-probe)
     side, equi-join on (b_hi, b_lo). Signatures from the Arrow
     bucketizer (identical halves, no exploded agg on the query path)."""
-    e = _with_bucket64_arrow(load_table(spark, sf_dir, "embeddings"))
+    base = load_table(spark, sf_dir, "embeddings")
+    e = _with_bucket64_arrow(base)
     probe_items = ["struct(q_hi AS b_hi, q_lo AS b_lo)"]
     probe_items += [
         f"struct(q_hi AS b_hi, CAST(q_lo ^ {1 << j} AS BIGINT) AS b_lo)"
@@ -1015,7 +1035,10 @@ def batch_ann64_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"struct(CAST(q_hi ^ {1 << j} AS BIGINT) AS b_hi, q_lo AS b_lo)"
         for j in range(32)]
     probes_expr = F.expr("array(" + ", ".join(probe_items) + ")")
-    q = (e.where(F.col("vec_id") < N_BATCH_QUERIES)
+    # probe side bucketized from the FILTERED scan — one corpus kernel
+    # pass instead of two (see batch_ann_topk)
+    q = (_with_bucket64_arrow(base.where(F.col("vec_id")
+                                         < N_BATCH_QUERIES))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_embedding"),
                  F.col("b_hi").alias("q_hi"),

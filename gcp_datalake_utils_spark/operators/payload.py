@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_datalake_utils_spark.sources import load_events, load_table
+from gcp_datalake_utils_spark.sources import (
+    load_events,
+    load_table,
+    scaled_repartition,
+)
 
 
 # --- TPC-H Q1-style pricing summary (A-family flagship aggregation) ----
@@ -90,8 +94,19 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
     cnt = F.count("*")
-    return (
+    # round 14: the partial-agg pass ran on ONE core on single-split
+    # local scans; every output column folds exactly (_dsum decimals,
+    # counts), so the conditional fan-out is hash-safe at any core
+    # count. Filter stays below the exchange (pushdown intact);
+    # projection shrinks the exchange to the 7 used columns.
+    # Measured 2.55 -> 1.13 s at sf0.1 (same-session A/B).
+    src = scaled_repartition(
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .select("l_returnflag", "l_linestatus", "l_orderkey",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        "l_orderkey")
+    return (
+        src
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dstr(F.col("l_quantity"), 2).alias("sum_qty"),
@@ -135,7 +150,15 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE switches to shuffle-hash when it outgrows the threshold. The big
     lineitem⋈orders join shuffles on orderkey — co-partitioned if both
     are bucketed by orderkey at write time (the 100 TB layout)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # round 14: fan the lineitem side out by the JOIN key — the same
+    # exchange the orderkey join needs anyway, so on the local
+    # single-split corpus this parallelizes the scan+join at the cost
+    # of zero extra shuffles at scale (revenue folds _dsum decimals —
+    # hash-safe at any core count). Measured 2.89 -> 1.49 s at sf0.1.
+    li = scaled_repartition(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
