@@ -192,26 +192,97 @@ def _pq_train_sampled(e: DataFrame):
     knob: codebooks converge on a sample, so the corpus pays ONE
     encode pass instead of PQ_ITERS + 1 (measured at 8M vectors in
     BASELINE). The seed rule is unchanged (the K lowest ids are
-    inside the sample by construction)."""
-    low = (e.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE)
-           .select("vec_id"))
-    sub_all = _subvectors(e)
-    # materialize the SAMPLE once (round 14, guide §1.2/§5): the lazy
-    # form re-ran scan + subvector explode + semi-join on every Lloyd
-    # E- and M-step (4 corpus passes for PQ_ITERS=2) just to reach the
-    # same 256-vector slice; the checkpoint is sample-sized
-    # (PQ_TRAIN_SAMPLE x PQ_M rows) so this is model-state, not a
-    # corpus-sized cache. Each round's codebook (M x K rows) is also
-    # checkpointed: the nested assign->update plan otherwise doubles
-    # per round and the negative 8->32-core scaling showed the chain
-    # is planning/stage-overhead-bound, not compute-bound.
-    sub_s = (sub_all.join(F.broadcast(low), "vec_id")
-             .localCheckpoint())
-    cents = _pq_seed(e)
+    inside the sample by construction).
+
+    Round 14 (guide §1.2; VERDICT r13 item 7): the declarative Lloyd
+    rounds ran 2 multi-stage Spark jobs per iteration over MODEL-STATE
+    data (256 x 64 doubles) — ~2 s of pure stage/broadcast overhead,
+    and 8->32-core scaling of 0.63 (more cores slower). The sample IS
+    model state, so training now runs DRIVER-SIDE in numpy with the
+    family's bit-exact JVM-parity arithmetic (the kmeans_iterate_arrow
+    / pq_codes_arrow precedent; BASELINE.md already describes the
+    production build as "Lloyd over sampled vectors, driver-side"):
+    - distances fold sequentially per dim, then round-6 with the
+      suspect-band Decimal rescue (== F.round(_sql2(..), 6));
+    - argmin over the rounded matrix in code order (first-min = lowest
+      code, the struct-min tie rule);
+    - centroid means replicate _davg6 exactly: HALF_UP round-7 as
+      integer micro-units, exact integer sum, S/1e7 (== the
+      DECIMAL(18,7) -> DOUBLE cast), / n, then shortest-decimal
+      HALF_UP round-6;
+    - codes with no members drop out of the table, exactly like the
+      groupBy M-step.
+    The trained codebook re-enters as a <= M x K-row createDataFrame
+    (float64 -> DoubleType is exact); the full-corpus encode is the
+    unchanged JVM _pq_assign. Bit-identity to the r13 declarative
+    chain is pytest-pinned (tests/test_r14_optimizations.py) and the
+    row is oracle-gated at 3 SFs x 8/32 cores."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    spark = e.sparkSession
+    rows = (e.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE)
+            .select("vec_id", "embedding").collect())
+    rows.sort(key=lambda r: r.vec_id)
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    q6 = Decimal("0.000001")
+    q7 = Decimal("0.0000001")
+
+    def r6s(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(q6, ROUND_HALF_UP))
+
+    def round6_mat(acc):
+        y = acc * 1e6
+        d6 = np.round(acc, 6)
+        sus = np.abs((y - np.floor(y)) - 0.5) < 1e-6
+        if sus.any():
+            flat = d6.ravel()
+            for i in np.flatnonzero(sus.ravel()):
+                flat[i] = r6s(float(acc.ravel()[i]))
+        return d6
+
+    def micro7(col):
+        r = col * 1e7
+        base = np.rint(r)
+        sus = np.abs((r - np.floor(r)) - 0.5) < 1e-4
+        if sus.any():
+            for i in np.flatnonzero(sus):
+                base[i] = float(int(
+                    Decimal(repr(float(col[i])))
+                    .quantize(q7, ROUND_HALF_UP) * (10 ** 7)))
+        return base.astype(np.int64)
+
+    books = {m: {c: x[c, m * PQ_SUB:(m + 1) * PQ_SUB]
+                 for c in range(min(PQ_K, len(x)))}
+             for m in range(PQ_M)}
     for _ in range(PQ_ITERS):
-        assign = _pq_assign(sub_s, cents)
-        cents = _pq_update(sub_s, assign).localCheckpoint()
-    return cents, _pq_assign(sub_all, cents)
+        nxt = {}
+        for m in range(PQ_M):
+            codes_sorted = sorted(books[m])
+            cm = np.stack([books[m][c] for c in codes_sorted])
+            s = x[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+            diff = s[:, None, :] - cm[None, :, :]
+            sq = diff * diff
+            acc = np.zeros((len(x), len(codes_sorted)))
+            for j in range(PQ_SUB):  # JVM fold order, exactly
+                acc = acc + sq[:, :, j]
+            pick = round6_mat(acc).argmin(axis=1)
+            assigned = np.asarray(codes_sorted, dtype=np.int64)[pick]
+            nb = {}
+            for c in sorted(set(assigned.tolist())):
+                mem = s[assigned == c]
+                nb[c] = np.array([
+                    r6s((float(int(micro7(mem[:, dd]).sum())) / 1e7)
+                        / len(mem))
+                    for dd in range(PQ_SUB)])
+            nxt[m] = nb
+        books = nxt
+    cent_rows = [(m, int(c), [float(v) for v in books[m][c]])
+                 for m in range(PQ_M) for c in sorted(books[m])]
+    cents = spark.createDataFrame(
+        cent_rows, "m int, code int, centroid array<double>")
+    return cents, _pq_assign(_subvectors(e), cents)
 
 
 def pq_codes_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:

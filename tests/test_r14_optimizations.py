@@ -95,6 +95,30 @@ def test_scan_partition_probe_file_backed(spark, tmp_path):
     assert kept is many  # no exchange added
 
 
+# --- driver-side PQ sample training (VERDICT item 7) -------------------------
+
+def test_pq_driver_train_matches_declarative_chain(spark):
+    # the numpy driver-side Lloyd rounds must be BIT-identical to the
+    # r13 declarative Spark chain (same round-6 distances, struct-min
+    # ties, _davg6 decimal means, empty-code drop rule)
+    from pyspark.sql import functions as F
+    from gcp_datalake_utils_spark.llm import pq
+    from gcp_datalake_utils_spark.sources import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    low = (e.orderBy("vec_id").limit(pq.PQ_TRAIN_SAMPLE)
+           .select("vec_id"))
+    sub_s = pq._subvectors(e).join(F.broadcast(low), "vec_id")
+    cents = pq._pq_seed(e)
+    for _ in range(pq.PQ_ITERS):
+        assign = pq._pq_assign(sub_s, cents)
+        cents = pq._pq_update(sub_s, assign)
+    decl = {(r.m, r.code): tuple(r.centroid) for r in cents.collect()}
+    drv, _ = pq._pq_train_sampled(e)
+    got = {(r.m, r.code): tuple(r.centroid) for r in drv.collect()}
+    assert got == decl
+
+
 def test_png_roundtrip_guard_fires_on_divergence():
     # simulate a worker-env codec divergence: a decoded image that does
     # not equal the source pixels must raise with the asset id, not
