@@ -38,61 +38,45 @@ from gcp_datalake_utils_spark.streaming.windows import (
 
 SESSION_GAP_SECS = 900  # same 15-minute gap as windows.user_sessions
 
-# Round 14 (guide §4): applyInPandasWithState pays a per-GROUP Arrow
-# round-trip + state encode/decode; grouping by raw user_id made that
-# thousands of tiny groups per micro-batch (driver scaling ratios
-# 1.0-1.5 at 4x cores — framework-bound, not compute-bound). Events
-# are instead grouped by a FIXED user bucket (pmod(user_id, 64)) and
-# each bucket's GroupState holds the per-user automaton states as one
-# JSON map — ~64 Arrow groups instead of ~|users|, identical per-user
-# event-time logic, identical output set (bucket count is a constant,
-# never core-derived, so results cannot depend on SPARK_GRAFT_CPUS).
-# JSON round-trips every state field exactly: ints are exact, floats
-# serialize via repr (shortest round-trip), strings are escaped.
-N_USER_BUCKETS = 64
-
 OUTPUT_SCHEMA = ("user_id long, session_start string, n_events long, "
                  "n_event_types long, duration_secs long, "
                  "session_value double")
-STATE_SCHEMA = "users string"
+STATE_SCHEMA = ("start_ns long, last_ns long, n long, value_sum double, "
+                "types string")
 
 
-def _closed_frame(uids: list, rows: list[tuple]) -> pd.DataFrame:
-    """Closed-session tuples -> output frame, with the timestamp
-    format vectorized over the whole bucket (one .dt.strftime pass
-    instead of a pd.Timestamp per session — 96k sessions at sf0.1
-    paid a Python strftime each; same strings: both paths format the
-    naive UTC ns instant)."""
-    start = pd.Series([r[0] for r in rows], dtype="int64")
-    return pd.DataFrame({
-        "user_id": pd.Series(uids, dtype="int64"),
-        "session_start": pd.to_datetime(start)
-        .dt.strftime("%Y-%m-%d %H:%M:%S"),
-        "n_events": pd.Series([r[2] for r in rows], dtype="int64"),
-        "n_event_types": pd.Series(
-            [len(r[4].split("|")) for r in rows], dtype="int64"),
-        "duration_secs": pd.Series(
-            [(r[1] - r[0]) // 1_000_000_000 for r in rows],
-            dtype="int64"),
-        "session_value": pd.Series([r[3] for r in rows]).round(6),
-    })
+def _closed_session_row(st: tuple) -> dict[str, Any]:
+    start_ns, last_ns, n, value_sum, types = st
+    start = pd.Timestamp(start_ns)
+    return {
+        "user_id": None,  # filled by caller
+        "session_start": start.strftime("%Y-%m-%d %H:%M:%S"),
+        "n_events": n,
+        "n_event_types": len(types.split("|")),
+        "duration_secs": (last_ns - start_ns) // 1_000_000_000,
+        "session_value": value_sum,
+    }
 
 
-def _sessionize_user(st: tuple | None, sub: pd.DataFrame,
-                     out: list[tuple]) -> tuple:
-    """The per-user gap automaton over one user's event-time-ordered
-    frame — byte-identical logic to the pre-bucketing r13 kernel
-    (same ints, same float addition order, same type-string build).
-    Closed sessions are appended to ``out`` as raw state tuples; the
-    caller formats them in bulk (_closed_frame)."""
-    sub = sub.sort_values("ts")
-    ns_l = (sub["ts"].to_numpy().astype("datetime64[ns]")
+def _sessionize(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    parts = list(pdfs)
+    batch = parts[0] if len(parts) == 1 else pd.concat(parts)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values("ts")
+    st = state.get if state.exists else None
+    out: list[dict[str, Any]] = []
+    # one vectorized ns cast instead of a pd.Timestamp per event (the
+    # loop arithmetic below is unchanged — same ints, same floats)
+    ns_l = (batch["ts"].to_numpy().astype("datetime64[ns]")
             .astype("int64").tolist())
-    for ns, etype, value in zip(ns_l, sub["event_type"].tolist(),
-                                sub["value"].tolist()):
+    for ns, etype, value in zip(ns_l, batch["event_type"].tolist(),
+                                batch["value"].tolist()):
         if st is not None and \
                 ns - st[1] > SESSION_GAP_SECS * 1_000_000_000:
-            out.append(st)  # closed-session tuple; formatted in bulk
+            out.append(_closed_session_row(st))
             st = None
         if st is None:
             st = (ns, ns, 1, float(value), str(etype))
@@ -100,39 +84,19 @@ def _sessionize_user(st: tuple | None, sub: pd.DataFrame,
             types = st[4] if str(etype) in st[4].split("|") \
                 else st[4] + "|" + str(etype)
             st = (st[0], ns, st[2] + 1, st[3] + float(value), types)
-    return st
-
-
-def _sessionize(key: tuple, pdfs: Iterable[pd.DataFrame],
-                state: GroupState) -> Iterator[pd.DataFrame]:
-    """Bucket kernel: key is the user bucket; per-user session tuples
-    live in one JSON map per bucket (see N_USER_BUCKETS note)."""
-    import json
-    parts = list(pdfs)
-    batch = parts[0] if len(parts) == 1 else pd.concat(parts)
-    if len(batch) == 0:
-        return
-    st_map: dict = json.loads(state.get[0]) if state.exists else {}
-    uids: list = []
-    rows: list[tuple] = []
-    for uid, sub in batch.groupby("user_id", sort=True):
-        prev = st_map.get(str(uid))
-        out: list[tuple] = []
-        st = _sessionize_user(
-            tuple(prev) if prev is not None else None, sub, out)
-        st_map[str(uid)] = list(st)
-        uids.extend([uid] * len(out))
-        rows.extend(out)
-    state.update((json.dumps(st_map),))
-    if rows:
-        yield _closed_frame(uids, rows)
+    state.update(st)
+    if out:
+        pdf = pd.DataFrame(out)
+        pdf["user_id"] = user_id
+        pdf["session_value"] = pdf["session_value"].round(6)
+        yield pdf[["user_id", "session_start", "n_events",
+                   "n_event_types", "duration_secs", "session_value"]]
 
 
 def closed_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _event_stream(spark, sf_dir).select(
-        "user_id", "ts", "event_type", "value",
-        F.pmod("user_id", F.lit(N_USER_BUCKETS)).alias("ubucket"))
-    return (e.groupBy("ubucket")
+        "user_id", "ts", "event_type", "value")
+    return (e.groupBy("user_id")
             .applyInPandasWithState(
                 _sessionize, OUTPUT_SCHEMA, STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
@@ -190,24 +154,29 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 FUNNEL_OUTPUT_SCHEMA = ("user_id long, t_view string, t_click string, "
                         "t_purchase string, total_secs long")
-FUNNEL_STATE_SCHEMA = "users string"
+FUNNEL_STATE_SCHEMA = "step long, t1 long, t2 long, t3 long"
 
 
-def _advance_funnel_user(uid, st: tuple, sub: pd.DataFrame,
-                         out: list[dict[str, Any]]) -> tuple:
+def _advance_funnel(key: tuple, pdfs: Iterable[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
     """Per-user funnel automaton: state is (step, t1, t2, t3) ns — one
     4-tuple per user regardless of stream length. Processing events in
     event-time order makes 'first qualifying event' equal the batch
     min() chain, so the batch funnel SQL is the oracle. A completed
     user parks at step=3 and ignores further events (first completion
-    only, matching the batch chain). Logic byte-identical to the
-    pre-bucketing r13 kernel."""
-    sub = sub.sort_values("ts")
-    step, t1, t2, t3 = st
+    only, matching the batch chain)."""
+    (user_id,) = key
+    parts = list(pdfs)
+    batch = parts[0] if len(parts) == 1 else pd.concat(parts)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values("ts")
+    step, t1, t2, t3 = state.get if state.exists else (0, 0, 0, 0)
     horizon_ns = FUNNEL_HORIZON_HOURS * 3600 * 1_000_000_000
-    ns_l = (sub["ts"].to_numpy().astype("datetime64[ns]")
+    out: list[dict[str, Any]] = []
+    ns_l = (batch["ts"].to_numpy().astype("datetime64[ns]")
             .astype("int64").tolist())
-    for ns, etype in zip(ns_l, sub["event_type"].tolist()):
+    for ns, etype in zip(ns_l, batch["event_type"].tolist()):
         if step >= len(_FUNNEL_STEPS):
             break
         t_prev = (0, t1, t2)[step]
@@ -222,7 +191,7 @@ def _advance_funnel_user(uid, st: tuple, sub: pd.DataFrame,
         else:
             t3 = ns
             out.append({
-                "user_id": uid,
+                "user_id": user_id,
                 "t_view": pd.Timestamp(t1).strftime(
                     "%Y-%m-%d %H:%M:%S"),
                 "t_click": pd.Timestamp(t2).strftime(
@@ -232,24 +201,7 @@ def _advance_funnel_user(uid, st: tuple, sub: pd.DataFrame,
                 "total_secs": (t3 - t1) // 1_000_000_000,
             })
         step += 1
-    return (step, t1, t2, t3)
-
-
-def _advance_funnel(key: tuple, pdfs: Iterable[pd.DataFrame],
-                    state: GroupState) -> Iterator[pd.DataFrame]:
-    """Bucket kernel: per-user (step, t1, t2, t3) tuples in one JSON
-    map per user bucket (see N_USER_BUCKETS note)."""
-    import json
-    parts = list(pdfs)
-    batch = parts[0] if len(parts) == 1 else pd.concat(parts)
-    if len(batch) == 0:
-        return
-    st_map: dict = json.loads(state.get[0]) if state.exists else {}
-    out: list[dict[str, Any]] = []
-    for uid, sub in batch.groupby("user_id", sort=True):
-        st = tuple(st_map.get(str(uid), (0, 0, 0, 0)))
-        st_map[str(uid)] = list(_advance_funnel_user(uid, st, sub, out))
-    state.update((json.dumps(st_map),))
+    state.update((step, t1, t2, t3))
     if out:
         yield pd.DataFrame(out)[["user_id", "t_view", "t_click",
                                  "t_purchase", "total_secs"]]
@@ -258,9 +210,8 @@ def _advance_funnel(key: tuple, pdfs: Iterable[pd.DataFrame],
 def funnel_completions_stream(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     e = _event_stream(spark, sf_dir).select(
-        "user_id", "ts", "event_type",
-        F.pmod("user_id", F.lit(N_USER_BUCKETS)).alias("ubucket"))
-    return (e.groupBy("ubucket")
+        "user_id", "ts", "event_type")
+    return (e.groupBy("user_id")
             .applyInPandasWithState(
                 _advance_funnel, FUNNEL_OUTPUT_SCHEMA,
                 FUNNEL_STATE_SCHEMA, "append",
