@@ -247,6 +247,27 @@ HEADLINE = [
 # measurement
 COLLECT_CAP = 100_000
 
+# the previous round's slowest-15 (BENCH_r13.json stdout), kept on the
+# stdout watchlist so a row that IMPROVES out of the top-15 still
+# prints — refresh from BENCH_r<n>.json each round
+PREV_SLOWEST_15 = [
+    "curation_incremental",
+    "profile_orders",
+    "curation_incremental_rollup",
+    "pq_codes_sampled",
+    "ann_rerank",
+    "source_length_deciles",
+    "corpus_budget_selection",
+    "kmeans_iterate",
+    "funnel_completions_stream",
+    "hll_distinct",
+    "ann_recall_audit",
+    "lm_quality_bins",
+    "video_near_dups",
+    "closed_sessions_stream",
+    "embedding_near_dups_quantized",
+]
+
 
 def _run_once(fn, spark, small: bool) -> float:
     t0 = time.time()
@@ -324,10 +345,17 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as f:
         json.dump({**common, "queries": per_query}, f)
-    # the FINAL stdout line stays compact (<1.5 KB): headline total +
-    # the slowest 15 queries, which carry the perf signal
+    # the FINAL stdout line stays compact: headline total + the UNION
+    # of {this run's slowest 15} and {the previous round's slowest 15}
+    # (r13 verdict ask #9: a row that leaves the top-15 by getting
+    # FASTER must keep printing, so the driver's PERF diff never
+    # mislabels an improved row as dropped_from_bench). Additions
+    # only; protocol untouched.
     slowest = dict(sorted(per_query.items(),
                           key=lambda kv: kv[1], reverse=True)[:15])
+    for name in PREV_SLOWEST_15:
+        if name in per_query:
+            slowest.setdefault(name, per_query[name])
     out = {**common, "n_queries": len(per_query),
            "queries": slowest, "detail": "bench_detail.json"}
     print(json.dumps(out))

@@ -1206,5 +1206,128 @@ _r13_head = [*_R13_NEW, *_R13_R9_STALE[:50 - len(_R13_NEW)]]
 _rotate_window(_r13_head, _R13_R9_STALE[50 - len(_R13_NEW):])
 
 
+# ---------------------------------------------------------------------------
+# ROUND-14 WINDOW ROTATION (r13 verdict asks #1 and #10). Superseding
+# the r13 rotation above (kept as the r13 evidence record). The r14
+# window:
+#   (1) image_dhash — the r13 driver-red row (hash_match=false,
+#       unreproduced locally; kernel hardened + live-path pinned this
+#       round, see plans/r14/image_dhash_red_note.md) — MUST re-gate;
+#   (2) every row whose internals the r14 optimizer changed:
+#       image_near_dups (round-trip guard in the shared kernel),
+#       pricing_summary / revenue_by_nation / kmeans_iterate
+#       (conditional fan-out now that their exact-fold outputs are
+#       verified core-count-invariant), curation_incremental
+#       (threaded batch frames) + curation_incremental_rollup
+#       (union-of-aggregates one-pass), batch_ann_topk /
+#       batch_ann64_topk / ann_rerank / ann_recall_audit (probe side
+#       bucketized from the filtered scan), pq_codes_sampled
+#       (driver-side sample training, bit-identity pytest-pinned);
+#   (3) the 12 build-continuation rows the driver has never hashed
+#       (FLAC, MP4, audio x2, video x2, PQ x6);
+#   (4) the 8 r13 deferrals (newest driver green r9);
+#   (5) 18 of the 49 rows whose newest driver green is r10, in
+#       CORRECTNESS_r10 order.
+# 11 + 12 + 8 + 19 = 50 (pq_codes_sampled / video x2 overlap (2)+(3));
+# the remaining 31 r10-stale rows defer to r15 in queue order.
+# ---------------------------------------------------------------------------
+
+_R14_PRIORITY = [
+    # (1) driver-red
+    "image_dhash",
+    # (2) optimizer-touched
+    "image_near_dups",
+    "pricing_summary",
+    "revenue_by_nation",
+    "kmeans_iterate",
+    "curation_incremental",
+    "curation_incremental_rollup",
+    "batch_ann_topk",
+    "batch_ann64_topk",
+    "ann_rerank",
+    "ann_recall_audit",
+    # (3) never hashed by any driver round
+    "flac_decode_features",
+    "mp4_metadata",
+    "audio_fingerprint",
+    "audio_near_dups",
+    "video_frame_sample",
+    "video_near_dups",
+    "pq_codes",
+    "pq_codes_arrow",
+    "pq_codes_sampled",
+    "ivf_pq_topk",
+    "pq_adc_topk",
+    "pq_recall_audit",
+    # (4) r13 deferrals (newest green r9)
+    "domain_quota_sample",
+    "domain_quality_prior",
+    "domain_dedup_rollup",
+    "sequence_packing_bpe",
+    "events_dpp_join",
+    "source_length_deciles",
+    "daily_activity_stream",
+    "embedding_decontamination",
+]
+
+# the 49 rows whose newest driver green is r10, in CORRECTNESS_r10
+# order (recomputed at r14 from CORRECTNESS_r01-r13)
+_R14_R10_STALE = [
+    "span_dedup_removal",
+    "span_dedup_rollup",
+    "contamination_span_scrub",
+    "contamination_scrub_rollup",
+    "nb_lang_classifier",
+    "dsir_importance_weights",
+    "training_shard_shuffle",
+    "bpe_pair_counts",
+    "daily_activity_store_stream",
+    "events_dpp_join_unpruned",
+    "embedding_incremental_dedup",
+    "graph_bfs_levels",
+    "checksum_gate",
+    "state_staleness",
+    "quality_report",
+    "quality_by_method",
+    "mermaid_erd_lines",
+    "plantuml_erd_lines",
+    "dedup_exact_groups",
+    "sequence_packing",
+    "text_language_id",
+    "dedup_minhash_signatures",
+    "dedup_lsh_buckets",
+    "dedup_keep_best",
+    "corpus_rollup",
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "similarity_rp_lsh_buckets",
+    "catalog_tables",
+    "sample_scan",
+    "table_batching_rank",
+    "events_props_json",
+    "relationships_per_table",
+    "state_upsert",
+    "cache_lookup",
+    "metadata_richness",
+    "kmeans_iterate_arrow",
+    "lm_doc_scores_arrow",
+    "lm_quality_bins_arrow",
+    "embedding_quantize_arrow",
+    "label_centroids_arrow",
+    "repetition_flags_arrow",
+    "force_layout_coords",
+    "rule_compiler_truth",
+    "dup_ngram_fraction",
+    "dup_ngram_stats",
+    "source_vocab_overlap",
+    "cross_source_dup_matrix",
+    "dedup_incremental",
+]
+
+_r14_head = [*_R14_PRIORITY,
+             *_R14_R10_STALE[:50 - len(_R14_PRIORITY)]]
+_rotate_window(_r14_head, _R14_R10_STALE[50 - len(_R14_PRIORITY):])
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detection.detect_all(spark)
