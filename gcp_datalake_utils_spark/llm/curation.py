@@ -677,8 +677,13 @@ def _admit_batch(d_b: DataFrame, hashes_b: DataFrame, bk_b: DataFrame,
             .unionByName(cand_bs.select(F.col("doc_b")
                                         .alias("doc_id")))
             .distinct())
+    # broadcast the candidate endpoints (|batch-candidate|-sized) so
+    # the semi-join prunes the store-sized shingle index WITHOUT
+    # shuffling it (guide §3.1; measured 1.22 -> 1.03 s on the verify
+    # wave at sf0.1 — the estimator picked a shuffle join otherwise)
     matched = (dedup._verify_jaccard(
-                   cand_bs, sh_all.join(ends, "doc_id", "leftsemi"))
+                   cand_bs,
+                   sh_all.join(F.broadcast(ends), "doc_id", "leftsemi"))
                .select(F.col("doc_a").alias("doc_id")).distinct()
                .localCheckpoint())
     b_rem = b_surv.join(matched, "doc_id", "left_anti")
